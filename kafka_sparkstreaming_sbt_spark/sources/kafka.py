@@ -1,0 +1,101 @@
+"""Kafka streaming source + JSON deserialize/flatten (SURVEY.md §2.1
+S1-S2).
+
+The reference ingests with ``readStream.format("kafka")`` then does
+``CAST(value AS STRING)`` -> ``from_json`` -> ``select("data.*")``
+(CustomerSpendingAnalysis.scala:30-43).  ``parse_transactions`` is a
+pure DataFrame->DataFrame function so the identical decode runs on a
+streaming Kafka envelope, a file-source replay, or a batch fixture —
+the property the reference's own tests exploit
+(CustomerSpendingIntegrationTest.scala:418-421).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_sparkstreaming_sbt_spark.schemas import TRANSACTION_SCHEMA
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "transactions_topic",
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+    max_offsets_per_trigger: int | None = 100_000,
+) -> DataFrame:
+    """Kafka envelope stream (CustomerSpendingAnalysis.scala:32-38).
+
+    ``startingOffsets=earliest`` + ``failOnDataLoss=false`` match the
+    canonical variant; the refactored variant uses ``latest``
+    (CustomerSpendingAnalysisNew1.scala:23-29).
+
+    The reference sets the DStream-era conf
+    ``spark.streaming.backpressure.enabled`` which is a no-op under
+    Structured Streaming (SURVEY.md §4); the working equivalent is
+    ``maxOffsetsPerTrigger``, applied here.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+        )
+    return reader.load()
+
+
+def parse_transactions(
+    df: DataFrame,
+    schema: T.StructType = TRANSACTION_SCHEMA,
+    value_col: str = "value",
+    reparse_timestamp: bool = True,
+) -> DataFrame:
+    """Decode the JSON payload and flatten (CSA:39-42).
+
+    1. ``CAST(value AS STRING)`` — Kafka's value is binary.
+    2. ``from_json`` against the fixed schema (PERMISSIVE: malformed
+       rows -> all-null struct; JSON-number customer_id coerces to
+       the declared String).
+    3. ``select("data.*")`` flattens the transient struct.
+    4. Quirk parity (CSA:42): the reference re-applies
+       ``to_timestamp(ts, "yyyy-MM-dd HH:mm:ss")`` to the
+       already-parsed timestamp — a cast->string->parse round trip
+       that NULLs any timestamp carrying sub-second precision and
+       truncates the rest to whole seconds.  Controlled by
+       ``reparse_timestamp`` so correctness-mode callers can skip it.
+    """
+    parsed = (
+        df.selectExpr(f"CAST({value_col} AS STRING) AS value")
+        .select(F.from_json(F.col("value"), schema).alias("data"))
+        .select("data.*")
+    )
+    if reparse_timestamp and "timestamp" in parsed.columns:
+        parsed = parsed.withColumn(
+            "timestamp",
+            F.to_timestamp(
+                F.col("timestamp").cast("string"), "yyyy-MM-dd HH:mm:ss"
+            ),
+        )
+    return parsed
+
+
+def events_as_transactions(events: DataFrame) -> DataFrame:
+    """Project the driver's ``events`` table onto the transaction shape
+    (FIXTURES.md §1.4) so every reference-parity operator also runs on
+    driver testdata."""
+    return events.select(
+        F.col("event_id").cast("string").alias("transaction_id"),
+        F.col("user_id").cast("string").alias("customer_id"),
+        F.col("ts").alias("timestamp"),
+        F.col("value").alias("amount"),
+        F.col("event_type").alias("payment_method"),
+        F.col("event_type").alias("status"),
+    )
