@@ -21,9 +21,28 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (  # noqa: E402
+    minhash_near_dup_pairs,
+)
 from kafka_sparkstreaming_sbt_spark.operators.rollup import (  # noqa: E402
     daily_rollup_deterministic,
     daily_spending_direct,
+)
+from kafka_sparkstreaming_sbt_spark.operators.similarity import (  # noqa: E402
+    _hyperplanes,
+    cosine_topk,
+    lsh_bucket,
+    lsh_near_pairs,
+)
+from kafka_sparkstreaming_sbt_spark.operators.text import (  # noqa: E402
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_REGEX,
+    doc_fingerprints,
+    exact_dedup_groups,
+    lang_id,
+    quality_score,
+    token_stats,
 )
 from kafka_sparkstreaming_sbt_spark.operators.windows import (  # noqa: E402
     windowed_spending,
@@ -62,6 +81,26 @@ def _utc(spark: SparkSession) -> SparkSession:
     oracle runs on naive UTC timestamps."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
+
+
+def _sql_words(words) -> str:
+    """Python string tuple -> DuckDB list literal."""
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _sql_bucket_expr(n_bits: int, seed: int) -> str:
+    """DuckDB expression mirroring operators.similarity.lsh_bucket:
+    concatenated sign bits of the embedding against the same seeded
+    hyperplanes (full-precision repr round-trips doubles exactly)."""
+    planes = _hyperplanes(64, n_bits, seed)
+    bits = []
+    for plane in planes:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        bits.append(
+            "CASE WHEN list_dot_product(list_transform(embedding, "
+            f"x -> CAST(x AS DOUBLE)), {lit}) >= 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
 
 
 # --------------------------------------------------------------------------
@@ -174,6 +213,99 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Extension queries: text analysis, dedup, similarity search (SURVEY.md §7.2
+# step 6) over the documents/embeddings tables
+# --------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish
+    regex tokens, characters — per document."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    out = token_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unique_tokens").cast("long").alias("n_unique_tokens"),
+        F.col("n_regex_tokens").cast("long").alias("n_regex_tokens"),
+        F.col("n_chars_actual").cast("long").alias("n_chars_actual"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + a length/diversity/stopword
+    composite in [0,1]."""
+    _utc(spark)
+    return quality_score(read_table(spark, sf_dir, "documents"))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification with per-language scores."""
+    _utc(spark)
+    out = lang_id(read_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        *[
+            F.col(f"score_{lang}").cast("long").alias(f"score_{lang}")
+            for lang in LANG_MARKERS
+        ],
+        "detected_lang",
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 exact-dup key + min-shingle-hash
+    (1-permutation MinHash) near-dup key."""
+    _utc(spark)
+    return doc_fingerprints(read_table(spark, sf_dir, "documents"))
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups via hash-groupBy on md5(text)."""
+    _utc(spark)
+    return exact_dedup_groups(read_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (shingle -> banded minhash ->
+    bucket join -> exact-Jaccard verify at 0.5)."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        docs, shingle_n=3, n_bands=8, threshold=0.5
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors for the first 100 vectors
+    (query side broadcast; corpus scanned once)."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 100), k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (8-bit signatures)."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        lsh_bucket(emb, dim=64, n_bits=8, seed=42)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed similar-embedding pairs: equi-join on the 4-bit
+    bucket key, exact cosine >= 0.4 within buckets."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_near_pairs(emb, dim=64, threshold=0.4, n_bits=4, seed=42)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's signature daily spending rollup
     (windowed A1 -> dedup -> A3) on sf0.001."""
@@ -188,6 +320,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_spending_direct": q_daily_spending_direct,
         "json_decode_props": q_json_decode_props,
         "pricing_summary": q_pricing_summary,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "minhash_near_dup": q_minhash_near_dup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "lsh_bucket_stats": q_lsh_bucket_stats,
+        "embedding_similar_pairs": q_embedding_similar_pairs,
     }
 
 
@@ -240,5 +381,106 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY 1, 2
+        """,
+        "text_token_stats": f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+               len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_regex_tokens,
+               length(text) AS n_chars_actual
+        FROM documents
+        """,
+        "text_quality": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS u,
+                     len(list_filter(toks, x -> list_contains({_sql_words(STOPWORDS)}, x))) AS st
+              FROM t)
+        SELECT doc_id,
+               ROUND(st / n, 6) AS stopword_ratio,
+               ROUND(0.3 * least(n / 100.0, 1.0) + 0.4 * (u / n)
+                     + 0.3 * least(4 * (st / n), 1.0), 6) AS quality_score
+        FROM s
+        """,
+        "text_lang_id": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (SELECT doc_id,
+                     len(list_filter(toks, x -> list_contains({_sql_words(LANG_MARKERS["en"])}, x))) AS score_en,
+                     len(list_filter(toks, x -> list_contains({_sql_words(LANG_MARKERS["es"])}, x))) AS score_es,
+                     len(list_filter(toks, x -> list_contains({_sql_words(LANG_MARKERS["de"])}, x))) AS score_de
+              FROM t)
+        SELECT doc_id, score_en, score_es, score_de,
+               CASE WHEN greatest(score_en, score_es, score_de) = 0 THEN 'und'
+                    WHEN score_en = greatest(score_en, score_es, score_de) THEN 'en'
+                    WHEN score_es = greatest(score_en, score_es, score_de) THEN 'es'
+                    ELSE 'de' END AS detected_lang
+        FROM s
+        """,
+        "doc_fingerprints": """
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id, md5(text) AS fp_md5,
+               CASE WHEN len(toks) >= 3 THEN
+                 list_min(list_transform(range(1, len(toks) - 1),
+                   i -> md5(array_to_string(toks[i:i+2], ' '))))
+               END AS fp_shingle
+        FROM t
+        """,
+        "exact_dedup_docs": """
+        SELECT md5(text) AS fp_md5,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+        """,
+        "minhash_near_dup": """
+        WITH docs AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM documents WHERE len(string_split(text, ' ')) >= 3
+        ),
+        bands AS (SELECT unnest(range(0, 8)) AS band),
+        sigs AS (SELECT doc_id, band,
+                        list_min(list_transform(sh, s -> md5(band::VARCHAR || '|' || s))) AS sig
+                 FROM docs, bands),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM sigs x JOIN sigs y
+                   ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        pairs AS (SELECT doc_a, doc_b,
+                         ROUND(len(list_intersect(a.sh, b.sh))
+                               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+                  FROM cand
+                  JOIN docs a ON a.doc_id = cand.doc_a
+                  JOIN docs b ON b.doc_id = cand.doc_b)
+        SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        """,
+        "ann_cosine_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(q.v, c.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+              FROM e q, e c
+              WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM s QUALIFY rank <= 10
+        """,
+        "lsh_bucket_stats": f"""
+        SELECT {_sql_bucket_expr(8, 42)} AS bucket,
+               COUNT(*) AS n_vectors
+        FROM embeddings GROUP BY 1
+        """,
+        "embedding_similar_pairs": f"""
+        WITH b AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                          {_sql_bucket_expr(4, 42)} AS bucket
+                   FROM embeddings),
+        p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                     ROUND(list_dot_product(x.v, y.v)
+                           / (sqrt(list_dot_product(x.v, x.v))
+                              * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+              FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
         """,
     }

@@ -1,0 +1,123 @@
+"""Near-duplicate detection for document corpora (extension surface,
+SURVEY.md §7.2 step 6): MinHash + LSH banding with exact-Jaccard
+verification, built entirely from Catalyst expressions.
+
+Algorithm (the standard shingle -> minhash -> band -> bucket-join
+pipeline, e.g. Broder 1997 / MMDS ch.3):
+
+1. shingle: distinct word n-grams per doc (a per-row map, no shuffle)
+2. minhash: per band b, signature = min over shingles of
+   md5(b || '|' || shingle).  Using the md5 *string* minimum is a
+   valid min-hash family — md5 imposes a pseudo-random total order on
+   shingles, a different one per band salt — and it stays
+   byte-identical in any engine with md5 (our DuckDB oracle).
+3. candidates: docs sharing a (band, signature) bucket — an equi-join
+   on the bucket key.  At 100 TB this is the step that turns N^2
+   comparison into sum-of-bucket^2; the join is a plain hash shuffle
+   Catalyst handles, and hot buckets (boilerplate docs) can be salted
+   or capped upstream.
+4. verify: exact Jaccard over the distinct shingle sets, keep pairs
+   >= threshold.
+
+No Python UDFs anywhere — shingles/minhash are ``transform``/
+``array_min`` expressions, so stages 1-2 are whole-stage codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingle set per document; drops docs with
+    fewer than ``n`` tokens (no shingle support)."""
+    toks = F.split(F.col(text_col), " ")
+    n_sh = F.size(toks) - (n - 1)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return df.filter(F.size(toks) >= n).withColumn("shingles", shingles)
+
+
+def minhash_signatures(
+    df: DataFrame, n_bands: int = 8, shingle_col: str = "shingles"
+) -> DataFrame:
+    """One (doc_id, band, signature) row per band: the per-band salted
+    md5 minimum over the shingle set."""
+    bands = F.explode(
+        F.array(*[F.lit(b) for b in range(n_bands)])
+    ).alias("band")
+    exploded = df.select("doc_id", shingle_col).select(
+        "doc_id", F.col(shingle_col), bands
+    )
+    sig = F.array_min(
+        F.transform(
+            F.col(shingle_col),
+            lambda s: F.md5(
+                F.concat(F.col("band").cast("string"), F.lit("|"), s)
+            ),
+        )
+    )
+    return exploded.select("doc_id", "band", sig.alias("sig"))
+
+
+def jaccard(a: F.Column, b: F.Column) -> F.Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle -> minhash bands ->
+    bucket-join candidates -> exact-Jaccard verify.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard >= threshold, rounded to 6 dp.
+    """
+    docs = with_shingles(df, text_col, shingle_n).select(
+        "doc_id", "shingles"
+    )
+    sigs = minhash_signatures(docs, n_bands)
+    cand = (
+        sigs.alias("x")
+        .join(
+            sigs.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)

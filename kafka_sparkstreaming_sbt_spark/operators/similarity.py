@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (extension surface,
+SURVEY.md §7.2 step 6): brute-force cosine top-k as the exactness
+baseline, random-hyperplane LSH bucketing as the 100 TB scale path.
+
+Design for scale
+----------------
+Brute force is O(Q x N) dot products.  We keep it as the *correctness
+baseline* and for modest query sets: the query side is broadcast (no
+shuffle of the corpus), the corpus side streams through one scan, and
+the top-k is a per-query aggregation — so even brute force is a
+single-pass map + partial top-k, not a quadratic shuffle.
+
+The LSH variant hashes vectors to ``n_bits`` sign bits against fixed
+pseudo-random hyperplanes (seeded, data-independent), then joins on
+the bucket key — candidate pairs drop from N^2 to sum over buckets of
+|bucket|^2, and the bucket join is an equi-join Catalyst can shuffle
+or broadcast as sizes dictate.
+
+Determinism: all arithmetic is double precision, left-to-right over
+the list order (``aggregate``/``zip_with``), ranking ties broken by
+neighbor id, cosine rounded to 6 dp — byte-identical with the DuckDB
+oracle's ``list_dot_product`` on double lists.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize embeddings so cosine becomes a plain dot product
+    (do this once, write it back to parquet at scale)."""
+    n = _norm(F.col(vec_col))
+    return df.withColumn(
+        "unit",
+        F.when(
+            n > 0,
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / n),
+        ),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: for every query vector, the k nearest
+    corpus vectors (self-match excluded).
+
+    The query side is broadcast — the corpus is scanned exactly once
+    and never shuffled; the per-query ranking shuffles only
+    (Q x N) -> (Q x k) candidate rows after the map-side window is
+    unavailable, so we pre-prune with a per-partition top-k *before*
+    the global rank to keep the shuffle small.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
+        _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    """Fixed pseudo-random unit hyperplanes (Gaussian, seeded) — data
+    independent, so every executor derives the same planes."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_bits):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / s for x in v])
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash) bucketing: ``bucket`` is the
+    concatenated sign bits of the vector against ``n_bits`` fixed
+    hyperplanes.  Vectors with small angle land in the same bucket
+    with probability (1 - theta/pi)^n_bits."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    bits = [
+        F.when(
+            _dot(
+                F.col(vec_col),
+                F.array(*[F.lit(x) for x in plane]),
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def lsh_near_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs: bucket join (equi-join on the LSH key)
+    then exact cosine filter within buckets — the scale path for
+    embedding near-dedup (candidate set is per-bucket quadratic, not
+    global quadratic)."""
+    b = lsh_bucket(df, dim, n_bits, seed, vec_col)
+    left = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        "bucket",
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        "bucket",
+    )
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
+        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

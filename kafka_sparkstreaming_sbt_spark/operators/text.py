@@ -1,0 +1,171 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(extension surface beyond the reference, SURVEY.md §7.2 step 6):
+token statistics, quality scoring, language identification, document
+fingerprinting.
+
+Everything is built-in Catalyst expressions (split / filter /
+transform / md5 / array ops) — no Python UDFs — so the operators run
+whole-stage-codegen'd and scale linearly with a parquet scan: at
+100 TB these are embarrassingly parallel per-row maps with NO shuffle
+at all until an (optional) aggregation.
+
+Cross-engine determinism notes (the DuckDB oracle mirrors each
+expression): Spark ``split(text, ' ')`` == DuckDB ``string_split``;
+``md5`` hex output is identical; Spark ``slice(arr, i, n)`` ==
+DuckDB 1-based inclusive ``arr[i:i+n-1]``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Minimal English stopword set used for stopword-ratio scoring.
+STOPWORDS = (
+    "the",
+    "a",
+    "of",
+    "and",
+    "to",
+    "in",
+    "is",
+    "on",
+    "for",
+    "with",
+)
+
+#: Marker words per language for the n-gram/stopword language-ID
+#: heuristic (deterministic, extensible).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+#: BPE-ish token pattern: letter runs, digit runs, or single
+#: non-alphanumeric marks.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokenization as an array column (single-space split
+    to stay byte-identical with the SQL oracle)."""
+    return df.withColumn("tokens", F.split(F.col(text_col), " "))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: whitespace tokens, distinct
+    tokens, regex (BPE-ish) tokens, characters."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(
+            # group 0 = whole match, same default as the DuckDB oracle
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)
+        ).alias("n_regex_tokens"),
+        F.length(text_col).alias("n_chars_actual"),
+    )
+
+
+def _stop_hits(tokens: F.Column) -> F.Column:
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(stop, t)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0, 1]:
+
+    - length component: saturating ``min(n_tokens / 100, 1)``
+    - diversity component: distinct/total token ratio
+    - stopword component: stopword ratio (natural prose has some)
+
+    quality = round(0.3*length + 0.4*diversity + 0.3*min(4*stop, 1), 6)
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    stop_ratio = _stop_hits(toks) / n
+    score = (
+        0.3 * F.least(n / F.lit(100.0), F.lit(1.0))
+        + 0.4 * (uniq / n)
+        + 0.3 * F.least(4 * stop_ratio, F.lit(1.0))
+    )
+    return df.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: count hits per language's marker set,
+    argmax with fixed priority (en > es > de), 'und' when no marker
+    hits at all."""
+    toks = F.split(F.col(text_col), " ")
+
+    def _marker_hits(markers: tuple[str, ...]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {
+        lang: _marker_hits(markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    detected = (
+        F.when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["es"] == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return df.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        detected.alias("detected_lang"),
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame, text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """Document fingerprints for dedup:
+
+    - ``fp_md5``: md5 of the raw text (exact-dup key)
+    - ``fp_shingle``: minimum md5 over word ``shingle_n``-grams — a
+      1-permutation MinHash; equal fingerprints are near-dup
+      candidates.  NULL for docs shorter than ``shingle_n`` tokens.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_sh = F.size(toks) - (shingle_n - 1)
+    shingle_mins = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i, shingle_n))
+            ),
+        )
+    )
+    return df.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("fp_md5"),
+        F.when(n_sh >= 1, shingle_mins).alias("fp_shingle"),
+    )
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via hash-groupBy on md5(text): one row per distinct
+    content with the kept (minimum) doc_id and the duplicate count.
+    Single hash shuffle on a high-cardinality key — the canonical
+    100 TB-safe exact dedup."""
+    return (
+        df.select("doc_id", F.md5(F.col(text_col)).alias("fp_md5"))
+        .groupBy("fp_md5")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -1,0 +1,111 @@
+"""Semantic checks for the dedup/similarity extensions — beyond the
+oracle parity tests: recall against brute force, fingerprint
+properties, LSH bucketing behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
+    jaccard,
+    minhash_near_dup_pairs,
+    with_shingles,
+)
+from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket,
+    lsh_near_pairs,
+)
+from kafka_sparkstreaming_sbt_spark.operators.text import (
+    doc_fingerprints,
+    exact_dedup_groups,
+)
+from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+
+def test_minhash_recall_vs_brute_force(spark, sf_small):
+    """MinHash+LSH (8 bands) must recover every brute-force pair with
+    Jaccard >= 0.5 on the planted near-dups (expected recall at
+    j>=0.5 with 8 single-row bands is 1-(1-j)^8 >= 0.996; the planted
+    pairs are ~0.98 so missing any is a bug, not variance)."""
+    docs = read_table(spark, sf_small, "documents")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    sh = with_shingles(docs).select("doc_id", "shingles")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jaccard(F.col("sa"), F.col("sb")).alias("j"))
+        .filter(F.col("j") >= 0.5)
+    )
+    want = {(r.doc_a, r.doc_b) for r in brute.collect()}
+    assert want, "test data should contain planted near-dup pairs"
+    assert got == want
+
+
+def test_exact_dedup_total_preserved(spark, sf_small):
+    """Dedup groups partition the corpus: sum(n_copies) == row count
+    and keep_doc_id is a member of each group."""
+    docs = read_table(spark, sf_small, "documents")
+    groups = exact_dedup_groups(docs)
+    assert groups.agg(F.sum("n_copies")).first()[0] == docs.count()
+    assert groups.filter(F.col("n_copies") < 1).count() == 0
+
+
+def test_fingerprints_exact_dup_sensitivity(spark):
+    """Identical text -> identical fp_md5 AND fp_shingle; one changed
+    word -> fp_md5 differs while fp_shingle may or may not (it is a
+    near-dup key)."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox leaps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in doc_fingerprints(df).collect()}
+    assert rows[1].fp_md5 == rows[2].fp_md5
+    assert rows[1].fp_shingle == rows[2].fp_shingle
+    assert rows[1].fp_md5 != rows[3].fp_md5
+
+
+def test_cosine_topk_is_exact_and_ranked(spark, sf_small):
+    """Brute-force top-k: k rows per query, ranks 1..k, cosine
+    non-increasing within a query, self excluded."""
+    emb = read_table(spark, sf_small, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, 11))
+        assert all(r.neighbor_id != q for r in rows)
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_bucket_deterministic_and_partitioning(spark, sf_small):
+    """Same seed -> same buckets; every vector lands in exactly one
+    bucket of the right width."""
+    emb = read_table(spark, sf_small, "embeddings")
+    b1 = lsh_bucket(emb, dim=64, n_bits=8, seed=42)
+    b2 = lsh_bucket(emb, dim=64, n_bits=8, seed=42)
+    assert b1.select("vec_id", "bucket").subtract(
+        b2.select("vec_id", "bucket")
+    ).count() == 0
+    assert b1.filter(F.length("bucket") != 8).count() == 0
+    assert b1.count() == emb.count()
+
+
+def test_lsh_near_pairs_subset_of_brute_force(spark, sf_small):
+    """LSH-bucketed pairs are sound (every reported pair really has
+    cosine >= threshold) — completeness is probabilistic by design."""
+    emb = read_table(spark, sf_small, "embeddings")
+    pairs = lsh_near_pairs(emb, dim=64, threshold=0.4, n_bits=4).collect()
+    assert all(r.cosine >= 0.4 and r.id_a < r.id_b for r in pairs)
