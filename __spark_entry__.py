@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (  # noqa: E402
     minhash_near_dup_pairs,
 )
+from kafka_sparkstreaming_sbt_spark.operators.multimodal import (  # noqa: E402
+    decode_media,
+    synthetic_media,
+)
 from kafka_sparkstreaming_sbt_spark.operators.rollup import (  # noqa: E402
     daily_rollup_deterministic,
     daily_spending_direct,
@@ -306,6 +310,31 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_pairs(emb, dim=64, threshold=0.4, n_bits=4, seed=42)
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary media -> Arrow-batched
+    mapInPandas decode -> per-kind stats.  Not SQL-expressible (the
+    decode is a Python codec stage); the driver records a rows-only
+    check."""
+    _utc(spark)
+    media = synthetic_media(spark, 256)
+    decoded = decode_media(media)
+    kinds = media.select("media_id", "kind")
+    return (
+        decoded.join(kinds, "media_id")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+    )
+
+
+#: queries() entries with no oracle_sql twin — genuinely non-SQL ops;
+#: the driver records a weaker rows-only check for these.
+NON_SQL_QUERIES = {"multimodal_decode"}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's signature daily spending rollup
     (windowed A1 -> dedup -> A3) on sf0.001."""
@@ -329,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "embedding_similar_pairs": q_embedding_similar_pairs,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 

@@ -1,0 +1,240 @@
+"""Streaming behavior (SURVEY.md §2.6, §5 rebuild strategy): the same
+transforms run over ``readStream`` with file-source replay instead of
+live Kafka; memory-sink smoke like the reference's integration test
+(CustomerSpendingIntegrationTest.scala:133-146); watermark late-data
+drop; bounded-state streaming dedup."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_sparkstreaming_sbt_spark.operators.dedup import (
+    dedup_transactions_within_watermark,
+)
+from kafka_sparkstreaming_sbt_spark.schemas import TRANSACTION_SCHEMA
+from kafka_sparkstreaming_sbt_spark.sources.kafka import parse_transactions
+from kafka_sparkstreaming_sbt_spark.streaming.pipeline import (
+    aggregate_transactions,
+    run_spending_pipeline,
+)
+from kafka_sparkstreaming_sbt_spark.streaming.sinks import start_memory_sink
+
+
+def _txn_json(txn_id, cust, ts, amount, status="Success"):
+    return json.dumps(
+        {
+            "transaction_id": txn_id,
+            "customer_id": cust,
+            "merchant_id": 10,
+            "timestamp": ts,
+            "amount": amount,
+            "payment_method": "UPI",
+            "status": status,
+        }
+    )
+
+
+@pytest.fixture()
+def stream_dir():
+    d = tempfile.mkdtemp()
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_batch(d: str, name: str, lines: list[str]) -> None:
+    # write-then-rename so the file source never sees partial files
+    tmp = f"{d}/.{name}.tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    shutil.move(tmp, f"{d}/{name}.txt")
+
+
+def _read_value_stream(spark, d: str):
+    """File-source replay standing in for the Kafka envelope: a text
+    stream whose ``value`` column carries the JSON payload, processed
+    one file per micro-batch for deterministic batch boundaries."""
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+        .withColumnRenamed("value", "value_str")
+        .select(F.col("value_str").cast("binary").alias("value"))
+    )
+
+
+def test_memory_sink_smoke(spark, stream_dir):
+    """IT:133-146 analog: stream 2 JSON txns -> parse -> memory sink ->
+    SQL count > 0."""
+    _write_batch(
+        stream_dir,
+        "b0",
+        [
+            _txn_json("s1", "1", "2025-03-10T12:01:00Z", 100.0),
+            _txn_json("s2", "2", "2025-03-10T12:02:00Z", 50.0),
+        ],
+    )
+    parsed = parse_transactions(_read_value_stream(spark, stream_dir))
+    q = start_memory_sink(parsed, "smoke_txns", output_mode="append")
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT COUNT(*) FROM smoke_txns").first()[0]
+        rows = spark.sql(
+            "SELECT transaction_id, amount FROM smoke_txns ORDER BY 1"
+        ).collect()
+    finally:
+        q.stop()
+    assert n == 2
+    assert [(r.transaction_id, r.amount) for r in rows] == [
+        ("s1", 100.0),
+        ("s2", 50.0),
+    ]
+
+
+def test_streaming_windowed_agg_matches_batch(spark, stream_dir):
+    """The same transform chain produces the same 6 golden rows in
+    streaming mode (update output) as in batch (FIXTURES.md §2.1)."""
+    _write_batch(
+        stream_dir,
+        "b0",
+        [
+            _txn_json("t1", "1", "2025-03-10T12:01:00Z", 100.0),
+            _txn_json("t2", "1", "2025-03-10T12:05:00Z", 150.0),
+            _txn_json("t3", "1", "2025-03-10T12:11:00Z", 200.0),
+        ],
+    )
+    parsed = parse_transactions(_read_value_stream(spark, stream_dir))
+    agg = aggregate_transactions(parsed, watermark="5 seconds")
+    q = start_memory_sink(agg, "golden_stream", output_mode="update")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT DISTINCT transaction_id, window_start, window_total_spent "
+            "FROM golden_stream"
+        ).collect()
+    finally:
+        q.stop()
+    assert len(rows) == 6
+    assert {r.transaction_id for r in rows} == {"t1", "t2", "t3"}
+    got = sorted(
+        (r.transaction_id, r.window_start.strftime("%H:%M"), r.window_total_spent)
+        for r in rows
+    )
+    assert got == [
+        ("t1", "11:55", 100.0),
+        ("t1", "12:00", 100.0),
+        ("t2", "12:00", 150.0),
+        ("t2", "12:05", 150.0),
+        ("t3", "12:05", 200.0),
+        ("t3", "12:10", 200.0),
+    ]
+
+
+def test_watermark_drops_late_data(spark, stream_dir):
+    """W1 semantics: after the watermark advances past a window's end,
+    a late event for that window is dropped from the aggregation (a
+    10-minute watermark here so batch-2's late row is unambiguously
+    beyond it)."""
+    parsed = parse_transactions(_read_value_stream(spark, stream_dir))
+    agg = aggregate_transactions(parsed, watermark="10 minutes")
+    _write_batch(
+        stream_dir,
+        "b0",
+        [
+            _txn_json("w1", "1", "2025-03-10T12:01:00Z", 100.0),
+            # far-future event pushes the watermark to 13:50
+            _txn_json("w2", "1", "2025-03-10T14:00:00Z", 1.0),
+        ],
+    )
+    q = start_memory_sink(agg, "late_stream", output_mode="update")
+    try:
+        q.processAllAvailable()
+        # late arrival: 12:02 is way behind the 13:50 watermark; both
+        # its candidate windows closed long ago
+        _write_batch(
+            stream_dir,
+            "b1",
+            [_txn_json("w3", "1", "2025-03-10T12:02:00Z", 999.0)],
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT transaction_id, window_total_spent FROM late_stream"
+        ).collect()
+    finally:
+        q.stop()
+    assert {r.transaction_id for r in rows} == {"w1", "w2"}
+    assert all(r.window_total_spent != 999.0 for r in rows)
+
+
+def test_dedup_within_watermark_bounded_state(spark, stream_dir):
+    """The bounded-state alternative to the reference's unbounded
+    dedup (SURVEY.md §2.6 W7): duplicates within the delay are
+    dropped; the operator runs and emits each key once."""
+    _write_batch(
+        stream_dir,
+        "b0",
+        [
+            _txn_json("d1", "1", "2025-03-10T12:01:00Z", 100.0),
+            _txn_json("d1", "1", "2025-03-10T12:01:00Z", 100.0),
+            _txn_json("d2", "2", "2025-03-10T12:01:30Z", 50.0),
+        ],
+    )
+    parsed = parse_transactions(_read_value_stream(spark, stream_dir))
+    deduped = dedup_transactions_within_watermark(
+        parsed, delay="10 minutes"
+    )
+    q = start_memory_sink(deduped, "dedup_stream", output_mode="append")
+    try:
+        q.processAllAvailable()
+        # append-mode stateful ops only emit once the watermark passes;
+        # push it forward with a later event
+        _write_batch(
+            stream_dir,
+            "b1",
+            [_txn_json("d3", "3", "2025-03-10T13:00:00Z", 1.0)],
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT transaction_id FROM dedup_stream"
+        ).collect()
+    finally:
+        q.stop()
+    ids = sorted(r.transaction_id for r in rows)
+    assert ids.count("d1") == 1
+    assert "d2" in ids
+
+
+def test_full_pipeline_collector(spark, stream_dir):
+    """run_spending_pipeline end-to-end over a file stream: daily
+    rollup rows arrive at the injected sink (K1 foreachBatch)."""
+    _write_batch(
+        stream_dir,
+        "b0",
+        [
+            _txn_json("p1", "1", "2025-03-10T12:01:00Z", 100.0),
+            _txn_json("p2", "1", "2025-03-10T12:05:00Z", 150.0),
+            _txn_json("p2", "1", "2025-03-10T12:05:00Z", 150.0),  # dup
+        ],
+    )
+    collected: list = []
+    parsed = parse_transactions(_read_value_stream(spark, stream_dir))
+    q = run_spending_pipeline(
+        parsed,
+        write_daily=lambda df: collected.extend(df.collect()),
+        checkpoint_location=tempfile.mkdtemp(),
+        swallow_errors=False,
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not collected:
+            q.processAllAvailable()
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    daily = {(r.customer_id, str(r.transaction_date), r.total_spent) for r in collected}
+    assert daily == {("1", "2025-03-10", 250.0)}
