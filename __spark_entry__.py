@@ -316,11 +316,13 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode is a Python codec stage); the driver records a rows-only
     check."""
     _utc(spark)
-    media = synthetic_media(spark, 256)
+    # 256 synthetic rows: a couple of partitions is plenty — more just
+    # multiplies Python-worker startup cost for the Arrow UDF stages
+    media = synthetic_media(spark, 256, partitions=2)
     decoded = decode_media(media)
     kinds = media.select("media_id", "kind")
     return (
-        decoded.join(kinds, "media_id")
+        decoded.join(F.broadcast(kinds), "media_id")
         .groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

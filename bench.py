@@ -27,6 +27,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
+    # warm up the JVM / codegen / parquet footer caches so timings
+    # measure the queries, not session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.perf_counter()

@@ -49,22 +49,32 @@ def minhash_signatures(
     df: DataFrame, n_bands: int = 8, shingle_col: str = "shingles"
 ) -> DataFrame:
     """One (doc_id, band, signature) row per band: the per-band salted
-    md5 minimum over the shingle set."""
-    bands = F.explode(
-        F.array(*[F.lit(b) for b in range(n_bands)])
-    ).alias("band")
-    exploded = df.select("doc_id", shingle_col).select(
-        "doc_id", F.col(shingle_col), bands
+    md5 minimum over the shingle set.
+
+    All ``n_bands`` signatures are computed in ONE pass over the
+    shingle array (nested transform) and only the tiny (band, sig)
+    pairs are exploded — the shingle array itself is never duplicated
+    across bands, which matters when shingle sets are large."""
+    band_arr = F.array(*[F.lit(b) for b in range(n_bands)])
+    sigs = F.transform(
+        band_arr,
+        lambda b: F.struct(
+            b.alias("band"),
+            F.array_min(
+                F.transform(
+                    F.col(shingle_col),
+                    lambda s: F.md5(
+                        F.concat(b.cast("string"), F.lit("|"), s)
+                    ),
+                )
+            ).alias("sig"),
+        ),
     )
-    sig = F.array_min(
-        F.transform(
-            F.col(shingle_col),
-            lambda s: F.md5(
-                F.concat(F.col("band").cast("string"), F.lit("|"), s)
-            ),
-        )
+    return (
+        df.select("doc_id", sigs.alias("band_sigs"))
+        .select("doc_id", F.explode("band_sigs").alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     )
-    return exploded.select("doc_id", "band", sig.alias("sig"))
 
 
 def jaccard(a: F.Column, b: F.Column) -> F.Column:
@@ -85,9 +95,18 @@ def minhash_near_dup_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
     jaccard >= threshold, rounded to 6 dp.
     """
-    docs = with_shingles(df, text_col, shingle_n).select(
-        "doc_id", "shingles"
-    )
+    from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
+
+    # shingling/hashing is compute-bound: spread the byte-small doc
+    # table across all cores before the heavy per-row work
+    docs = with_shingles(
+        parallelize_for_compute(df), text_col, shingle_n
+    ).select("doc_id", "shingles")
+    # the shingle table feeds three branches (signatures + both sides
+    # of the verify join); materialize it once instead of re-shingling
+    # per branch.  At lake scale this would be a persisted/bucketed
+    # intermediate table rather than an executor cache.
+    docs = docs.persist()
     sigs = minhash_signatures(docs, n_bands)
     cand = (
         sigs.alias("x")
@@ -109,9 +128,13 @@ def minhash_near_dup_pairs(
     b = docs.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
+    # candidate pairs are tiny (near-dup rate << corpus size): keep
+    # them on the broadcast side of both verify joins so the wide
+    # shingle arrays are never shuffled
     verified = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
+        b.join(
+            F.broadcast(a.join(F.broadcast(cand), "doc_a")), "doc_b"
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -91,23 +91,40 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, n_frames, payload[16:]
 
 
-def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+def synthetic_media(
+    spark: SparkSession, n: int = 64, partitions: int = 2
+) -> DataFrame:
     """Deterministic synthetic media table in MEDIA_SCHEMA (images and
-    3-frame 'videos' alternating)."""
-    rows = []
-    for i in range(n):
-        kind = "video" if i % 3 == 0 else "image"
-        w, h = 8 + (i % 5) * 4, 8 + (i % 7) * 2
-        frames = 3 if kind == "video" else 1
-        rows.append(
-            (
-                i,
-                kind,
-                _encode_payload(w, h, frames, seed=i),
-                {"format": "fake", "width": w, "height": h, "n_frames": frames},
-            )
-        )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    3-frame 'videos' alternating).
+
+    Generated distributed — ``spark.range`` ids -> per-partition
+    payload encoding via ``mapInPandas`` — never materialized on the
+    driver, so the same generator scales to any n."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for i in pdf["id"]:
+                i = int(i)
+                kind = "video" if i % 3 == 0 else "image"
+                w, h = 8 + (i % 5) * 4, 8 + (i % 7) * 2
+                frames = 3 if kind == "video" else 1
+                rows["media_id"].append(i)
+                rows["kind"].append(kind)
+                rows["payload"].append(_encode_payload(w, h, frames, seed=i))
+                rows["meta"].append(
+                    {
+                        "format": "fake",
+                        "width": w,
+                        "height": h,
+                        "n_frames": frames,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n, numPartitions=partitions).mapInPandas(
+        _gen, MEDIA_SCHEMA
+    )
 
 
 def decode_media(df: DataFrame) -> DataFrame:

@@ -73,15 +73,27 @@ def cosine_topk(
     unavailable, so we pre-prune with a per-partition top-k *before*
     the global rank to keep the shuffle small.
     """
+    # norms are computed ONCE per vector (Q + N of them), not per pair
+    # (Q x N) — at scale this is the difference between 2QN and QN
+    # vector traversals per scan.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
+
+    # Q x N dot products are compute-bound: spread the byte-small
+    # corpus across all cores (at lake scale the scan itself provides
+    # the splits and this rebalance is a no-op knob)
+    c = parallelize_for_compute(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
-        _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
+        F.col("q_norm") * F.col("c_norm")
     )
     scored = pairs.select(
         "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
@@ -147,20 +159,26 @@ def lsh_near_pairs(
     then exact cosine filter within buckets — the scale path for
     embedding near-dedup (candidate set is per-bucket quadratic, not
     global quadratic)."""
-    b = lsh_bucket(df, dim, n_bits, seed, vec_col)
+    from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
+
+    b = lsh_bucket(
+        parallelize_for_compute(df), dim, n_bits, seed, vec_col
+    ).withColumn("norm", _norm(F.col(vec_col)))
     left = b.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        F.col("norm").alias("norm_a"),
         "bucket",
     )
     right = b.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        F.col("norm").alias("norm_b"),
         "bucket",
     )
     pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
-        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
+        F.col("norm_a") * F.col("norm_b")
     )
     return pairs.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
