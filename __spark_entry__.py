@@ -24,6 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (  # noqa: E402
     minhash_near_dup_pairs,
 )
+from kafka_sparkstreaming_sbt_spark.operators.analytics import (  # noqa: E402
+    customers_with_orders,
+    monthly_order_stats,
+    order_priority_rollup,
+    parts_without_bulk_shipments,
+    revenue_by_nation,
+    top_customers,
+)
 from kafka_sparkstreaming_sbt_spark.operators.multimodal import (  # noqa: E402
     decode_media,
     synthetic_media,
@@ -209,9 +217,18 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # avg as round(sum,2)/count so both engines divide the
+            # SAME double (plain AVG of 2-dp money can land exactly on
+            # a rounding boundary with engine-order-dependent sums)
+            F.round(
+                F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6
+            ).alias("avg_price"),
+            F.round(
+                F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 6
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -310,6 +327,67 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_pairs(emb, dim=64, threshold=0.4, n_bits=4, seed=42)
 
 
+# --------------------------------------------------------------------------
+# Relational analytics extensions (joins / windows / rollup / top-k —
+# operator classes the reference lacks, SURVEY.md §2.12)
+# --------------------------------------------------------------------------
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue per nation in ASIA; broadcast dimension
+    joins, single fact-side shuffle."""
+    _utc(spark)
+    return revenue_by_nation(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "nation"),
+        read_table(spark, sf_dir, "region"),
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by order value — rank-then-filter top-k with
+    deterministic tie-breaks."""
+    _utc(spark)
+    return top_customers(
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+        k=10,
+    )
+
+
+def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: per-status monthly revenue rank and
+    running cumulative revenue."""
+    _utc(spark)
+    return monthly_order_stats(read_table(spark, sf_dir, "orders"))
+
+
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-grain aggregation over (priority, status)."""
+    _utc(spark)
+    return order_priority_rollup(read_table(spark, sf_dir, "orders"))
+
+
+def q_parts_without_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: parts never shipped with quantity > 49."""
+    _utc(spark)
+    return parts_without_bulk_shipments(
+        read_table(spark, sf_dir, "part"),
+        read_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate: per-customer order counts and average value."""
+    _utc(spark)
+    return customers_with_orders(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media -> Arrow-batched
     mapInPandas decode -> per-kind stats.  Not SQL-expressible (the
@@ -361,6 +439,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "embedding_similar_pairs": q_embedding_similar_pairs,
         "multimodal_decode": q_multimodal_decode,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers": q_top_customers,
+        "monthly_order_stats": q_monthly_order_stats,
+        "order_priority_rollup": q_order_priority_rollup,
+        "parts_without_bulk": q_parts_without_bulk,
+        "customer_order_stats": q_customer_order_stats,
     }
 
 
@@ -406,9 +490,9 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(l_quantity), 2) AS sum_qty,
                ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(AVG(l_quantity), 2) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 2) AS avg_price,
-               ROUND(AVG(l_discount), 4) AS avg_disc,
+               ROUND(ROUND(SUM(l_quantity), 2) / COUNT(*), 6) AS avg_qty,
+               ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*), 6) AS avg_price,
+               ROUND(ROUND(SUM(l_discount), 2) / COUNT(*), 6) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -514,5 +598,65 @@ def oracle_sql() -> dict[str, str]:
                               * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
               FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
         SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+        """,
+        "revenue_by_nation": """
+        SELECT n.n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY 1
+        """,
+        "top_customers": """
+        WITH spend AS (
+          SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent
+          FROM orders GROUP BY 1
+        )
+        SELECT s.o_custkey AS custkey, c.c_name, c.c_mktsegment,
+               s.total_spent,
+               row_number() OVER (ORDER BY s.total_spent DESC, s.o_custkey) AS rank
+        FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+        QUALIFY rank <= 10
+        """,
+        "monthly_order_stats": """
+        WITH monthly AS (
+          SELECT o_orderstatus,
+                 date_trunc('month', o_orderdate) AS month,
+                 ROUND(SUM(o_totalprice), 2) AS revenue,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderstatus, month, revenue, n_orders,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY revenue DESC, month) AS revenue_rank,
+               ROUND(SUM(revenue) OVER (PARTITION BY o_orderstatus ORDER BY month
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW), 2) AS running_revenue
+        FROM monthly
+        """,
+        "order_priority_rollup": """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_value
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "parts_without_bulk": """
+        SELECT p_partkey, p_name, p_type
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49.0
+        )
+        """,
+        "customer_order_stats": """
+        SELECT c.c_custkey, c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               ROUND(ROUND(SUM(o.o_totalprice), 2) / COUNT(*), 6) AS avg_order_value
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
         """,
     }

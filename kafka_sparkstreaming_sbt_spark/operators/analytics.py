@@ -1,0 +1,164 @@
+"""Relational analytics extensions (beyond the reference's surface —
+SURVEY.md §2.12 records that the reference contains no joins, window
+functions, rollups, or top-k; these are labeled extensions giving the
+engine a complete analytical surface over the TPC-H-ish testdata).
+
+Scale design notes (the point of each operator):
+
+- Dimension joins broadcast explicitly (``F.broadcast``): region /
+  nation / customer-at-sf are orders of magnitude smaller than the
+  fact tables; a broadcast join costs one scan of the fact side and
+  zero shuffle of it.  At 100 TB the fact side NEVER moves.
+- Fact-fact joins (orders x lineitem) are left to Catalyst/AQE: both
+  sides shuffle on the join key once, and AQE handles skewed order
+  keys (skewJoin enabled in session defaults).
+- Aggregations are declared on top of the joins so Catalyst pushes
+  filters below the join and prunes columns into the scans
+  (tests/test_plans.py asserts PushedFilters/ReadSchema).
+- Top-k uses rank-then-filter with deterministic tie-breaks rather
+  than a global sort: the window shuffle partitions by the group key,
+  and only k rows per group survive to the (tiny) final ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5-style local-supplier volume: revenue per nation within
+    one region.  Fact side (lineitem) joins broadcast dimensions; only
+    the final per-nation agg shuffles."""
+    dims = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                )
+            ),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select("c_custkey", "n_name")
+    )
+    rev = F.sum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        .groupBy("n_name")
+        .agg(F.round(rev, 2).alias("revenue"))
+    )
+
+
+def top_customers(
+    orders: DataFrame, customer: DataFrame, k: int = 10
+) -> DataFrame:
+    """Top-k customers by total order value — rank-then-filter with
+    deterministic tie-breaks (value DESC, custkey ASC), no global
+    sort of the aggregate."""
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.orderBy(F.col("total_spent").desc(), F.col("o_custkey").asc())
+    return (
+        spend.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "c_name",
+            "c_mktsegment",
+            "total_spent",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def monthly_order_stats(orders: DataFrame) -> DataFrame:
+    """Analytic window functions over a monthly rollup: per-status
+    month rank by revenue and a running cumulative revenue — the
+    ranking/frames surface the reference imported but never used
+    (SURVEY.md §2.11)."""
+    monthly = (
+        orders.groupBy(
+            "o_orderstatus",
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    by_status = Window.partitionBy("o_orderstatus")
+    rank_w = by_status.orderBy(F.col("revenue").desc(), F.col("month").asc())
+    run_w = by_status.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return monthly.select(
+        "o_orderstatus",
+        "month",
+        "revenue",
+        "n_orders",
+        F.row_number().over(rank_w).cast("long").alias("revenue_rank"),
+        F.round(F.sum("revenue").over(run_w), 2).alias("running_revenue"),
+    )
+
+
+def order_priority_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP grouping over (priority, status): subtotal rows carry
+    NULLs — multi-grain aggregation in one pass."""
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+def parts_without_bulk_shipments(
+    part: DataFrame, lineitem: DataFrame, min_qty: float = 49.0
+) -> DataFrame:
+    """Anti join (NOT EXISTS): parts never shipped in bulk
+    (quantity > ``min_qty``).  left_anti keeps the probe-side scan
+    single-pass; the build side reduces to the distinct key set and
+    the quantity filter pushes into the lineitem scan."""
+    bulk = lineitem.filter(F.col("l_quantity") > min_qty).select(
+        "l_partkey"
+    )
+    return part.join(
+        bulk, part["p_partkey"] == F.col("l_partkey"), "left_anti"
+    ).select("p_partkey", "p_name", "p_type")
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi join (EXISTS): customers that placed at least one order,
+    with their order stats via a follow-up broadcast-aggregated join."""
+    # avg computed as round(sum,2)/count: a plain AVG of 2-dp money can
+    # land exactly on a rounding boundary while the engines' float sums
+    # differ in the last bit; dividing the already-rounded (identical)
+    # sum keeps the result bit-identical across engines
+    stats = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 6
+        ).alias("avg_order_value"),
+    )
+    return (
+        customer.join(
+            stats, customer["c_custkey"] == stats["o_custkey"], "inner"
+        )
+        .select("c_custkey", "c_mktsegment", "n_orders", "avg_order_value")
+    )

@@ -1,0 +1,62 @@
+"""Physical-plan assertions — the 100 TB discipline checks: filters
+reach the parquet scan, projections prune the read schema, dimension
+joins broadcast, aggregations are partial->final."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_small):
+    df = entry_mod.q_pricing_summary(spark, sf_small)
+    plan = _physical(df)
+    # shipdate filter pushed into the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # unused columns never read
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_comment"):
+        assert col not in scan
+    # map-side partial aggregation before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_small):
+    df = entry_mod.q_revenue_by_nation(spark, sf_small)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    # the lineitem scan reads only the join key + revenue columns
+    li_scans = [
+        l
+        for l in plan.splitlines()
+        if "ReadSchema" in l and "l_extendedprice" in l
+    ]
+    assert li_scans and all("l_shipdate" not in l for l in li_scans)
+
+
+def test_windowed_spending_partial_agg(spark, sf_small):
+    df = entry_mod.q_windowed_spending_per_customer(spark, sf_small)
+    plan = _physical(df)
+    # TimeWindowing expansion feeds a partial->final hash aggregate
+    assert plan.count("HashAggregate") >= 2
+    # events scan reads only ts/user_id/value
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in scan and "event_type" not in scan
+
+
+def test_ann_corpus_never_shuffled_before_scoring(spark, sf_small):
+    df = entry_mod.q_ann_cosine_topk(spark, sf_small)
+    plan = _physical(df)
+    # query side broadcast: nested-loop join against the corpus stream
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_anti_join_pushes_quantity_filter(spark, sf_small):
+    df = entry_mod.q_parts_without_bulk(spark, sf_small)
+    plan = _physical(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+    joins = [l for l in plan.splitlines() if "Join" in l]
+    assert any("LeftAnti" in l for l in joins)
