@@ -21,8 +21,20 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from kafka_sparkstreaming_sbt_spark.operators.asof import (  # noqa: E402
+    purchases_with_last_click,
+)
 from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (  # noqa: E402
     minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+)
+from kafka_sparkstreaming_sbt_spark.operators.sessions import (  # noqa: E402
+    session_stats,
+    user_sessions,
+)
+from kafka_sparkstreaming_sbt_spark.operators.simhash import (  # noqa: E402
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
 )
 from kafka_sparkstreaming_sbt_spark.operators.analytics import (  # noqa: E402
     customers_with_orders,
@@ -43,6 +55,7 @@ from kafka_sparkstreaming_sbt_spark.operators.rollup import (  # noqa: E402
 from kafka_sparkstreaming_sbt_spark.operators.similarity import (  # noqa: E402
     _hyperplanes,
     cosine_topk,
+    ivf_topk,
     lsh_bucket,
     lsh_near_pairs,
 )
@@ -111,6 +124,38 @@ def _sql_bucket_expr(n_bits: int, seed: int) -> str:
         bits.append(
             "CASE WHEN list_dot_product(list_transform(embedding, "
             f"x -> CAST(x AS DOUBLE)), {lit}) >= 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+#: CTE computing per-token nibble lists, mirroring operators.simhash's
+#: md5-prefix bit family (first 16 hex chars -> 16 nibbles via ascii).
+_SIMHASH_NIBS = """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), tok ->
+           list_transform(range(1, 17), i ->
+             CASE WHEN ascii(substr(md5(tok), CAST(i AS INTEGER), 1)) <= 57
+                  THEN ascii(substr(md5(tok), CAST(i AS INTEGER), 1)) - 48
+                  ELSE ascii(substr(md5(tok), CAST(i AS INTEGER), 1)) - 87
+             END)) AS nibs
+  FROM documents
+)
+"""
+
+
+def _sql_simhash_expr() -> str:
+    """DuckDB expression for the 64-char SimHash fingerprint over a
+    ``nibs`` column (mirrors operators.simhash.with_simhash bit for
+    bit: weight_b = sum over tokens of +-1 on nibble bit, '1' iff
+    weight > 0)."""
+    bits = []
+    for b in range(64):
+        pos, shift = b // 4 + 1, b % 4
+        bits.append(
+            "CASE WHEN list_sum(list_transform(nibs, x -> "
+            f"((x[{pos}] >> {shift}) & 1) * 2 - 1)) > 0 "
+            "THEN '1' ELSE '0' END"
         )
     return "concat(" + ", ".join(bits) + ")"
 
@@ -308,6 +353,18 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for the first 100 vectors: 16 Voronoi
+    cells, probe 4 — scans ~1/4 of the corpus per query instead of all
+    of it (the ANN scale path beyond brute force)."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 100), k=10, n_cells=16, n_probe=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram (8-bit signatures)."""
     _utc(spark)
@@ -388,6 +445,55 @@ def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (Charikar) 64-bit document fingerprints as '0'/'1'
+    strings — the rounding-hash sibling of MinHash."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs)
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded fingerprint join + exact hamming
+    verify (complete for hamming <= 3 with 4 bands of 16 bits)."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    out = simhash_near_dup_pairs(docs, n_bands=4, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trigram-Jaccard near-dup pairs via inverted shingle index
+    with a document-frequency stop-shingle cutoff."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.6, max_df=100)
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) over the events stream table —
+    built-in F.session_window, identical in batch and streaming."""
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    return user_sessions(events, gap="30 minutes")
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rollup of session windows: count, mean duration,
+    total events."""
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    return session_stats(user_sessions(events, gap="30 minutes"))
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    click at or before it (union-sort implementation, one shuffle)."""
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    return purchases_with_last_click(events)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media -> Arrow-batched
     mapInPandas decode -> per-kind stats.  Not SQL-expressible (the
@@ -436,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_near_dup": q_minhash_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_topk": q_ivf_topk,
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "embedding_similar_pairs": q_embedding_similar_pairs,
         "multimodal_decode": q_multimodal_decode,
@@ -445,6 +552,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_rollup": q_order_priority_rollup,
         "parts_without_bulk": q_parts_without_bulk,
         "customer_order_stats": q_customer_order_stats,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "user_sessions": q_user_sessions,
+        "session_stats": q_session_stats,
+        "purchase_attribution": q_purchase_attribution,
     }
 
 
@@ -582,6 +695,46 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY cosine DESC, neighbor_id) AS rank
         FROM s QUALIFY rank <= 10
         """,
+        "ivf_topk": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cent AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < 16),
+        assign_scored AS (
+          SELECT e.vec_id, cent.cell_id,
+                 ROUND(list_dot_product(e.v, cent.c)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(cent.c, cent.c))), 6) AS cc,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ROUND(list_dot_product(e.v, cent.c)
+                                       / (sqrt(list_dot_product(e.v, e.v))
+                                          * sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
+                                    cent.cell_id) AS rn
+          FROM e CROSS JOIN cent
+        ),
+        assign AS (SELECT vec_id, cell_id FROM assign_scored WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell_id
+          FROM assign_scored WHERE vec_id < 100 AND rn <= 4
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+          WHERE a.vec_id <> p.query_id
+        ),
+        s AS (
+          SELECT c.query_id, c.neighbor_id,
+                 ROUND(list_dot_product(q.v, n.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+          FROM cand c
+          JOIN e q ON q.vec_id = c.query_id
+          JOIN e n ON n.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM s QUALIFY rank <= 10
+        """,
         "lsh_bucket_stats": f"""
         SELECT {_sql_bucket_expr(8, 42)} AS bucket,
                COUNT(*) AS n_vectors
@@ -658,5 +811,127 @@ def oracle_sql() -> dict[str, str]:
                ROUND(ROUND(SUM(o.o_totalprice), 2) / COUNT(*), 6) AS avg_order_value
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY 1, 2
+        """,
+        "simhash_fingerprints": _SIMHASH_NIBS
+        + f"""
+        SELECT doc_id, {_sql_simhash_expr()} AS simhash FROM t
+        """,
+        "simhash_near_dup": _SIMHASH_NIBS
+        + f""",
+        f AS (SELECT doc_id, {_sql_simhash_expr()} AS fp FROM t),
+        bands AS (
+          SELECT doc_id, fp, band,
+                 substr(fp, CAST(band * 16 + 1 AS INTEGER), 16) AS chunk
+          FROM f, (SELECT unnest(range(0, 4)) AS band)
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.chunk = y.chunk
+           AND x.doc_id < y.doc_id
+        ),
+        p AS (
+          SELECT doc_a, doc_b,
+                 list_sum(list_transform(range(1, 65), i ->
+                   CASE WHEN substr(a.fp, CAST(i AS INTEGER), 1)
+                             = substr(b.fp, CAST(i AS INTEGER), 1)
+                        THEN 0 ELSE 1 END)) AS hamming
+          FROM cand
+          JOIN f a ON a.doc_id = cand.doc_a
+          JOIN f b ON b.doc_id = cand.doc_b
+        )
+        SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        FROM p WHERE hamming <= 3
+        """,
+        "ngram_jaccard_pairs": """
+        WITH docs AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                 )) AS sh
+          FROM documents WHERE len(string_split(text, ' ')) >= 3
+        ),
+        inv AS (
+          SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM docs
+        ),
+        pruned AS (
+          SELECT * FROM inv
+          WHERE s NOT IN (SELECT s FROM inv GROUP BY s HAVING COUNT(*) > 100)
+        ),
+        inter AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 x.n_sh AS n_a, y.n_sh AS n_b, COUNT(*) AS inter
+          FROM pruned x JOIN pruned y
+            ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               ROUND(inter / (n_a + n_b - inter), 6) AS jaccard
+        FROM inter WHERE ROUND(inter / (n_a + n_b - inter), 6) >= 0.6
+        """,
+        "user_sessions": """
+        WITH o AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM s GROUP BY user_id, sid
+        """,
+        "session_stats": """
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        ),
+        sess AS (
+          SELECT user_id,
+                 epoch_us(MAX(ts) + INTERVAL 30 MINUTE)
+                   - epoch_us(MIN(ts)) AS dur_us,
+                 COUNT(*) AS n_events
+          FROM s GROUP BY user_id, sid
+        )
+        SELECT user_id,
+               COUNT(*) AS n_sessions,
+               ROUND((SUM(dur_us) / COUNT(*)) / 1e6, 6) AS avg_session_secs,
+               CAST(SUM(n_events) AS BIGINT) AS total_events
+        FROM sess GROUP BY user_id
+        """,
+        "purchase_attribution": """
+        WITH p AS (
+          SELECT user_id, event_id, ts, value
+          FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+          SELECT user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               c.click_ts AS last_click_ts,
+               epoch_us(p.ts) - epoch_us(c.click_ts) AS wait_us,
+               ROUND(p.value, 2) AS value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
         """,
     }

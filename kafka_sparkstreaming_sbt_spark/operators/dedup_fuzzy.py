@@ -144,3 +144,66 @@ def minhash_near_dup_pairs(
         )
     )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via an inverted shingle index — the
+    non-approximate sibling of :func:`minhash_near_dup_pairs`.
+
+    The self-join on the exploded shingle postings computes
+    |A intersect B| directly as the per-pair match count, so Jaccard
+    needs no second pass over the shingle arrays:
+    ``J = inter / (|A| + |B| - inter)``.
+
+    Scale discipline: candidate cost is sum over shingles of
+    df(shingle)^2 — boilerplate shingles appearing in thousands of
+    docs would dominate, so postings with document frequency >
+    ``max_df`` are pruned first (the standard stop-shingle cutoff; a
+    pair supported ONLY by such ubiquitous shingles is below any
+    useful threshold anyway, but note this makes high-max_df results
+    the semantics, and the DuckDB oracle mirrors the same cutoff).
+    """
+    from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
+
+    docs = with_shingles(parallelize_for_compute(df), text_col, n).select(
+        "doc_id", F.size("shingles").alias("n_sh"), "shingles"
+    )
+    inv = docs.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("sh")
+    )
+    if max_df is not None:
+        hot = (
+            inv.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        inv = inv.join(F.broadcast(hot), "sh", "left_anti")
+    inter = (
+        inv.alias("x")
+        .join(
+            inv.alias("y"),
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n_sh").alias("n_a"),
+            F.col("y.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

@@ -183,3 +183,121 @@ def lsh_near_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid by cosine
+    (IVF coarse quantization).  The centroid table is broadcast and the
+    argmax is ``max_by`` — partial-aggregatable, so the N x C scored
+    rows combine map-side and only N assignment rows ever shuffle.
+
+    Cosines are rounded to 6 dp BEFORE the argmax with a
+    smaller-centroid-id tie-break, so the assignment is deterministic
+    across engines (double summation order can differ in the last bit).
+    """
+    cent = centroids.select(
+        F.col("cell_id"),
+        F.col("c_vec"),
+        _norm(F.col("c_vec")).alias("cent_norm"),
+    )
+    scored = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("v_norm"),
+    ).join(F.broadcast(cent))
+    cos = F.round(
+        _dot(F.col(vec_col), F.col("c_vec"))
+        / (F.col("v_norm") * F.col("cent_norm")),
+        6,
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("cell_id"), F.struct(cos, (-F.col("cell_id")).alias("t"))
+            ).alias("cell_id")
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate nearest neighbors — the scale path past brute
+    force: partition the corpus into ``n_cells`` Voronoi cells around
+    centroids, then answer each query by scanning only its ``n_probe``
+    closest cells (n_probe/n_cells of the corpus).
+
+    The coarse quantizer here is the DETERMINISTIC sample
+    ``vec_id < n_cells`` (production would run k-means first — the
+    search machinery is identical and that's what this operator is);
+    determinism is what lets the DuckDB oracle replicate the result
+    exactly.  Recall vs :func:`cosine_topk` is tested separately.
+    """
+    from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
+
+    centroids = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("c_vec")
+    )
+    assigned = ivf_assign(
+        parallelize_for_compute(corpus), centroids, vec_col, id_col
+    )
+    c = corpus.join(assigned, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec2"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+        "cell_id",
+    )
+    # per query: rank cells by (rounded) centroid cosine, probe the top
+    q_scored = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    ).join(
+        F.broadcast(
+            centroids.select(
+                "cell_id", "c_vec", _norm(F.col("c_vec")).alias("cent_norm")
+            )
+        )
+    )
+    q_cos = F.round(
+        _dot(F.col("q_vec"), F.col("c_vec"))
+        / (F.col("q_norm") * F.col("cent_norm")),
+        6,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        q_cos.desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        q_scored.withColumn("cell_rank", F.row_number().over(probe_w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "q_vec", "q_norm", "cell_id")
+    )
+    cand = c.join(F.broadcast(probes), "cell_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = _dot(F.col("q_vec"), F.col("c_vec2")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -36,6 +36,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # local-mode driver JVM IS the whole cluster; Spark's 1g
+        # default starves broadcast builds and shuffle buffers (only
+        # effective before the JVM launches — a no-op on getOrCreate
+        # of an existing session, e.g. under the driver harness)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

@@ -1,0 +1,128 @@
+"""IVF ANN recall/shape tests and the applyInPandasWithState running
+totals operator (cross-batch state accumulation over file replay)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+)
+from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+from kafka_sparkstreaming_sbt_spark.sources.kafka import parse_transactions
+from kafka_sparkstreaming_sbt_spark.streaming.stateful import running_totals
+
+
+def test_ivf_assign_every_vector_once(spark, sf_small):
+    emb = read_table(spark, sf_small, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = ivf_assign(emb, centroids)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    cells = {r.cell_id for r in assigned.select("cell_id").distinct().collect()}
+    assert cells <= set(range(8))
+
+
+def test_ivf_topk_shape_and_recall(spark, sf_small):
+    emb = read_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    ivf = ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4).collect()
+    assert len(ivf) == 20 * 10
+    assert all(1 <= r.rank <= 10 for r in ivf)
+    assert all(r.query_id != r.neighbor_id for r in ivf)
+    # recall@10 vs brute force: probing 4/16 cells should recover a
+    # reasonable fraction of the true neighbors (loose bound — the
+    # deterministic sample quantizer is not k-means)
+    brute = cosine_topk(emb, queries, k=10).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in brute}
+    got = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.25, f"recall@10 {recall:.2f} suspiciously low"
+
+
+def _txn_json(txn_id, cust, ts, amount):
+    return json.dumps(
+        {
+            "transaction_id": txn_id,
+            "customer_id": cust,
+            "merchant_id": 1,
+            "timestamp": ts,
+            "amount": amount,
+            "payment_method": "UPI",
+            "status": "Success",
+        }
+    )
+
+
+@pytest.fixture()
+def stream_dir():
+    d = tempfile.mkdtemp()
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_batch(d, name, lines):
+    tmp = f"{d}/.{name}.tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    shutil.move(tmp, f"{d}/{name}.txt")
+
+
+def test_running_totals_accumulate_across_batches(spark, stream_dir):
+    _write_batch(
+        stream_dir,
+        "b0",
+        [
+            _txn_json("r1", "7", "2025-03-10T12:01:00Z", 100.0),
+            _txn_json("r2", "7", "2025-03-10T12:02:00Z", 50.0),
+            _txn_json("r3", "8", "2025-03-10T12:03:00Z", 10.0),
+        ],
+    )
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(stream_dir)
+        .select(F.col("value").cast("binary").alias("value"))
+    )
+    txns = parse_transactions(raw)
+    out = running_totals(txns)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.customer_id: (r.running_total, r.n_transactions)
+            for r in spark.sql("SELECT * FROM running_totals").collect()
+        }
+        assert first["7"] == (150.0, 2)
+        assert first["8"] == (10.0, 1)
+        # second batch: state must carry over, not reset
+        _write_batch(
+            stream_dir, "b1", [_txn_json("r4", "7", "2025-03-10T12:10:00Z", 25.5)]
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM running_totals ORDER BY n_transactions"
+        ).collect()
+        latest = {}
+        for r in rows:  # memory sink keeps every update; last wins
+            latest[r.customer_id] = (r.running_total, r.n_transactions)
+        assert latest["7"] == (175.5, 3)
+        assert latest["8"] == (10.0, 1)
+    finally:
+        q.stop()

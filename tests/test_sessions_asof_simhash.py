@@ -1,0 +1,174 @@
+"""Unit tests for the round-2 extension operators: session windows,
+as-of join, SimHash, and exact n-gram Jaccard — small controlled
+fixtures pinning the semantics the DuckDB oracle then re-checks at
+sf0.01."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kafka_sparkstreaming_sbt_spark.operators.asof import (
+    asof_join,
+    purchases_with_last_click,
+)
+from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
+    ngram_jaccard_pairs,
+)
+from kafka_sparkstreaming_sbt_spark.operators.sessions import user_sessions
+from kafka_sparkstreaming_sbt_spark.operators.simhash import (
+    hamming,
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
+    with_simhash,
+)
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second, micro)
+
+
+# ------------------------------------------------------------------ sessions
+
+
+def test_session_window_gap_split(spark):
+    """Events within the gap merge; a gap-sized pause starts a new
+    session; session_end = last event + gap."""
+    rows = [
+        (1, _ts(0), 1.0),
+        (1, _ts(10), 2.0),   # 10 min later -> same session (gap 30m)
+        (1, _ts(50), 4.0),   # 40 min after last -> NEW session
+        (2, _ts(5), 8.0),    # other user independent
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = user_sessions(df, gap="30 minutes").orderBy("user_id", "session_start")
+    got = [
+        (r.user_id, r.session_start.minute, r.session_end.minute,
+         r.n_events, r.total_value)
+        for r in out.collect()
+    ]
+    assert got == [
+        (1, 0, 40, 2, 3.0),   # [12:00, 12:10+30m)
+        (1, 50, 20, 1, 4.0),  # [12:50, 13:20)
+        (2, 5, 35, 1, 8.0),
+    ]
+
+
+# ------------------------------------------------------------------ as-of
+
+
+def test_asof_join_picks_most_recent_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(30), "p2"), (2, _ts(5), "p3")],
+        "user_id long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 100.0), (1, _ts(10), 200.0), (1, _ts(20), 300.0)],
+        "user_id long, ts timestamp, ref double",
+    )
+    out = asof_join(left, right, on="user_id", right_cols=["ref"])
+    got = {r.name: r.ref_asof for r in out.collect()}
+    # p1 at 12:10 matches the 12:10 ref (inclusive "at or before");
+    # p2 matches the latest earlier ref; p3's user has no refs -> NULL
+    assert got == {"p1": 200.0, "p2": 300.0, "p3": None}
+
+
+def test_purchase_attribution_on_events(spark, sf_small):
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    events = read_table(spark, sf_small, "events")
+    out = purchases_with_last_click(events)
+    rows = out.collect()
+    n_purchases = events.filter(F.col("event_type") == "purchase").count()
+    assert len(rows) == n_purchases  # left-join keeps clickless purchases
+    matched = [r for r in rows if r.last_click_ts is not None]
+    assert matched, "expected at least one attributed purchase"
+    assert all(r.wait_us >= 0 for r in matched)
+    assert all(r.last_click_ts <= r.ts for r in matched)
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # identical
+            (3, "the quick brown fox jumps over the lazy cat"),  # 1 token off
+            (4, "completely different text about spark engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = with_simhash(df).select("doc_id", "simhash")
+    fps = {r.doc_id: r.simhash for r in out.collect()}
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in fps.values())
+    assert fps[1] == fps[2]  # identical text -> identical fingerprint
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    # near-identical docs are closer than unrelated ones
+    assert ham(fps[1], fps[3]) < ham(fps[1], fps[4])
+
+    # the codegen fast path computes the identical bit family
+    fast = {
+        r.doc_id: r.simhash for r in simhash_fingerprints(df).collect()
+    }
+    assert fast == fps
+
+
+def test_simhash_near_dup_pairs_finds_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "unrelated words entirely disjoint vocabulary set here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = simhash_near_dup_pairs(df, n_bands=4, max_hamming=3)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in out.collect()}
+    assert got == {(1, 2): 0}
+    # result is banding-independent: any complete banding yields
+    # exactly the hamming-ball pairs
+    out8 = simhash_near_dup_pairs(df, n_bands=8, max_hamming=3)
+    assert {(r.doc_a, r.doc_b): r.hamming for r in out8.collect()} == got
+
+
+def test_hamming_column(spark):
+    df = spark.createDataFrame([("1100", "1001")], "a string, b string")
+    assert df.select(hamming(F.col("a"), F.col("b"), 4).alias("h")).first().h == 2
+
+
+# ------------------------------------------------------------------ n-gram
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),     # shingles: abc bcd cde
+            (2, "a b c d e"),     # identical -> J = 1.0
+            (3, "a b c x y"),     # shares only 'a b c' -> J = 1/5
+            (4, "q r s t u"),     # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=None)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.2
+    assert got[(2, 3)] == 0.2
+    assert (1, 4) not in got  # no shared shingle -> no candidate row
+    out_t = ngram_jaccard_pairs(df, n=3, threshold=0.6, max_df=None)
+    assert {(r.doc_a, r.doc_b) for r in out_t.collect()} == {(1, 2)}
+
+
+def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
+    # 5 docs all sharing one boilerplate shingle; max_df=3 prunes it,
+    # leaving no candidates
+    rows = [(i, f"common shingle here unique{i} tail{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=3).count() == 0
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=None).count() > 0
