@@ -463,11 +463,11 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT trigram-Jaccard near-dup pairs via inverted shingle index
-    with a document-frequency stop-shingle cutoff."""
+    """EXACT trigram-Jaccard near-dup pairs via prefix-filtered
+    (AllPairs) inverted shingle index."""
     _utc(spark)
     docs = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.6, max_df=100)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.6)
 
 
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,23 +852,21 @@ def oracle_sql() -> dict[str, str]:
                  )) AS sh
           FROM documents WHERE len(string_split(text, ' ')) >= 3
         ),
-        inv AS (
-          SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM docs
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
         ),
-        pruned AS (
-          SELECT * FROM inv
-          WHERE s NOT IN (SELECT s FROM inv GROUP BY s HAVING COUNT(*) > 100)
-        ),
-        inter AS (
-          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                 x.n_sh AS n_a, y.n_sh AS n_b, COUNT(*) AS inter
-          FROM pruned x JOIN pruned y
-            ON x.s = y.s AND x.doc_id < y.doc_id
-          GROUP BY 1, 2, 3, 4
+        pairs AS (
+          SELECT doc_a, doc_b,
+                 ROUND(len(list_intersect(a.sh, b.sh))
+                       / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                   AS jaccard
+          FROM cand
+          JOIN docs a ON a.doc_id = cand.doc_a
+          JOIN docs b ON b.doc_id = cand.doc_b
         )
-        SELECT doc_a, doc_b,
-               ROUND(inter / (n_a + n_b - inter), 6) AS jaccard
-        FROM inter WHERE ROUND(inter / (n_a + n_b - inter), 6) >= 0.6
+        SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6
         """,
         "user_sessions": """
         WITH o AS (

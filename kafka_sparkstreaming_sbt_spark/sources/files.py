@@ -1,0 +1,62 @@
+"""File sources & sinks (extension surface — SURVEY.md §2.12 notes
+the reference has NO file sources/sinks; every lake deployment needs
+them, and the streaming file source doubles as the deterministic
+replay harness for Kafka-shaped payloads in tests).
+
+Schema discipline mirrors the reference's schema-on-read stance
+(explicit StructType to ``from_json``, CustomerSpendingAnalysis
+.scala:30-43): every reader takes an explicit schema — inference is
+banned in the data path (a schema-inference pass over 100 TB is a
+full extra scan, and drifting inferred types break downstream plans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    streaming: bool = False,
+    **options: str,
+) -> DataFrame:
+    """JSON lines with an explicit schema; PERMISSIVE parse mode like
+    the reference's ``from_json`` (malformed rows -> nulls, SURVEY.md
+    §1.2) unless overridden via ``mode=``."""
+    reader = spark.readStream if streaming else spark.read
+    return reader.schema(schema).options(**options).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    streaming: bool = False,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    reader = spark.readStream if streaming else spark.read
+    return (
+        reader.schema(schema)
+        .options(header=str(header).lower(), **options)
+        .csv(path)
+    )
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Lake-layout writer: hive-style partition directories so
+    downstream date/key predicates become partition PRUNING (the scan
+    never opens non-matching directories — the single biggest lever on
+    a 100 TB table)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,116 @@
+"""File source/sink round-trips: explicit-schema JSON/CSV readers
+(batch + streaming), partition-pruned parquet lake writes, and the
+gated Avro surface."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_sparkstreaming_sbt_spark.schemas import TRANSACTION_SCHEMA
+from kafka_sparkstreaming_sbt_spark.sources.avro import avro_available
+from kafka_sparkstreaming_sbt_spark.sources.files import (
+    read_csv,
+    read_json,
+    write_partitioned_parquet,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp()
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_json_roundtrip_with_schema(spark, tmpdir):
+    lines = [
+        '{"transaction_id":"f1","customer_id":"1","merchant_id":5,'
+        '"timestamp":"2025-03-10T12:00:00Z","amount":10.5,'
+        '"payment_method":"UPI","status":"Success"}',
+        '{"transaction_id":"f2","customer_id":"2","merchant_id":6,'
+        '"timestamp":"2025-03-10T12:01:00Z","amount":20.0,'
+        '"payment_method":"PayPal","status":"Failed"}',
+        "not json at all",  # PERMISSIVE -> all-null row
+    ]
+    with open(f"{tmpdir}/a.json", "w") as f:
+        f.write("\n".join(lines))
+    df = read_json(spark, tmpdir, TRANSACTION_SCHEMA)
+    rows = df.collect()
+    assert len(rows) == 3
+    ok = [r for r in rows if r.transaction_id is not None]
+    assert {r.transaction_id for r in ok} == {"f1", "f2"}
+    assert df.schema == TRANSACTION_SCHEMA
+
+
+def test_json_streaming_source(spark, tmpdir):
+    with open(f"{tmpdir}/b.json", "w") as f:
+        f.write(
+            '{"transaction_id":"s1","customer_id":"9","merchant_id":1,'
+            '"timestamp":"2025-03-10T13:00:00Z","amount":5.0,'
+            '"payment_method":"UPI","status":"Success"}\n'
+        )
+    stream = read_json(spark, tmpdir, TRANSACTION_SCHEMA, streaming=True)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("file_json_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT COUNT(*) FROM file_json_stream").first()[0]
+    finally:
+        q.stop()
+    assert n == 1
+
+
+def test_csv_reader(spark, tmpdir):
+    with open(f"{tmpdir}/c.csv", "w") as f:
+        f.write("id,amount\n1,10.5\n2,20.0\n")
+    df = read_csv(spark, tmpdir, "id long, amount double")
+    assert sorted((r.id, r.amount) for r in df.collect()) == [
+        (1, 10.5),
+        (2, 20.0),
+    ]
+
+
+def test_partitioned_parquet_prunes(spark, tmpdir, sf_small):
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    events = read_table(spark, sf_small, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = f"{tmpdir}/events_lake"
+    write_partitioned_parquet(events, out, partition_by=["event_type"])
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    # partition filter prunes directories: only the matching partition
+    # appears in the scan
+    plan = (
+        back.filter(F.col("event_type") == "purchase")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "event_type=purchase" in plan or "PartitionFilters" in plan
+    got = back.filter(F.col("event_type") == "purchase").count()
+    want = events.filter(F.col("event_type") == "purchase").count()
+    assert got == want
+
+
+def test_avro_gated(spark):
+    # pip-distributed PySpark has no spark-avro jar; the probe must
+    # say so (and if a deployment adds the jar, the wrappers work)
+    assert avro_available(spark) in (True, False)
+    if not avro_available(spark):
+        from kafka_sparkstreaming_sbt_spark.sources.avro import decode_avro
+
+        try:
+            decode_avro(F.col("x"), '{"type":"string"}')
+        except ImportError as e:
+            assert "spark-avro" in str(e)

@@ -155,20 +155,27 @@ def test_ngram_jaccard_exact_values(spark):
         ],
         "doc_id long, text string",
     )
-    out = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=None)
+    # threshold=0 keeps EVERY candidate the prefix filter can emit
+    # (prefix = whole set), i.e. all pairs sharing any shingle
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.0)
     got = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
     assert got[(1, 2)] == 1.0
     assert got[(1, 3)] == 0.2
     assert got[(2, 3)] == 0.2
     assert (1, 4) not in got  # no shared shingle -> no candidate row
-    out_t = ngram_jaccard_pairs(df, n=3, threshold=0.6, max_df=None)
+    out_t = ngram_jaccard_pairs(df, n=3, threshold=0.6)
     assert {(r.doc_a, r.doc_b) for r in out_t.collect()} == {(1, 2)}
 
 
-def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
-    # 5 docs all sharing one boilerplate shingle; max_df=3 prunes it,
-    # leaving no candidates
-    rows = [(i, f"common shingle here unique{i} tail{i}") for i in range(5)]
+def test_ngram_jaccard_prefix_filter_is_complete(spark):
+    # docs built so the only shared shingles are FREQUENT (sort to the
+    # suffix): prefix filtering must still find every pair >= t, per
+    # the completeness theorem — high-J pairs always overlap prefixes
+    rows = [
+        (1, "x y z a b c d"),
+        (2, "x y z a b c e"),   # J(1,2) = 4/6 = 0.667 >= 0.6
+        (3, "x y z q r s t"),   # shares only the common 'x y z'
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    assert ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=3).count() == 0
-    assert ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=None).count() > 0
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.6)
+    assert {(r.doc_a, r.doc_b) for r in out.collect()} == {(1, 2)}

@@ -209,6 +209,56 @@ def test_dedup_within_watermark_bounded_state(spark, stream_dir):
     assert "d2" in ids
 
 
+def test_streaming_session_window(spark, stream_dir):
+    """operators.sessions semantics hold under Structured Streaming:
+    watermarked session_window agg emits closed sessions once the
+    watermark passes their gap."""
+    from kafka_sparkstreaming_sbt_spark.operators.sessions import (
+        user_sessions,
+    )
+
+    parsed = parse_transactions(_read_value_stream(spark, stream_dir))
+    sessions = user_sessions(
+        parsed.withWatermark("timestamp", "0 seconds"),
+        gap="10 minutes",
+        ts_col="timestamp",
+        key_col="customer_id",
+        value_col="amount",
+    )
+    _write_batch(
+        stream_dir,
+        "b0",
+        [
+            _txn_json("v1", "1", "2025-03-10T12:00:00Z", 10.0),
+            _txn_json("v2", "1", "2025-03-10T12:05:00Z", 20.0),  # merges
+            _txn_json("v3", "1", "2025-03-10T12:30:00Z", 40.0),  # new sess
+        ],
+    )
+    q = start_memory_sink(sessions, "session_stream", output_mode="append")
+    try:
+        q.processAllAvailable()
+        # far-future event closes all prior sessions
+        _write_batch(
+            stream_dir,
+            "b1",
+            [_txn_json("v4", "2", "2025-03-10T15:00:00Z", 1.0)],
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT customer_id, session_start, n_events, total_value "
+            "FROM session_stream"
+        ).collect()
+    finally:
+        q.stop()
+    got = {
+        (r.customer_id, r.session_start.strftime("%H:%M"), r.n_events,
+         r.total_value)
+        for r in rows
+    }
+    assert ("1", "12:00", 2, 30.0) in got
+    assert ("1", "12:30", 1, 40.0) in got
+
+
 def test_full_pipeline_collector(spark, stream_dir):
     """run_spending_pipeline end-to-end over a file stream: daily
     rollup rows arrive at the injected sink (K1 foreachBatch)."""
