@@ -38,11 +38,16 @@ from kafka_sparkstreaming_sbt_spark.operators.simhash import (  # noqa: E402
 )
 from kafka_sparkstreaming_sbt_spark.operators.analytics import (  # noqa: E402
     customers_with_orders,
+    lapsed_customers,
     monthly_order_stats,
     order_priority_rollup,
+    order_status_pivot,
     parts_without_bulk_shipments,
     revenue_by_nation,
     top_customers,
+)
+from kafka_sparkstreaming_sbt_spark.operators.graph import (  # noqa: E402
+    near_dup_groups,
 )
 from kafka_sparkstreaming_sbt_spark.operators.multimodal import (  # noqa: E402
     decode_media,
@@ -126,6 +131,33 @@ def _sql_bucket_expr(n_bits: int, seed: int) -> str:
             f"x -> CAST(x AS DOUBLE)), {lit}) >= 0 THEN '1' ELSE '0' END"
         )
     return "concat(" + ", ".join(bits) + ")"
+
+
+#: Shared CTE chain producing MinHash near-dup candidate `pairs`
+#: (mirrors operators.dedup_fuzzy.minhash_near_dup_pairs at
+#: shingle_n=3, n_bands=8) — used by the pair oracle and, extended
+#: with a recursive closure, the connected-components group oracle.
+_MINHASH_CTES = """
+        docs AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM documents WHERE len(string_split(text, ' ')) >= 3
+        ),
+        bands AS (SELECT unnest(range(0, 8)) AS band),
+        sigs AS (SELECT doc_id, band,
+                        list_min(list_transform(sh, s -> md5(band::VARCHAR || '|' || s))) AS sig
+                 FROM docs, bands),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM sigs x JOIN sigs y
+                   ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        pairs AS (SELECT doc_a, doc_b,
+                         ROUND(len(list_intersect(a.sh, b.sh))
+                               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+                  FROM cand
+                  JOIN docs a ON a.doc_id = cand.doc_a
+                  JOIN docs b ON b.doc_id = cand.doc_b)
+"""
 
 
 #: CTE computing per-token nibble lists, mirroring operators.simhash's
@@ -494,6 +526,31 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases_with_last_click(events)
 
 
+def q_order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a declared value domain: per-priority counts, one
+    column per order status."""
+    _utc(spark)
+    return order_status_pivot(read_table(spark, sf_dir, "orders"))
+
+
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: customers ordering in 1995 but not 1996."""
+    _utc(spark)
+    return lapsed_customers(read_table(spark, sf_dir, "orders"), 1995, 1996)
+
+
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected components: MinHash near-dup pairs ->
+    transitive dedup groups (group_id = min doc_id in component),
+    singletons included.  Oracle is a DuckDB recursive CTE."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, shingle_n=3, n_bands=8, threshold=0.5
+    ).select("doc_a", "doc_b")
+    return near_dup_groups(docs, pairs)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media -> Arrow-batched
     mapInPandas decode -> per-kind stats.  Not SQL-expressible (the
@@ -558,6 +615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "session_stats": q_session_stats,
         "purchase_attribution": q_purchase_attribution,
+        "order_status_pivot": q_order_status_pivot,
+        "lapsed_customers": q_lapsed_customers,
+        "near_dup_groups": q_near_dup_groups,
     }
 
 
@@ -659,27 +719,29 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_copies
         FROM documents GROUP BY 1
         """,
-        "minhash_near_dup": """
-        WITH docs AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
-          FROM documents WHERE len(string_split(text, ' ')) >= 3
-        ),
-        bands AS (SELECT unnest(range(0, 8)) AS band),
-        sigs AS (SELECT doc_id, band,
-                        list_min(list_transform(sh, s -> md5(band::VARCHAR || '|' || s))) AS sig
-                 FROM docs, bands),
-        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-                 FROM sigs x JOIN sigs y
-                   ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-        pairs AS (SELECT doc_a, doc_b,
-                         ROUND(len(list_intersect(a.sh, b.sh))
-                               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-                  FROM cand
-                  JOIN docs a ON a.doc_id = cand.doc_a
-                  JOIN docs b ON b.doc_id = cand.doc_b)
+        "minhash_near_dup": "WITH "
+        + _MINHASH_CTES
+        + """
         SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        """,
+        "near_dup_groups": "WITH RECURSIVE "
+        + _MINHASH_CTES
+        + """,
+        p AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM p
+        ),
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        )
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS group_id
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id
         """,
         "ann_cosine_topk": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -915,6 +977,18 @@ def oracle_sql() -> dict[str, str]:
                ROUND((SUM(dur_us) / COUNT(*)) / 1e6, 6) AS avg_session_secs,
                CAST(SUM(n_events) AS BIGINT) AS total_events
         FROM sess GROUP BY user_id
+        """,
+        "order_status_pivot": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY 1
+        """,
+        "lapsed_customers": """
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         """,
         "purchase_attribution": """
         WITH p AS (

@@ -143,6 +143,40 @@ def parts_without_bulk_shipments(
     ).select("p_partkey", "p_name", "p_type")
 
 
+def order_status_pivot(orders: DataFrame) -> DataFrame:
+    """Pivot: order counts and value per priority, one column per
+    status.  The status domain is DECLARED (F/O/P), not discovered —
+    an undeclared pivot would scan the data twice (once to find the
+    values) and produce schema drift between runs; declaring it keeps
+    the plan a single-pass conditional aggregation."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+def lapsed_customers(orders: DataFrame, year_a: int, year_b: int) -> DataFrame:
+    """Set difference (EXCEPT): customers who ordered in ``year_a``
+    but not in ``year_b``.  ``subtract`` compiles to a left-anti
+    aggregate join — one shuffle on the key, no materialized distinct
+    sets."""
+    def custs(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    return custs(year_a).subtract(custs(year_b))
+
+
 def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Semi join (EXISTS): customers that placed at least one order,
     with their order stats via a follow-up broadcast-aggregated join."""

@@ -1,0 +1,113 @@
+"""Connected components over near-duplicate pair graphs — turns the
+pairwise output of the dedup operators (MinHash / SimHash / n-gram
+Jaccard) into transitive DEDUP GROUPS, the form a training-data
+pipeline actually consumes ("keep one doc per group").
+
+Iterative min-label propagation on DataFrames:
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+repeated to fixpoint.  Each iteration is one join + one aggregation
+(both partitioned on the node key — Catalyst reuses the hash
+partitioning between them), and ``localCheckpoint`` truncates the
+lineage so the plan doesn't grow with iterations — the standard way
+to keep iterative algorithms stable on Spark.  Convergence needs at
+most the component diameter iterations; near-dup clusters are
+shallow (duplicates of duplicates), so this terminates in a handful
+of rounds even at corpus scale, and every round is a full-cluster
+parallel step, not a driver loop over rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, group_id) where ``group_id`` is the minimum node id in the
+    node's connected component; isolated nodes form singleton groups.
+
+    Raises if ``max_iter`` rounds don't reach the fixpoint (pathological
+    path-shaped graphs — raise the cap or pre-contract).
+    """
+    sym = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .union(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .distinct()
+    )
+    # materialize the edge set ONCE — its lineage may be an expensive
+    # pipeline (e.g. the whole MinHash candidate join) that would
+    # otherwise re-execute on every iteration's action
+    sym = sym.localCheckpoint(eager=True)
+    # iterate ONLY over edge endpoints: isolated nodes can never change
+    # label, so keeping them out of the loop makes each round
+    # proportional to the (small) near-dup subgraph, not the corpus
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nb_label", "label")
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iter} iters"
+        )
+    node_ids = nodes.select(F.col(id_col))
+    return (
+        node_ids.join(labels, node_ids[id_col] == labels["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("label", F.col(id_col)).alias("group_id"),
+        )
+    )
+
+
+def near_dup_groups(
+    documents: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Transitive dedup groups for a whole corpus: every document
+    labeled with its component's minimum doc_id (the canonical
+    representative to keep), singletons included."""
+    nodes = documents.select(id_col)
+    return connected_components(nodes, pairs, id_col=id_col)

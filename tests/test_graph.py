@@ -1,0 +1,71 @@
+"""Connected-components dedup groups: label propagation fixpoint,
+singleton handling, transitivity, and the pivot/set-op analytics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_sparkstreaming_sbt_spark.operators.analytics import (
+    lapsed_customers,
+    order_status_pivot,
+)
+from kafka_sparkstreaming_sbt_spark.operators.graph import (
+    connected_components,
+    near_dup_groups,
+)
+
+
+def test_connected_components_basic(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # components: {1,2,3} (chain), {4,5}, singletons {6}, {7}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    out = connected_components(nodes, edges)
+    got = {r.doc_id: r.group_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_connected_components_transitive_chain(spark):
+    # a path graph needs multiple propagation rounds: 0-1-2-...-9
+    n = 10
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = connected_components(nodes, edges)
+    assert {r.group_id for r in out.collect()} == {0}
+
+
+def test_near_dup_groups_keeps_all_docs(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(2, 4)], "doc_a long, doc_b long")
+    out = near_dup_groups(docs, pairs)
+    got = {r.doc_id: r.group_id for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 2, 5: 5}
+
+
+def test_order_status_pivot(spark, sf_small):
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    orders = read_table(spark, sf_small, "orders")
+    out = order_status_pivot(orders).collect()
+    assert len(out) == orders.select("o_orderpriority").distinct().count()
+    # pivot cells reconcile with the plain group-by
+    total = sum(r.n_f + r.n_o + r.n_p for r in out)
+    assert total == orders.count()
+
+
+def test_lapsed_customers_set_difference(spark):
+    rows = [
+        (1, "1995-06-01"), (1, "1996-06-01"),  # both years -> excluded
+        (2, "1995-07-01"),                      # 1995 only -> kept
+        (3, "1996-08-01"),                      # 1996 only -> excluded
+    ]
+    orders = spark.createDataFrame(
+        [(c, d) for c, d in rows], "o_custkey long, d string"
+    ).select("o_custkey", F.to_date("d").alias("o_orderdate"))
+    out = lapsed_customers(orders, 1995, 1996)
+    assert [r.o_custkey for r in out.collect()] == [2]
