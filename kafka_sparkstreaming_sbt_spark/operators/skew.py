@@ -1,0 +1,68 @@
+"""Skew mitigation primitives (100 TB discipline — SURVEY.md §7.4).
+
+AQE's runtime skew-join splitting (enabled in session defaults)
+handles most batch skew automatically; these explicit operators cover
+the cases it can't:
+
+- streaming joins/aggs (no AQE re-planning mid-query),
+- a single pathological key whose FINAL aggregation reducer is the
+  straggler even after map-side partial aggregation,
+- deterministic plans where runtime re-planning is undesirable.
+
+Salting splits each hot key into ``buckets`` sub-keys so the shuffle
+spreads one key's rows over ``buckets`` reducers; the other side of a
+join is replicated ``buckets``-fold (so salt only the side/keys that
+need it — replication is the price of the spread).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed``'s hot keys overwhelm single
+    reducers: each skewed row gets one of ``buckets`` salt values,
+    ``other`` is replicated across all salts, and the join key becomes
+    (key, salt) — hot keys now occupy ``buckets`` reducers.
+
+    Result is identical to ``skewed.join(other, on, how)`` for inner /
+    left joins (each skewed row still meets every matching other row
+    exactly once)."""
+    salted = skewed.withColumn(
+        "_salt", (F.rand(seed=42) * buckets).cast("int")
+    )
+    replicated = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    out = salted.join(replicated, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def salted_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    buckets: int = 32,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for extreme key skew: partial sums on
+    (key, salt) spread a hot key over ``buckets`` reducers, the final
+    (tiny — one row per key per salt) re-aggregation lands on one.
+
+    Map-side partial aggregation already bounds shuffle VOLUME; what
+    this fixes is the single final-stage reducer owning a hot key's
+    every partial row when upstream partition count is large."""
+    out_col = out_col or f"sum_{value_col}"
+    salted = df.withColumn("_salt", (F.rand(seed=42) * buckets).cast("int"))
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.sum(value_col).alias("_partial")
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("_partial").alias(out_col))

@@ -60,3 +60,31 @@ def test_anti_join_pushes_quantity_filter(spark, sf_small):
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
     joins = [l for l in plan.splitlines() if "Join" in l]
     assert any("LeftAnti" in l for l in joins)
+
+
+def test_asof_join_single_shuffle(spark, sf_small):
+    """The union-sort as-of join shuffles ONCE on the key — no range
+    join, no per-key quadratic expansion."""
+    df = entry_mod.q_purchase_attribution(spark, sf_small)
+    plan = _physical(df)
+    assert plan.count("Exchange") == 1
+    # both side filters reach the parquet scans
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    # the click side never reads event_id/value/props
+    click_scans = [
+        l
+        for l in plan.splitlines()
+        if "ReadSchema" in l and "value:double" not in l
+    ]
+    assert click_scans and all("props" not in l for l in click_scans)
+
+
+def test_session_window_partial_agg_and_pruning(spark, sf_small):
+    df = entry_mod.q_user_sessions(spark, sf_small)
+    plan = _physical(df)
+    # events scan reads only ts/user_id/value
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in scan and "event_type" not in scan
+    # session windows shuffle once on the grouping key
+    assert plan.count("Exchange") == 1

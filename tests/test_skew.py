@@ -1,0 +1,67 @@
+"""Salted join / salted aggregation: result equivalence with the
+plain operators on skewed data, and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_sparkstreaming_sbt_spark.operators.skew import (
+    salted_join,
+    salted_sum,
+)
+
+
+def _skewed_df(spark, n=10_000):
+    # 90% of rows share key 1; the rest spread over 100 keys
+    return spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1))
+        .otherwise((F.col("id") % 100) + 2)
+        .alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = _skewed_df(spark)
+    right = spark.range(120).select(
+        (F.col("id") + 1).alias("k"), (F.col("id") * 10).alias("w")
+    )
+    plain = left.join(right, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+    )
+    salted = salted_join(left, right, "k", buckets=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k long, tag string")
+    right = spark.createDataFrame([(1, 10)], "k long, w long")
+    out = salted_join(left, right, "k", buckets=4, how="left").collect()
+    got = {(r.k, r.tag, r.w) for r in out}
+    assert got == {(1, "a", 10), (99, "b", None)}
+
+
+def test_salted_sum_matches_plain_sum(spark):
+    df = _skewed_df(spark)
+    plain = {
+        r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        r.k: r.sum_v for r in salted_sum(df, ["k"], "v", buckets=8).collect()
+    }
+    assert salted.keys() == plain.keys()
+    for k in plain:
+        assert abs(salted[k] - plain[k]) < 1e-9
+
+
+def test_salted_join_spreads_hot_key(spark):
+    left = _skewed_df(spark)
+    right = spark.range(5).select((F.col("id") + 1).alias("k"))
+    salted = salted_join(left, right, "k", buckets=8)
+    # the physical join key includes the salt column
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
