@@ -526,6 +526,22 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases_with_last_click(events)
 
 
+def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation: per-day active users and event
+    count.  count(DISTINCT) expands to a two-phase partial-distinct
+    aggregate — no driver-side set, scales with key cardinality."""
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("day", F.col("day").cast("timestamp"))
+    )
+
+
 def q_order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with a declared value domain: per-priority counts, one
     column per order status."""
@@ -618,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_status_pivot": q_order_status_pivot,
         "lapsed_customers": q_lapsed_customers,
         "near_dup_groups": q_near_dup_groups,
+        "daily_active_users": q_daily_active_users,
     }
 
 
@@ -977,6 +994,12 @@ def oracle_sql() -> dict[str, str]:
                ROUND((SUM(dur_us) / COUNT(*)) / 1e6, 6) AS avg_session_secs,
                CAST(SUM(n_events) AS BIGINT) AS total_events
         FROM sess GROUP BY user_id
+        """,
+        "daily_active_users": """
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+               COUNT(DISTINCT user_id) AS active_users,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
         """,
         "order_status_pivot": """
         SELECT o_orderpriority,

@@ -51,29 +51,38 @@ def minhash_signatures(
     """One (doc_id, band, signature) row per band: the per-band salted
     md5 minimum over the shingle set.
 
-    All ``n_bands`` signatures are computed in ONE pass over the
-    shingle array (nested transform) and only the tiny (band, sig)
-    pairs are exploded — the shingle array itself is never duplicated
-    across bands, which matters when shingle sets are large."""
-    band_arr = F.array(*[F.lit(b) for b in range(n_bands)])
-    sigs = F.transform(
-        band_arr,
-        lambda b: F.struct(
-            b.alias("band"),
-            F.array_min(
-                F.transform(
-                    F.col(shingle_col),
-                    lambda s: F.md5(
-                        F.concat(b.cast("string"), F.lit("|"), s)
-                    ),
-                )
-            ).alias("sig"),
-        ),
+    Shape chosen for codegen: explode the shingle set once, compute
+    all ``n_bands`` salted hashes as FLAT projection columns (Spark's
+    higher-order array functions are interpreted; flat md5 columns
+    whole-stage-compile), then one partial->final min-aggregate per
+    band and an unpivot to (band, sig) rows.  The shuffle carries just
+    n_bands 32-char minima per doc."""
+    ex = df.select("doc_id", F.explode(shingle_col).alias("_sh"))
+    hashed = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{b}|"), F.col("_sh"))).alias(f"_h{b}")
+            for b in range(n_bands)
+        ],
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"_h{b}").alias(f"_m{b}") for b in range(n_bands)]
+    )
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), F.col(f"_m{b}").alias("sig")
+            )
+            for b in range(n_bands)
+        ]
     )
     return (
-        df.select("doc_id", sigs.alias("band_sigs"))
-        .select("doc_id", F.explode("band_sigs").alias("bs"))
-        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        mins.select("doc_id", F.explode(band_sigs).alias("bs"))
+        .select(
+            "doc_id",
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+        )
     )
 
 

@@ -137,6 +137,10 @@ def doc_fingerprints(
       1-permutation MinHash; equal fingerprints are near-dup
       candidates.  NULL for docs shorter than ``shingle_n`` tokens.
     """
+    # stays a pure map (shuffle-free): the interpreted array transform
+    # costs less than an explode + partial-min shuffle + join-back
+    # would here (measured — the opposite tradeoff from
+    # dedup_fuzzy.minhash_signatures, whose pipeline already shuffles)
     toks = F.split(F.col(text_col), " ")
     n_sh = F.size(toks) - (shingle_n - 1)
     shingle_mins = F.array_min(

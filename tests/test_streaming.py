@@ -259,6 +259,60 @@ def test_streaming_session_window(spark, stream_dir):
     assert ("1", "12:30", 1, 40.0) in got
 
 
+def test_stream_stream_interval_join(spark, stream_dir):
+    """Stream-stream inner join with watermarks + event-time interval:
+    each Success txn joined to Failed txns of the same customer within
+    the preceding 10 minutes (the retry-after-failure pattern).  State
+    on both sides is bounded by the watermark + interval."""
+    parsed = parse_transactions(_read_value_stream(spark, stream_dir))
+    fails = (
+        parsed.filter(F.col("status") == "Failed")
+        .select(
+            F.col("customer_id").alias("f_cust"),
+            F.col("timestamp").alias("f_ts"),
+            F.col("transaction_id").alias("f_txn"),
+        )
+        .withWatermark("f_ts", "1 minute")
+    )
+    succ = (
+        parsed.filter(F.col("status") == "Success")
+        .select(
+            F.col("customer_id").alias("s_cust"),
+            F.col("timestamp").alias("s_ts"),
+            F.col("transaction_id").alias("s_txn"),
+        )
+        .withWatermark("s_ts", "1 minute")
+    )
+    joined = succ.join(
+        fails,
+        F.expr(
+            "s_cust = f_cust AND "
+            "f_ts >= s_ts - INTERVAL 10 MINUTES AND f_ts < s_ts"
+        ),
+    )
+    _write_batch(
+        stream_dir,
+        "b0",
+        [
+            _txn_json("j1", "1", "2025-03-10T12:00:00Z", 50.0, "Failed"),
+            _txn_json("j2", "1", "2025-03-10T12:05:00Z", 50.0, "Success"),
+            _txn_json("j3", "2", "2025-03-10T12:06:00Z", 9.0, "Success"),
+            # same customer but outside the 10-minute lookback
+            _txn_json("j4", "3", "2025-03-10T11:00:00Z", 1.0, "Failed"),
+            _txn_json("j5", "3", "2025-03-10T12:00:00Z", 1.0, "Success"),
+        ],
+    )
+    q = start_memory_sink(joined, "retry_join", output_mode="append")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT s_txn, f_txn FROM retry_join"
+        ).collect()
+    finally:
+        q.stop()
+    assert {(r.s_txn, r.f_txn) for r in rows} == {("j2", "j1")}
+
+
 def test_full_pipeline_collector(spark, stream_dir):
     """run_spending_pipeline end-to-end over a file stream: daily
     rollup rows arrive at the injected sink (K1 foreachBatch)."""
