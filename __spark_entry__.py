@@ -16,7 +16,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -526,6 +526,53 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases_with_last_click(events)
 
 
+def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per return flag —
+    the EXACT percentile aggregate (sort-based within group), not the
+    approx sketch, so the oracle can hash-match."""
+    _utc(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning of event values: floor(value/10) buckets —
+    deterministic integer binning, one aggregation pass."""
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.floor(F.col("value") / 10).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("bucket_value"),
+        )
+    )
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequencies, top 20: explode (generator) ->
+    count -> rank-then-filter with deterministic tie-break."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
 def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation: per-day active users and event
     count.  count(DISTINCT) expands to a two-phase partial-distinct
@@ -635,6 +682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lapsed_customers": q_lapsed_customers,
         "near_dup_groups": q_near_dup_groups,
         "daily_active_users": q_daily_active_users,
+        "quantity_quantiles": q_quantity_quantiles,
+        "value_histogram": q_value_histogram,
+        "top_tokens": q_top_tokens,
     }
 
 
@@ -1000,6 +1050,29 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT user_id) AS active_users,
                COUNT(*) AS n_events
         FROM events GROUP BY 1
+        """,
+        "quantity_quantiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+               ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+               ROUND(MIN(l_quantity), 2) AS min_qty,
+               ROUND(MAX(l_quantity), 2) AS max_qty
+        FROM lineitem GROUP BY 1
+        """,
+        "value_histogram": """
+        SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS bucket_value
+        FROM events GROUP BY 1
+        """,
+        "top_tokens": """
+        WITH c AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        g AS (SELECT token, COUNT(*) AS n FROM c GROUP BY 1)
+        SELECT token, n,
+               row_number() OVER (ORDER BY n DESC, token) AS rank
+        FROM g QUALIFY rank <= 20
         """,
         "order_status_pivot": """
         SELECT o_orderpriority,
