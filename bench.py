@@ -37,6 +37,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators persist intermediates scoped to their own plan;
+        # drop them so queries are timed in isolation, not under the
+        # accumulated storage pressure of every prior query
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -116,13 +116,18 @@ def minhash_near_dup_pairs(
     # per branch.  At lake scale this would be a persisted/bucketed
     # intermediate table rather than an executor cache.
     docs = docs.persist()
-    sigs = minhash_signatures(docs, n_bands)
+    # join on a 64-bit hash of (band, sig) instead of the 32-char md5
+    # string: a collision only ADDS a candidate pair (the exact-Jaccard
+    # verify rejects it), never drops a true one — identical results,
+    # 8-byte shuffle keys
+    sigs = minhash_signatures(docs, n_bands).select(
+        "doc_id", F.xxhash64("band", "sig").alias("bs")
+    )
     cand = (
         sigs.alias("x")
         .join(
             sigs.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
+            (F.col("x.bs") == F.col("y.bs"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
@@ -187,31 +192,36 @@ def ngram_jaccard_pairs(
     docs = docs.persist()
     inv = docs.select("doc_id", F.explode("shingles").alias("sh"))
     sh_df = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    # canonical rarest-first order is (df, sh); array_sort on the
-    # struct gives every doc the same global order regardless of
-    # collect_list's arrival order
-    ordered = (
+    # canonical rarest-first order is (df, sh); a per-doc window rank
+    # realizes it without materializing/sorting per-doc arrays (one
+    # sort within the doc partition, reused by the size count)
+    from pyspark.sql import Window
+
+    by_doc = Window.partitionBy("doc_id")
+    rank_w = by_doc.orderBy("df", "sh")
+    ranked = (
         inv.join(sh_df, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("df"), F.col("sh")))
-            ).alias("ordered")
+        .select(
+            "doc_id",
+            "sh",
+            F.row_number().over(rank_w).alias("rn"),
+            F.count(F.lit(1)).over(by_doc).alias("n_sh"),
         )
     )
-    n_sh = F.size("ordered")
     prefix_len = (
-        n_sh - F.ceil(F.lit(threshold) * n_sh) + 1
-    ).cast("int")
-    prefix = ordered.select(
-        "doc_id",
-        F.explode(F.slice("ordered", F.lit(1), prefix_len)).alias("ps"),
-    ).select("doc_id", F.col("ps.sh").alias("sh"))
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    )
+    # candidate join on the shingle's 64-bit hash: collisions only add
+    # candidates (exact verify filters them), so results are identical
+    # and the quadratic join shuffles 8-byte keys
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        "doc_id", F.xxhash64("sh").alias("shh")
+    )
     cand = (
         prefix.alias("x")
         .join(
             prefix.alias("y"),
-            (F.col("x.sh") == F.col("y.sh"))
+            (F.col("x.shh") == F.col("y.shh"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
