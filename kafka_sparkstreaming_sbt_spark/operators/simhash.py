@@ -109,7 +109,10 @@ def simhash_fingerprints(
 
     Prefer this when an id column exists (always, for corpus dedup);
     ``with_simhash`` remains for adding the column in-place to
-    arbitrary rows."""
+    arbitrary rows.  (A dictionary-encoded variant — hash each
+    DISTINCT token once, join contributions back — was measured
+    SLOWER here: the 64-int-wide join rows cost more than recomputing
+    bit contributions inline from the 16-char hash prefix.)"""
     ex = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
