@@ -573,6 +573,30 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain time rollup: day and (day, hour)
+    aggregates of event values in ONE pass via GROUPING SETS (the
+    Expand operator feeds both grains from a single scan) — plus
+    grouping_id to tell the grains apart."""
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT date_trunc('day', ts)  AS day,
+               date_trunc('hour', ts) AS hour,
+               CAST(grouping(date_trunc('hour', ts)) AS BIGINT) AS is_day_grain,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events_v
+        GROUP BY GROUPING SETS (
+          (date_trunc('day', ts)),
+          (date_trunc('day', ts), date_trunc('hour', ts))
+        )
+        """
+    )
+
+
 def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation: per-day active users and event
     count.  count(DISTINCT) expands to a two-phase partial-distinct
@@ -682,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lapsed_customers": q_lapsed_customers,
         "near_dup_groups": q_near_dup_groups,
         "daily_active_users": q_daily_active_users,
+        "multi_grain_rollup": q_multi_grain_rollup,
         "quantity_quantiles": q_quantity_quantiles,
         "value_histogram": q_value_histogram,
         "top_tokens": q_top_tokens,
@@ -1050,6 +1075,18 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT user_id) AS active_users,
                COUNT(*) AS n_events
         FROM events GROUP BY 1
+        """,
+        "multi_grain_rollup": """
+        SELECT date_trunc('day', ts)  AS day,
+               date_trunc('hour', ts) AS hour,
+               CAST(grouping(date_trunc('hour', ts)) AS BIGINT) AS is_day_grain,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS (
+          (date_trunc('day', ts)),
+          (date_trunc('day', ts), date_trunc('hour', ts))
+        )
         """,
         "quantity_quantiles": """
         SELECT l_returnflag,

@@ -259,6 +259,68 @@ def test_streaming_session_window(spark, stream_dir):
     assert ("1", "12:30", 1, 40.0) in got
 
 
+def test_checkpoint_recovery_no_reprocessing(spark, stream_dir):
+    """Restarting the pipeline from its checkpoint resumes AFTER the
+    already-committed batches: batch-0 rows are not re-emitted to the
+    sink on restart (the recovery contract the reference forfeits by
+    configuring no checkpointLocation — SURVEY.md §2.9)."""
+    import tempfile as _tf
+
+    ckpt = _tf.mkdtemp()
+    collected: list = []
+    parsed = parse_transactions(_read_value_stream(spark, stream_dir))
+    _write_batch(
+        stream_dir,
+        "b0",
+        [_txn_json("c1", "1", "2025-03-10T12:01:00Z", 100.0)],
+    )
+    q1 = run_spending_pipeline(
+        parsed,
+        write_daily=lambda df: collected.extend(df.collect()),
+        checkpoint_location=ckpt,
+        swallow_errors=False,
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not collected:
+            q1.processAllAvailable()
+            time.sleep(0.5)
+    finally:
+        q1.stop()
+    assert [
+        (r.customer_id, r.total_spent) for r in collected
+    ] == [("1", 100.0)]
+
+    # restart from the same checkpoint with new data present
+    collected2: list = []
+    _write_batch(
+        stream_dir,
+        "b1",
+        [_txn_json("c2", "2", "2025-03-10T12:02:00Z", 50.0)],
+    )
+    parsed2 = parse_transactions(_read_value_stream(spark, stream_dir))
+    q2 = run_spending_pipeline(
+        parsed2,
+        write_daily=lambda df: collected2.extend(df.collect()),
+        checkpoint_location=ckpt,
+        swallow_errors=False,
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not any(
+            r.customer_id == "2" for r in collected2
+        ):
+            q2.processAllAvailable()
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+    # customer 1's batch-0 transaction is never re-delivered
+    assert all(r.customer_id != "1" for r in collected2)
+    assert any(
+        r.customer_id == "2" and r.total_spent == 50.0 for r in collected2
+    )
+
+
 def test_stream_stream_interval_join(spark, stream_dir):
     """Stream-stream inner join with watermarks + event-time interval:
     each Success txn joined to Failed txns of the same customer within
