@@ -53,6 +53,10 @@ from kafka_sparkstreaming_sbt_spark.operators.multimodal import (  # noqa: E402
     decode_media,
     synthetic_media,
 )
+from kafka_sparkstreaming_sbt_spark.operators.sampling import (  # noqa: E402
+    deterministic_sample,
+    with_split,
+)
 from kafka_sparkstreaming_sbt_spark.operators.rollup import (  # noqa: E402
     daily_rollup_deterministic,
     daily_spending_direct,
@@ -573,6 +577,33 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/valid/test assignment + per-split stats:
+    deterministic content-hash bucketing, identical on any engine and
+    any run (RNG-free)."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        with_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 2/16 sample of the corpus by id-hash nibble — the rows
+    themselves (doc_id, lang, source), proving the same sample is
+    drawn on every engine."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", sixteenths=2).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-grain time rollup: day and (day, hour)
     aggregates of event values in ONE pass via GROUPING SETS (the
@@ -707,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": q_near_dup_groups,
         "daily_active_users": q_daily_active_users,
         "multi_grain_rollup": q_multi_grain_rollup,
+        "split_assignment": q_split_assignment,
+        "deterministic_sample": q_deterministic_sample,
         "quantity_quantiles": q_quantity_quantiles,
         "value_histogram": q_value_histogram,
         "top_tokens": q_top_tokens,
@@ -1075,6 +1108,31 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT user_id) AS active_users,
                COUNT(*) AS n_events
         FROM events GROUP BY 1
+        """,
+        "split_assignment": """
+        WITH s AS (
+          SELECT n_chars,
+                 CASE WHEN (CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) <= 57
+                                 THEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) - 48
+                                 ELSE ascii(substr(md5(doc_id::VARCHAR), 1, 1)) - 87 END) < 13
+                        THEN 'train'
+                      WHEN (CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) <= 57
+                                 THEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) - 48
+                                 ELSE ascii(substr(md5(doc_id::VARCHAR), 1, 1)) - 87 END) < 15
+                        THEN 'valid'
+                      ELSE 'test' END AS split
+          FROM documents
+        )
+        SELECT split, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM s GROUP BY 1
+        """,
+        "deterministic_sample": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE (CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) <= 57
+                    THEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) - 48
+                    ELSE ascii(substr(md5(doc_id::VARCHAR), 1, 1)) - 87 END) < 2
         """,
         "multi_grain_rollup": """
         SELECT date_trunc('day', ts)  AS day,
