@@ -113,17 +113,30 @@ def simhash_fingerprints(
     DISTINCT token once, join contributions back — was measured
     SLOWER here: the 64-int-wide join rows cost more than recomputing
     bit contributions inline from the 16-char hash prefix.)"""
-    ex = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
-    ).withColumn("_h", F.substring(F.md5(F.col("_tok")), 1, _NIBBLES))
+    ex = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+        )
+        .withColumn("_h", F.substring(F.md5(F.col("_tok")), 1, _NIBBLES))
+        # decode each nibble ONCE in the projection; the 64 aggregates
+        # below then share them as pure int ops instead of each
+        # re-running substring+ascii per row
+        .select(
+            F.col(id_col),
+            *[
+                _nibble(F.substring(F.col("_h"), i, F.lit(1))).alias(
+                    f"_n{i}"
+                )
+                for i in range(1, _NIBBLES + 1)
+            ],
+        )
+    )
     aggs = []
     for b in range(N_BITS):
         pos, shift = b // 4 + 1, b % 4
         contrib = (
-            F.shiftright(
-                _nibble(F.substring(F.col("_h"), pos, F.lit(1))), shift
-            ).bitwiseAND(F.lit(1))
+            F.shiftright(F.col(f"_n{pos}"), shift).bitwiseAND(F.lit(1))
             * 2
             - 1
         )
