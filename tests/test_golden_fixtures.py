@@ -16,7 +16,6 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
-from pyspark.sql import functions as F
 
 from kafka_sparkstreaming_sbt_spark.operators.rollup import (
     daily_rollup,

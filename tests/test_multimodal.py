@@ -4,7 +4,6 @@ feature / frame-sample stages, binary-column pruning behavior."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from kafka_sparkstreaming_sbt_spark.operators.multimodal import (
     DECODED_SCHEMA,

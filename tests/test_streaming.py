@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from kafka_sparkstreaming_sbt_spark.operators.dedup import (
     dedup_transactions_within_watermark,
 )
-from kafka_sparkstreaming_sbt_spark.schemas import TRANSACTION_SCHEMA
 from kafka_sparkstreaming_sbt_spark.sources.kafka import parse_transactions
 from kafka_sparkstreaming_sbt_spark.streaming.pipeline import (
     aggregate_transactions,
