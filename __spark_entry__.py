@@ -150,7 +150,10 @@ _MINHASH_CTES = """
         ),
         bands AS (SELECT unnest(range(0, 8)) AS band),
         sigs AS (SELECT doc_id, band,
-                        list_min(list_transform(sh, s -> md5(band::VARCHAR || '|' || s))) AS sig
+                        list_min(list_transform(sh, s ->
+                          substr(md5(CASE WHEN band < 4 THEN s
+                                          ELSE '1|' || s END),
+                                 CAST((band % 4) * 8 + 1 AS INTEGER), 8))) AS sig
                  FROM docs, bands),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                  FROM sigs x JOIN sigs y
