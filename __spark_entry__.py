@@ -28,6 +28,9 @@ from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (  # noqa: E402
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
 )
+from kafka_sparkstreaming_sbt_spark.operators.ranges import (  # noqa: E402
+    purchase_prior_activity,
+)
 from kafka_sparkstreaming_sbt_spark.operators.sessions import (  # noqa: E402
     session_stats,
     user_sessions,
@@ -533,6 +536,15 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases_with_last_click(events)
 
 
+def q_purchase_prior_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: each purchase joined to the same user's
+    events in the prior 24 h via time-binned equi-join (no
+    BroadcastNestedLoopJoin), then count/sum per purchase."""
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    return purchase_prior_activity(events, window_hours=24)
+
+
 def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median / p90) per return flag —
     the EXACT percentile aggregate (sort-based within group), not the
@@ -736,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "session_stats": q_session_stats,
         "purchase_attribution": q_purchase_attribution,
+        "purchase_prior_activity": q_purchase_prior_activity,
         "order_status_pivot": q_order_status_pivot,
         "lapsed_customers": q_lapsed_customers,
         "near_dup_groups": q_near_dup_groups,
@@ -1199,5 +1212,19 @@ def oracle_sql() -> dict[str, str]:
                ROUND(p.value, 2) AS value
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        """,
+        "purchase_prior_activity": """
+        WITH p AS (
+          SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_prior,
+               ROUND(SUM(e.value), 2) AS prior_value
+        FROM p JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts >= p.purchase_ts - INTERVAL 24 HOURS
+         AND e.ts < p.purchase_ts
+        GROUP BY 1, 2, 3
         """,
     }
