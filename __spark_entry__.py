@@ -67,18 +67,24 @@ from kafka_sparkstreaming_sbt_spark.operators.rollup import (  # noqa: E402
 from kafka_sparkstreaming_sbt_spark.operators.similarity import (  # noqa: E402
     _hyperplanes,
     cosine_topk,
+    ivf_kmeans_topk,
     ivf_topk,
     lsh_bucket,
     lsh_near_pairs,
 )
+from kafka_sparkstreaming_sbt_spark.operators.topk import (  # noqa: E402
+    global_topk_with_rank,
+)
 from kafka_sparkstreaming_sbt_spark.operators.text import (  # noqa: E402
     LANG_MARKERS,
+    PII_PATTERNS,
     STOPWORDS,
     TOKEN_REGEX,
     doc_fingerprints,
     exact_dedup_groups,
     lang_id,
     quality_score,
+    redact_pii,
     token_stats,
 )
 from kafka_sparkstreaming_sbt_spark.operators.windows import (  # noqa: E402
@@ -370,6 +376,46 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(read_table(spark, sf_dir, "documents"))
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (email / IPv4 / phone -> placeholder tokens) with
+    per-kind audit counts.  The raw corpus carries no PII, so each doc
+    is SALTED with a synthetic contact string first — the gate then
+    proves actual replacement, not a no-op pass-through."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 555-0199 ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(seeded)
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch distinct count (rsd 2%) per day — the at-scale
+    variant of daily_active_users' exact two-phase distinct: sketch
+    partials are fixed-size and mergeable, so the shuffle carries one
+    small sketch per (day, partition) no matter how many distinct
+    users exist.  Sketch estimates are implementation-specific ->
+    rows-only driver check; the tolerance gate vs the exact count is
+    tests/test_sketches.py."""
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("day", F.col("day").cast("timestamp"))
+    )
+
+
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups via hash-groupBy on md5(text)."""
     _utc(spark)
@@ -403,6 +449,21 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     out = ivf_topk(
         emb, emb.filter(F.col("vec_id") < 100), k=10, n_cells=16, n_probe=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 over REAL k-means Voronoi cells
+    (~sqrt(N) cells, 3 Lloyd rounds, deterministic hash-spread init)
+    — the production quantizer behind q_ivf_topk's oracle-replicable
+    stand-in.  Cell means are float-summation-order sensitive across
+    engines, so the driver records a rows-only check; the recall-vs-
+    brute-force gate lives in tests/test_ivf_stateful.py."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = ivf_kmeans_topk(
+        emb, emb.filter(F.col("vec_id") < 100), k=10, n_probe=4
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -577,7 +638,9 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide token frequencies, top 20: explode (generator) ->
-    count -> rank-then-filter with deterministic tie-break."""
+    partial->final count -> TakeOrderedAndProject top-k (per-partition
+    bounded heap; the corpus-wide token table never converges on one
+    task) -> rank over the 20 survivors."""
     _utc(spark)
     docs = read_table(spark, sf_dir, "documents")
     counts = (
@@ -585,11 +648,10 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+    top = global_topk_with_rank(
+        counts, [("n", "desc"), ("token", "asc")], 20
     )
+    return top.withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,29 +748,37 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media -> Arrow-batched
-    mapInPandas decode -> per-kind stats.  Not SQL-expressible (the
-    decode is a Python codec stage); the driver records a rows-only
-    check."""
+    mapInPandas decode -> per-item decoded stats (dims + mean pixel
+    intensity), one row per media item.
+
+    The synthetic payload is a CLOSED-FORM function of (media_id,
+    dims) — body byte j is ``(media_id*31 + j*7) % 256`` (operators/
+    multimodal.py:_encode_payload) — so the decode result is
+    DuckDB-replicable from first principles and the full mapInPandas
+    codec path gets a real hash-match gate, not a rows-only check."""
     _utc(spark)
     # 256 synthetic rows: a couple of partitions is plenty — more just
     # multiplies Python-worker startup cost for the Arrow UDF stages
     media = synthetic_media(spark, 256, partitions=2)
     decoded = decode_media(media)
     kinds = media.select("media_id", "kind")
-    return (
-        decoded.join(F.broadcast(kinds), "media_id")
-        .groupBy("kind")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
-            F.sum("n_frames").alias("total_frames"),
-        )
+    return decoded.join(F.broadcast(kinds), "media_id").select(
+        "media_id",
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
     )
 
 
-#: queries() entries with no oracle_sql twin — genuinely non-SQL ops;
-#: the driver records a weaker rows-only check for these.
-NON_SQL_QUERIES = {"multimodal_decode"}
+#: queries() entries with no oracle_sql twin — the driver records a
+#: weaker rows-only check for these.  ivf_kmeans_topk: k-means cell
+#: means are float-summation-order sensitive across engines, so its
+#: gate is the pytest recall-vs-brute-force threshold, not SQL.
+#: approx_distinct_users: HLL++ sketch estimates are engine-specific;
+#: its gate is the pytest tolerance check against the exact count.
+NON_SQL_QUERIES: set[str] = {"ivf_kmeans_topk", "approx_distinct_users"}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -729,10 +799,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
+        "redact_pii": q_redact_pii,
+        "approx_distinct_users": q_approx_distinct_users,
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_near_dup": q_minhash_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "embedding_similar_pairs": q_embedding_similar_pairs,
         "multimodal_decode": q_multimodal_decode,
@@ -1212,6 +1285,53 @@ def oracle_sql() -> dict[str, str]:
                ROUND(p.value, 2) AS value
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        """,
+        # patterns injected from operators.text.PII_PATTERNS so Spark
+        # and oracle can never drift; counts taken on the pre-redaction
+        # text in both engines
+        "redact_pii": f"""
+        WITH s AS (
+          SELECT doc_id,
+                 text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com tel 555-0199 ip 10.0.0.'
+                      || CAST(doc_id % 256 AS VARCHAR) AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                 '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                 '{PII_PATTERNS["ip"]}', '<IP>', 'g'),
+                 '{PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(t, '{PII_PATTERNS["email"]}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PII_PATTERNS["ip"]}'))
+                    AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(t, '{PII_PATTERNS["phone"]}'))
+                    AS BIGINT) AS n_phones
+        FROM s
+        """,
+        # mirrors operators/multimodal.py's synthetic payload in closed
+        # form: body byte j of media i is (i*31 + j*7) % 256, body
+        # length min(w*h*frames, 4096); integer sums are exact in both
+        # engines, so the double division + 6-dp round hash-match
+        "multimodal_decode": """
+        WITH m AS (SELECT unnest(range(0, 256)) AS i),
+        d AS (
+          SELECT i,
+                 CASE WHEN i % 3 = 0 THEN 'video' ELSE 'image' END AS kind,
+                 8 + (i % 5) * 4 AS w,
+                 8 + (i % 7) * 2 AS h,
+                 CASE WHEN i % 3 = 0 THEN 3 ELSE 1 END AS nf
+          FROM m
+        )
+        SELECT i AS media_id, kind,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(nf AS BIGINT) AS n_frames,
+               ROUND(list_avg(list_transform(
+                 range(0, least(w * h * nf, 4096)),
+                 j -> (i * 31 + j * 7) % 256)), 6) AS mean_intensity
+        FROM d
         """,
         "purchase_prior_activity": """
         WITH p AS (

@@ -3,10 +3,14 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+     "queries": {name: sec, ...}, "sf": <sf>, "runs_per_query": 3}
 
 Each query is forced end-to-end with a ``noop`` write (full execution,
-no driver-side collect of the result set).
+no driver-side collect of the result set), and timed as the MIN of
+``$SPARK_GRAFT_BENCH_RUNS`` (default 3) back-to-back runs: ambient
+load on this box makes single-run wall times +-30%, and the minimum is
+the standard noise-robust estimator for round-over-round comparisons
+(VERDICT r1 #8).
 """
 
 from __future__ import annotations
@@ -32,15 +36,20 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators persist intermediates scoped to their own plan;
-        # drop them so queries are timed in isolation, not under the
-        # accumulated storage pressure of every prior query
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            # operators persist intermediates scoped to their own
+            # plan; drop them so every run re-executes end-to-end and
+            # queries are timed in isolation, not under the
+            # accumulated storage pressure of every prior query
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
@@ -50,6 +59,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": runs,
             }
         )
     )

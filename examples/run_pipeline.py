@@ -34,6 +34,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from kafka_sparkstreaming_sbt_spark.config import load_config, resolve
 from kafka_sparkstreaming_sbt_spark.session import get_spark
 from kafka_sparkstreaming_sbt_spark.sources.jdbc import (
     JdbcConfig,
@@ -51,17 +52,50 @@ from kafka_sparkstreaming_sbt_spark.streaming.pipeline import (
 )
 
 
+#: dotted keys mirror the reference's application.conf:1-10 (plus the
+#: topology knobs its Scala hardcodes); CLI flags override the file,
+#: the file overrides these defaults (config.resolve).
+CONFIG_DEFAULTS = {
+    "kafka.bootstrap.servers": "localhost:9092",
+    "kafka.topic": "transactions_topic",
+    "kafka.starting.offsets": "earliest",
+    "db.url": "",
+    "db.table": "public.customer_daily_spending",
+    "db.user": "",
+    "db.password": "",
+    "pipeline.watermark": "5 seconds",
+}
+
+#: CLI flag dest -> config key
+_ARG_TO_KEY = {
+    "kafka_bootstrap": "kafka.bootstrap.servers",
+    "topic": "kafka.topic",
+    "starting_offsets": "kafka.starting.offsets",
+    "jdbc_url": "db.url",
+    "jdbc_table": "db.table",
+    "jdbc_user": "db.user",
+    "jdbc_password": "db.password",
+    "watermark": "pipeline.watermark",
+}
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--kafka-bootstrap", default="localhost:9092")
-    p.add_argument("--topic", default="transactions_topic")
-    p.add_argument("--starting-offsets", default="earliest")
+    p.add_argument(
+        "--config",
+        default=None,
+        help="application.conf-style (HOCON subset) or JSON config "
+        "file; CLI flags override it, it overrides built-in defaults",
+    )
+    p.add_argument("--kafka-bootstrap", default=None)
+    p.add_argument("--topic", default=None)
+    p.add_argument("--starting-offsets", default=None)
     p.add_argument("--jdbc-url", default=None)
-    p.add_argument("--jdbc-table", default="public.customer_daily_spending")
-    p.add_argument("--jdbc-user", default="")
-    p.add_argument("--jdbc-password", default="")
+    p.add_argument("--jdbc-table", default=None)
+    p.add_argument("--jdbc-user", default=None)
+    p.add_argument("--jdbc-password", default=None)
     p.add_argument("--checkpoint", default=None)
-    p.add_argument("--watermark", default="5 seconds")
+    p.add_argument("--watermark", default=None)
     p.add_argument(
         "--strict",
         action="store_true",
@@ -75,6 +109,16 @@ def main() -> None:
     p.add_argument("--demo-seconds", type=int, default=30)
     args = p.parse_args()
 
+    conf = resolve(
+        CONFIG_DEFAULTS,
+        load_config(args.config) if args.config else None,
+        {
+            key: getattr(args, dest)
+            for dest, key in _ARG_TO_KEY.items()
+            if getattr(args, dest) is not None
+        },
+    )
+
     spark = get_spark(app_name="customer-spending-pipeline")
     checkpoint = args.checkpoint or tempfile.mkdtemp(prefix="spending_ckpt_")
 
@@ -87,18 +131,19 @@ def main() -> None:
     else:
         envelope = read_kafka_stream(
             spark,
-            args.kafka_bootstrap,
-            topic=args.topic,
-            starting_offsets=args.starting_offsets,
+            conf["kafka.bootstrap.servers"],
+            topic=conf["kafka.topic"],
+            starting_offsets=conf["kafka.starting.offsets"],
         )
         txns = parse_transactions(envelope)
-        if not args.jdbc_url:
-            p.error("--jdbc-url is required outside --demo mode")
+        if not conf["db.url"]:
+            p.error("--jdbc-url (or db.url in --config) is required "
+                    "outside --demo mode")
         cfg = JdbcConfig(
-            url=args.jdbc_url,
-            table=args.jdbc_table,
-            user=args.jdbc_user,
-            password=args.jdbc_password,
+            url=conf["db.url"],
+            table=conf["db.table"],
+            user=conf["db.user"],
+            password=conf["db.password"],
         )
 
         def write_daily(df):
@@ -108,7 +153,7 @@ def main() -> None:
         txns,
         write_daily=write_daily,
         checkpoint_location=checkpoint,
-        watermark=args.watermark,
+        watermark=conf["pipeline.watermark"],
         swallow_errors=not args.strict,
     )
     if args.demo:

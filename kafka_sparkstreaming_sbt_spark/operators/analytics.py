@@ -15,9 +15,11 @@ Scale design notes (the point of each operator):
 - Aggregations are declared on top of the joins so Catalyst pushes
   filters below the join and prunes columns into the scans
   (tests/test_plans.py asserts PushedFilters/ReadSchema).
-- Top-k uses rank-then-filter with deterministic tie-breaks rather
-  than a global sort: the window shuffle partitions by the group key,
-  and only k rows per group survive to the (tiny) final ordering.
+- Per-group top-k uses rank-then-filter with deterministic tie-breaks
+  (the window shuffle partitions by the group key, and Catalyst's
+  partial WindowGroupLimit prunes map-side); GLOBAL top-k uses
+  ``operators.topk.global_topk_with_rank`` (TakeOrderedAndProject),
+  never a partition-less window.
 """
 
 from __future__ import annotations
@@ -63,26 +65,34 @@ def revenue_by_nation(
 def top_customers(
     orders: DataFrame, customer: DataFrame, k: int = 10
 ) -> DataFrame:
-    """Top-k customers by total order value — rank-then-filter with
-    deterministic tie-breaks (value DESC, custkey ASC), no global
-    sort of the aggregate."""
+    """Top-k customers by total order value with deterministic
+    tie-breaks (value DESC, custkey ASC).
+
+    Plan shape: partial->final agg, broadcast dim join, then
+    ``TakeOrderedAndProject`` via :func:`operators.topk.
+    global_topk_with_rank` — per-partition bounded top-k, k-row final
+    merge, rank computed over the k survivors only.  No global window
+    over the aggregate (at 100 TB that would funnel every customer row
+    through one task)."""
+    from kafka_sparkstreaming_sbt_spark.operators.topk import (
+        global_topk_with_rank,
+    )
+
     spend = (
         orders.groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
         .join(F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
               F.col("o_custkey") == F.col("c_custkey"))
     )
-    w = Window.orderBy(F.col("total_spent").desc(), F.col("o_custkey").asc())
-    return (
-        spend.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            "c_name",
-            "c_mktsegment",
-            "total_spent",
-            F.col("rank").cast("long").alias("rank"),
-        )
+    top = global_topk_with_rank(
+        spend, [("total_spent", "desc"), ("o_custkey", "asc")], k
+    )
+    return top.select(
+        F.col("o_custkey").alias("custkey"),
+        "c_name",
+        "c_mktsegment",
+        "total_spent",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

@@ -160,13 +160,16 @@ def minhash_near_dup_pairs(
     b = docs.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
-    # candidate pairs are tiny (near-dup rate << corpus size): keep
-    # them on the broadcast side of both verify joins so the wide
-    # shingle arrays are never shuffled
+    # candidate volume is DATA-DEPENDENT (boilerplate-heavy corpora
+    # explode LSH buckets), so no forced broadcast here: AQE picks the
+    # join strategy from the candidate set's actual runtime size —
+    # broadcast when it is tiny (the common case), shuffle join when an
+    # adversarial corpus makes it large (a forced broadcast would OOM
+    # the driver exactly when near-dup density spikes).  Same policy as
+    # simhash_near_dup_pairs.
     verified = (
-        b.join(
-            F.broadcast(a.join(F.broadcast(cand), "doc_a")), "doc_b"
-        )
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",

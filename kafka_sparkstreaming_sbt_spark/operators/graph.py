@@ -38,17 +38,32 @@ def connected_components(
     Raises if ``max_iter`` rounds don't reach the fixpoint (pathological
     path-shaped graphs — raise the cap or pre-contract).
     """
+    # symmetrize with a per-row explode, NOT a self-union: a union
+    # would execute the (potentially expensive — e.g. the whole
+    # MinHash verify pipeline) edge lineage once PER BRANCH, doubling
+    # the dominant cost; the explode emits both directions in a single
+    # pass over a single execution
     sym = (
         edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("src"),
+                        F.col(dst_col).alias("dst"),
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("src"),
+                        F.col(src_col).alias("dst"),
+                    ),
+                )
+            ).alias("e")
         )
-        .union(
-            edges.select(
-                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
-            )
-        )
-        .distinct()
+        .select("e.src", "e.dst")
     )
+    # NO distinct here: the min-label aggregation is duplicate-
+    # tolerant, so deduping the edge list would spend a full shuffle
+    # of the largest table in the loop purely on cosmetics.  Callers
+    # with heavily duplicated edge lists should dedup upstream.
     # materialize the edge set ONCE — its lineage may be an expensive
     # pipeline (e.g. the whole MinHash candidate join) that would
     # otherwise re-execute on every iteration's action

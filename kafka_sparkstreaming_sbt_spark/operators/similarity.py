@@ -57,6 +57,32 @@ def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def _ranked_topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k rank-then-filter over (query_id, neighbor_id,
+    cosine) rows.
+
+    The ``rank <= k`` filter over a partitioned ``row_number`` window
+    is rewritten by Catalyst (``InferWindowGroupLimit``, Spark >= 3.5)
+    into a MAP-SIDE partial group-limit: the physical plan runs
+    ``WindowGroupLimit [query_id] ... Partial`` *below* the exchange —
+    each input partition keeps only its k best rows per query under
+    the rank's exact total order (cosine DESC, neighbor_id ASC) — so
+    the one shuffle carries at most Q x k rows per map partition,
+    never the full Q x N scored set.  ``tests/test_plans.py``
+    asserts this plan shape; a hand-rolled pre-prune (e.g. an Arrow
+    ``mapInPandas`` reduction) measured no faster and would put Python
+    in the hot path.
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,10 +94,11 @@ def cosine_topk(
     corpus vectors (self-match excluded).
 
     The query side is broadcast — the corpus is scanned exactly once
-    and never shuffled; the per-query ranking shuffles only
-    (Q x N) -> (Q x k) candidate rows after the map-side window is
-    unavailable, so we pre-prune with a per-partition top-k *before*
-    the global rank to keep the shuffle small.
+    and never shuffled; the Q x N scored rows are pruned MAP-SIDE to
+    the per-partition per-query top-k before the rank exchange (see
+    :func:`_ranked_topk_per_query` — Catalyst's partial
+    ``WindowGroupLimit``), so the shuffle carries at most
+    Q x k x n_partitions candidate rows, never Q x N.
     """
     # norms are computed ONCE per vector (Q + N of them), not per pair
     # (Q x N) — at scale this is the difference between 2QN and QN
@@ -98,14 +125,7 @@ def cosine_topk(
     scored = pairs.select(
         "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _ranked_topk_per_query(scored, k)
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
@@ -225,6 +245,108 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int | None = None,
+    n_iter: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Seeded Lloyd k-means coarse quantizer, DataFrame-native — the
+    production replacement for the trivial ``vec_id < n_cells``
+    stand-in :func:`ivf_topk` keeps for oracle determinism.
+
+    - **cells**: defaults to ~sqrt(N) (the standard IVF sizing — cell
+      scan cost and probe cost balance at sqrt(N)).
+    - **init**: the ``n_cells`` rows with the smallest
+      ``xxhash64(id, seed)`` — a deterministic pseudo-random spread
+      (no RNG state, reproducible on any engine/partitioning), ranked
+      into cell ids by the same scale-safe top-k used everywhere
+      (TakeOrderedAndProject, no global window).
+    - **assign**: :func:`ivf_assign` — broadcast centroids, ``max_by``
+      partial aggregation, corpus never shuffled.
+    - **update**: element-wise member mean via ``posexplode`` ->
+      per-(cell, dim) partial->final avg -> regroup to arrays; the
+      shuffle carries cells x dim rows, not the corpus.
+    - **lineage**: ``localCheckpoint`` per round truncates the
+      iterative plan (same discipline as ``graph.connected_
+      components``); each checkpoint materializes only the tiny
+      (cells x dim) centroid table.
+
+    Cells that lose all members drop out (k can shrink) — standard
+    Lloyd behavior; callers probe whatever cells remain.
+    """
+    from kafka_sparkstreaming_sbt_spark.operators.topk import (
+        global_topk_with_rank,
+    )
+    from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
+
+    if n_cells is None:
+        n_cells = max(2, int(math.isqrt(corpus.count())))
+    hashed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+    )
+    seeds = global_topk_with_rank(
+        hashed, [("_h", "asc"), (id_col, "asc")], n_cells
+    )
+    cent = seeds.select(
+        (F.col("rank") - 1).cast("long").alias("cell_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "c_vec"
+        ),
+    ).localCheckpoint(eager=True)
+    body = parallelize_for_compute(corpus).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(body, cent, vec_col, id_col)
+        members = body.join(assigned, id_col)
+        dims = members.select(
+            "cell_id", F.posexplode(vec_col).alias("pos", "x")
+        )
+        means = dims.groupBy("cell_id", "pos").agg(
+            F.avg(F.col("x").cast("double")).alias("m")
+        )
+        cent = (
+            means.groupBy("cell_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cell_id",
+                F.transform("pm", lambda s: s["m"]).alias("c_vec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int | None = None,
+    n_probe: int = 4,
+    n_iter: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with a REAL k-means coarse quantizer (cells ~ sqrt(N))
+    — the production scale path.  Search machinery is shared with
+    :func:`ivf_topk`; only the quantizer differs.  K-means cell means
+    are float-summation-order sensitive, so correctness is gated on
+    RECALL vs brute force (tests/test_ivf_stateful.py), not on an
+    exact-match SQL oracle."""
+    cent = kmeans_centroids(corpus, n_cells, n_iter, seed, vec_col, id_col)
+    return _ivf_search(corpus, queries, cent, k, n_probe, vec_col, id_col)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -240,16 +362,31 @@ def ivf_topk(
     closest cells (n_probe/n_cells of the corpus).
 
     The coarse quantizer here is the DETERMINISTIC sample
-    ``vec_id < n_cells`` (production would run k-means first — the
-    search machinery is identical and that's what this operator is);
-    determinism is what lets the DuckDB oracle replicate the result
-    exactly.  Recall vs :func:`cosine_topk` is tested separately.
+    ``vec_id < n_cells`` — determinism is what lets the DuckDB oracle
+    replicate the result exactly; :func:`ivf_kmeans_topk` is the same
+    search over real k-means cells (recall-gated instead).
     """
-    from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
-
     centroids = corpus.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("c_vec")
     )
+    return _ivf_search(corpus, queries, centroids, k, n_probe, vec_col, id_col)
+
+
+def _ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    n_probe: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Shared IVF search: assign corpus to cells, rank cells per query
+    by centroid cosine, scan the top ``n_probe`` cells, exact-rank the
+    survivors.  Centroid tables are broadcast; the corpus shuffles
+    once (on the assignment join key)."""
+    from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
+
     assigned = ivf_assign(
         parallelize_for_compute(corpus), centroids, vec_col, id_col
     )
@@ -293,11 +430,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    # same map-side partial WindowGroupLimit prune as brute force: the
+    # probed candidate set (n_probe/n_cells of Q x N) is cut to
+    # Q x k per map partition before the rank exchange
+    return _ranked_topk_per_query(scored, k)

@@ -35,7 +35,16 @@ def salted_join(
 
     Result is identical to ``skewed.join(other, on, how)`` for inner /
     left joins (each skewed row still meets every matching other row
-    exactly once)."""
+    exactly once).  Right/full/outer joins are REJECTED: the
+    replicated side's unmatched rows would surface ``buckets`` times —
+    silently wrong results."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            "salted_join is only correct for how in "
+            f"('inner', 'left', 'left_outer'); got {how!r} — the "
+            "replicated side's unmatched rows would appear once per "
+            "salt bucket"
+        )
     salted = skewed.withColumn(
         "_salt", (F.rand(seed=42) * buckets).cast("int")
     )

@@ -173,3 +173,48 @@ def exact_dedup_groups(
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+#: PII patterns deliberately restricted to syntax with IDENTICAL
+#: semantics in Java regex (Spark) and RE2 (the DuckDB oracle):
+#: character classes, bounded quantifiers, \b word boundaries — no
+#: backrefs or lookaround.  Applied leftmost, greedy in both engines.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{4}\b",
+}
+
+#: Replacement order matters only for the redacted text (counts are
+#: taken on the original): emails first (their local parts may contain
+#: digits), then IPs (dotted quads must not be half-eaten by the
+#: phone pattern), then phones.
+_PII_ORDER = ("email", "ip", "phone")
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before tokenization: emails / IPv4s / phone-shaped numbers
+    replaced by ``<EMAIL>`` / ``<IP>`` / ``<PHONE>`` tokens, with
+    per-kind match counts (taken on the ORIGINAL text) for audit
+    sampling.
+
+    Pure ``regexp_replace`` / ``regexp_extract_all`` Catalyst
+    expressions: whole-stage codegen'd, zero shuffle, linear in the
+    scan — the shape any per-row scrub must have at 100 TB.
+    """
+    t = F.col(text_col)
+    redacted = t
+    for name in _PII_ORDER:
+        redacted = F.regexp_replace(
+            redacted, PII_PATTERNS[name], f"<{name.upper()}>"
+        )
+    counts = [
+        F.size(
+            F.regexp_extract_all(t, F.lit(PII_PATTERNS[name]), F.lit(0))
+        )
+        .cast("long")
+        .alias(f"n_{name}s")
+        for name in _PII_ORDER
+    ]
+    return df.select("doc_id", redacted.alias("redacted"), *counts)

@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kafka_sparkstreaming_sbt_spark.functions.scalar import (
+    reparse_timestamp_whole_seconds,
+)
 from kafka_sparkstreaming_sbt_spark.schemas import TRANSACTION_SCHEMA
 
 
@@ -71,6 +74,12 @@ def parse_transactions(
        that NULLs any timestamp carrying sub-second precision and
        truncates the rest to whole seconds.  Controlled by
        ``reparse_timestamp`` so correctness-mode callers can skip it.
+       Implemented via ``reparse_timestamp_whole_seconds`` which uses
+       ``try_to_timestamp``: the reference runs Spark 3.5 where parse
+       failure yields NULL, but under Spark 4's ANSI default a plain
+       ``to_timestamp`` would THROW on the first sub-second timestamp
+       — and in streaming that exception is upstream of foreachBatch,
+       killing the whole query regardless of ``swallow_errors``.
     """
     parsed = (
         df.selectExpr(f"CAST({value_col} AS STRING) AS value")
@@ -79,10 +88,7 @@ def parse_transactions(
     )
     if reparse_timestamp and "timestamp" in parsed.columns:
         parsed = parsed.withColumn(
-            "timestamp",
-            F.to_timestamp(
-                F.col("timestamp").cast("string"), "yyyy-MM-dd HH:mm:ss"
-            ),
+            "timestamp", reparse_timestamp_whole_seconds(F.col("timestamp"))
         )
     return parsed
 

@@ -114,3 +114,63 @@ def test_avro_gated(spark):
             decode_avro(F.col("x"), '{"type":"string"}')
         except ImportError as e:
             assert "spark-avro" in str(e)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_small):
+    """The co-located join layout: orders and lineitem bucketed the
+    same way on the join key join with ZERO Exchange — the write-time
+    shuffle is paid once, every subsequent join is free.  (Broadcast
+    disabled for the assertion: at real scale neither fact side fits
+    in a broadcast.)"""
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+    from kafka_sparkstreaming_sbt_spark.sources.files import (
+        write_bucketed_table,
+    )
+
+    write_bucketed_table(
+        read_table(spark, sf_small, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ),
+        "orders_bkt",
+        bucket_by=["o_orderkey"],
+        n_buckets=4,
+        sort_by=["o_orderkey"],
+    )
+    write_bucketed_table(
+        read_table(spark, sf_small, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ),
+        "lineitem_bkt",
+        bucket_by=["l_orderkey"],
+        n_buckets=4,
+        sort_by=["l_orderkey"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("orders_bkt")
+        li = spark.table("lineitem_bkt")
+        joined = o.join(
+            li, o["o_orderkey"] == li["l_orderkey"]
+        ).groupBy("o_orderkey").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+        # same join against the unbucketed parquet shuffles both sides
+        o_raw = read_table(spark, sf_small, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        li_raw = read_table(spark, sf_small, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        raw_plan = (
+            o_raw.join(li_raw, o_raw["o_orderkey"] == li_raw["l_orderkey"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" in raw_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")

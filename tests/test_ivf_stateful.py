@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 from kafka_sparkstreaming_sbt_spark.operators.similarity import (
     cosine_topk,
     ivf_assign,
+    ivf_kmeans_topk,
     ivf_topk,
+    kmeans_centroids,
 )
 from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
 from kafka_sparkstreaming_sbt_spark.sources.kafka import parse_transactions
@@ -48,6 +50,38 @@ def test_ivf_topk_shape_and_recall(spark, sf_small):
     got = {(r.query_id, r.neighbor_id) for r in ivf}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.25, f"recall@10 {recall:.2f} suspiciously low"
+
+
+def test_kmeans_centroids_shape(spark, sf_small):
+    """Seeded Lloyd quantizer: ~sqrt(N) cells by default, full vector
+    dim, contiguously-usable cell ids, deterministic across runs."""
+    emb = read_table(spark, sf_small, "embeddings")
+    cent = kmeans_centroids(emb)
+    rows = cent.collect()
+    n = emb.count()
+    assert 2 <= len(rows) <= int(n**0.5) + 1
+    assert all(len(r.c_vec) == 64 for r in rows)
+    # deterministic: same seed -> same centroids (single-engine rerun)
+    again = {r.cell_id: r.c_vec for r in kmeans_centroids(emb).collect()}
+    assert {r.cell_id: r.c_vec for r in rows} == again
+
+
+def test_ivf_kmeans_topk_recall(spark, sf_small):
+    """VERDICT r1 #7: the REAL k-means quantizer, recall-gated against
+    brute force (cell means are float-order engine-sensitive, so an
+    exact SQL oracle is the wrong gate).  Probing 4 of ~22 cells scans
+    ~18% of the corpus; random cells would recall ~0.18 — k-means
+    locality must do meaningfully better."""
+    emb = read_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    ivf = ivf_kmeans_topk(emb, queries, k=10, n_probe=4).collect()
+    assert len(ivf) == 20 * 10
+    assert all(1 <= r.rank <= 10 for r in ivf)
+    brute = cosine_topk(emb, queries, k=10).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in brute}
+    got = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4, f"recall@10 {recall:.2f} below k-means floor"
 
 
 def _txn_json(txn_id, cust, ts, amount):

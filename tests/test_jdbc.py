@@ -1,0 +1,176 @@
+"""LIVE JDBC round-trip (SURVEY.md §2 S4/K2 — reference
+CustomerSpendingIntegrationTest.scala:331-380, :468-496 run the same
+checks against Postgres).
+
+No external database or network: Apache Derby's embedded engine ships
+inside Spark's own jar directory, so ``jdbc:derby:memory:`` gives a
+real JDBC server in-process.  These tests EXECUTE ``jdbc_reader`` /
+``write_jdbc_append`` — schema mapping, batching, append mode, and the
+§2.9 PK-violation swallow semantics — not just option plumbing.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_sparkstreaming_sbt_spark.sources.jdbc import (
+    JdbcConfig,
+    jdbc_reader,
+    write_jdbc_append,
+)
+from kafka_sparkstreaming_sbt_spark.streaming.sinks import (
+    start_foreach_batch_sink,
+)
+
+DERBY_URL = "jdbc:derby:memory:jdbctest;create=true"
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+DAILY_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.StringType(), False),
+        T.StructField("transaction_date", T.DateType(), False),
+        T.StructField("total_spent", T.DoubleType(), True),
+    ]
+)
+
+
+def _cfg(table: str) -> JdbcConfig:
+    return JdbcConfig(
+        url=DERBY_URL, table=table, driver=DERBY_DRIVER, num_partitions=2
+    )
+
+
+def _exec_ddl(spark, sql: str) -> None:
+    conn = spark._jvm.java.sql.DriverManager.getConnection(DERBY_URL)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate(sql)
+        st.close()
+    finally:
+        conn.close()
+
+
+@pytest.fixture()
+def daily_table(spark):
+    """A fresh PK'd daily-spending table per test (the reference's
+    Postgres sink table, IT:55-63)."""
+    name = f"daily_{abs(hash(tempfile.mktemp())) % 10_000_000}"
+    _exec_ddl(
+        spark,
+        f"CREATE TABLE {name} ("
+        "customer_id VARCHAR(32) NOT NULL, "
+        "transaction_date DATE NOT NULL, "
+        "total_spent DOUBLE, "
+        "PRIMARY KEY (customer_id, transaction_date))",
+    )
+    yield name
+    _exec_ddl(spark, f"DROP TABLE {name}")
+
+
+def _daily_df(spark, rows):
+    return spark.createDataFrame(
+        [(c, dt.date.fromisoformat(d), v) for c, d, v in rows],
+        DAILY_SCHEMA,
+    )
+
+
+def _read_back(spark, table: str):
+    df = jdbc_reader(spark, _cfg(table)).load()
+    return {
+        (r.CUSTOMER_ID, str(r.TRANSACTION_DATE), r.TOTAL_SPENT)
+        for r in df.collect()
+    }
+
+
+def test_jdbc_write_then_read_back(spark, daily_table):
+    """IT:331-347 analog: append a daily rollup, read it back via the
+    JDBC source, values and schema survive the round trip."""
+    rows = [("1", "2025-03-10", 250.0), ("2", "2025-03-10", 99.5)]
+    write_jdbc_append(_daily_df(spark, rows), _cfg(daily_table))
+    assert _read_back(spark, daily_table) == {
+        ("1", "2025-03-10", 250.0),
+        ("2", "2025-03-10", 99.5),
+    }
+    # appends accumulate (mode is append, not overwrite)
+    write_jdbc_append(
+        _daily_df(spark, [("3", "2025-03-11", 10.0)]), _cfg(daily_table)
+    )
+    assert len(_read_back(spark, daily_table)) == 3
+
+
+def test_jdbc_pk_violation_raises_and_rolls_back(spark, daily_table):
+    """IT:468-496 analog: appending rows whose (customer, date) key
+    already exists violates the PRIMARY KEY; the failed partition is
+    rolled back, leaving the table unchanged."""
+    rows = [("1", "2025-03-10", 250.0)]
+    write_jdbc_append(_daily_df(spark, rows), _cfg(daily_table))
+    with pytest.raises(Exception, match="(?i)duplicate key|constraint"):
+        write_jdbc_append(_daily_df(spark, rows), _cfg(daily_table))
+    assert _read_back(spark, daily_table) == {("1", "2025-03-10", 250.0)}
+
+
+def _stream_one_batch(spark, d: str, payload: dict):
+    tmp = f"{d}/.b0.tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(payload) + "\n")
+    shutil.move(tmp, f"{d}/b0.txt")
+    raw = spark.readStream.format("text").load(d)
+    return raw.select(
+        F.get_json_object("value", "$.customer_id").alias("customer_id"),
+        F.to_date(F.get_json_object("value", "$.transaction_date")).alias(
+            "transaction_date"
+        ),
+        F.get_json_object("value", "$.total_spent")
+        .cast("double")
+        .alias("total_spent"),
+    )
+
+
+@pytest.mark.parametrize("swallow", [True, False])
+def test_streaming_pk_append_swallow_modes(spark, daily_table, swallow):
+    """§2.9: the reference's foreachBatch JDBC append swallows
+    PK-violation batches (log-and-continue, at-least-once with silent
+    drop); strict mode must surface the failure instead.  Driven
+    against a REAL PK'd table through a real streaming query."""
+    write_jdbc_append(
+        _daily_df(spark, [("1", "2025-03-10", 250.0)]), _cfg(daily_table)
+    )
+    d = tempfile.mkdtemp()
+    try:
+        dup = {
+            "customer_id": "1",
+            "transaction_date": "2025-03-10",
+            "total_spent": 250.0,
+        }
+        stream = _stream_one_batch(spark, d, dup)
+        q = start_foreach_batch_sink(
+            stream,
+            lambda batch_df, _id: write_jdbc_append(
+                batch_df, _cfg(daily_table)
+            ),
+            output_mode="append",
+            checkpoint_location=tempfile.mkdtemp(),
+            swallow_errors=swallow,
+        )
+        try:
+            if swallow:
+                q.processAllAvailable()  # logs and continues
+                assert q.exception() is None
+            else:
+                with pytest.raises(Exception):
+                    q.processAllAvailable()
+        finally:
+            q.stop()
+        # either way the duplicate row never lands twice
+        assert _read_back(spark, daily_table) == {
+            ("1", "2025-03-10", 250.0)
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -54,6 +54,41 @@ def test_ann_corpus_never_shuffled_before_scoring(spark, sf_small):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_ann_rank_pruned_map_side(spark, sf_small):
+    """The rank <= k filter must compile to Catalyst's partial
+    WindowGroupLimit BELOW the exchange — each map partition keeps only
+    its k best rows per query, so the shuffle carries Q x k x P rows,
+    never the full Q x N scored set."""
+    for q in (entry_mod.q_ann_cosine_topk, entry_mod.q_ivf_topk):
+        lines = _physical(q(spark, sf_small)).splitlines()
+        partial = [
+            i
+            for i, l in enumerate(lines)
+            if "WindowGroupLimit" in l and "Partial" in l
+        ]
+        exchange = [
+            i
+            for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(query_id" in l
+        ]
+        assert partial and exchange
+        # toString prints children below parents: the map-side Partial
+        # limit must sit UPSTREAM of (printed after) the rank exchange
+        assert partial[-1] > exchange[0]
+
+
+def test_global_topk_has_no_window_operator(spark, sf_small):
+    """top_customers / top_tokens: global top-k must be
+    TakeOrderedAndProject (per-partition bounded heap, k-row merge) +
+    a k-row rank join — never a partition-less global window funneling
+    the whole aggregate through one task (r1's confirmed
+    scale-killer)."""
+    for q in (entry_mod.q_top_customers, entry_mod.q_top_tokens):
+        plan = _physical(q(spark, sf_small))
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan  # no WindowExec of any kind
+
+
 def test_anti_join_pushes_quantity_filter(spark, sf_small):
     df = entry_mod.q_parts_without_bulk(spark, sf_small)
     plan = _physical(df)

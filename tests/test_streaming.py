@@ -22,7 +22,10 @@ from kafka_sparkstreaming_sbt_spark.streaming.pipeline import (
     aggregate_transactions,
     run_spending_pipeline,
 )
-from kafka_sparkstreaming_sbt_spark.streaming.sinks import start_memory_sink
+from kafka_sparkstreaming_sbt_spark.streaming.sinks import (
+    start_foreach_batch_sink,
+    start_memory_sink,
+)
 
 
 def _txn_json(txn_id, cust, ts, amount, status="Success"):
@@ -403,3 +406,88 @@ def test_full_pipeline_collector(spark, stream_dir):
         q.stop()
     daily = {(r.customer_id, str(r.transaction_date), r.total_spent) for r in collected}
     assert daily == {("1", "2025-03-10", 250.0)}
+
+
+def test_subsecond_timestamp_streaming_reparse_yields_null(spark, stream_dir):
+    """ADVICE r1 (high): under Spark 4's ANSI default a plain
+    ``to_timestamp`` THROWS on sub-second timestamps — upstream of
+    foreachBatch, so it would kill the query regardless of
+    swallow_errors.  parse_transactions must reproduce the reference's
+    Spark 3.5 semantics instead (CSA:42): sub-second -> NULL, whole
+    seconds -> truncated round trip.  This drives a sub-second
+    timestamp through the real STREAMING path."""
+    _write_batch(
+        stream_dir,
+        "b0",
+        [
+            _txn_json("ss1", "1", "2025-03-10T12:01:00.123Z", 100.0),
+            _txn_json("ss2", "2", "2025-03-10T12:02:00Z", 50.0),
+        ],
+    )
+    parsed = parse_transactions(_read_value_stream(spark, stream_dir))
+    q = start_memory_sink(parsed, "subsecond_txns", output_mode="append")
+    try:
+        q.processAllAvailable()  # would raise CANNOT_PARSE_TIMESTAMP pre-fix
+        rows = spark.sql(
+            "SELECT transaction_id, timestamp FROM subsecond_txns ORDER BY 1"
+        ).collect()
+    finally:
+        q.stop()
+    by_id = {r.transaction_id: r.timestamp for r in rows}
+    assert by_id["ss1"] is None  # sub-second -> NULL (quirk parity)
+    assert by_id["ss2"] is not None  # whole-second round-trips
+
+
+def test_multi_query_per_source(spark, stream_dir):
+    """Reference CSAN1:88-145 / SURVEY §3.2: SEVERAL concurrent
+    StreamingQueries hang off ONE source plan — a memory-sink raw tap
+    and a foreachBatch aggregation — and each makes progress
+    independently (own offsets, own trigger cadence)."""
+    _write_batch(
+        stream_dir,
+        "b0",
+        [
+            _txn_json("m1", "1", "2025-03-10T12:01:00Z", 100.0),
+            _txn_json("m2", "2", "2025-03-10T12:02:00Z", 50.0),
+        ],
+    )
+    parsed = parse_transactions(_read_value_stream(spark, stream_dir))
+
+    batches: list = []
+
+    def collect_batch(batch_df, batch_id):
+        batches.extend(batch_df.collect())
+
+    q_raw = start_memory_sink(parsed, "multi_raw", output_mode="append")
+    q_agg = start_foreach_batch_sink(
+        parsed.groupBy("customer_id").agg(F.sum("amount").alias("total")),
+        collect_batch,
+        output_mode="update",
+        checkpoint_location=tempfile.mkdtemp(),
+        query_name="multi_agg",
+        swallow_errors=False,
+    )
+    try:
+        q_raw.processAllAvailable()
+        q_agg.processAllAvailable()
+        n_raw_b0 = spark.sql("SELECT COUNT(*) FROM multi_raw").first()[0]
+        n_agg_b0 = len({(r.customer_id, r.total) for r in batches})
+        # both queries advance again on a second file
+        _write_batch(
+            stream_dir,
+            "b1",
+            [_txn_json("m3", "1", "2025-03-10T12:03:00Z", 25.0)],
+        )
+        q_raw.processAllAvailable()
+        q_agg.processAllAvailable()
+        n_raw_b1 = spark.sql("SELECT COUNT(*) FROM multi_raw").first()[0]
+    finally:
+        q_raw.stop()
+        q_agg.stop()
+    assert n_raw_b0 == 2 and n_raw_b1 == 3
+    assert n_agg_b0 == 2  # both customers aggregated in batch 0
+    totals = {(r.customer_id, r.total) for r in batches}
+    assert ("1", 125.0) in totals  # batch 1 re-aggregated customer 1
+    # independent progress: each query tracked its own offsets
+    assert q_raw.lastProgress["numInputRows"] >= 1
+    assert q_agg.lastProgress is not None
