@@ -60,9 +60,15 @@ from kafka_sparkstreaming_sbt_spark.operators.sampling import (  # noqa: E402
     deterministic_sample,
     with_split,
 )
+from kafka_sparkstreaming_sbt_spark.operators.cdc import (  # noqa: E402
+    latest_by_key,
+)
 from kafka_sparkstreaming_sbt_spark.operators.rollup import (  # noqa: E402
     daily_rollup_deterministic,
     daily_spending_direct,
+)
+from kafka_sparkstreaming_sbt_spark.operators.skew import (  # noqa: E402
+    salted_sum,
 )
 from kafka_sparkstreaming_sbt_spark.operators.similarity import (  # noqa: E402
     _hyperplanes,
@@ -85,6 +91,7 @@ from kafka_sparkstreaming_sbt_spark.operators.text import (  # noqa: E402
     lang_id,
     quality_score,
     redact_pii,
+    tf_idf,
     token_stats,
 )
 from kafka_sparkstreaming_sbt_spark.operators.windows import (  # noqa: E402
@@ -654,6 +661,45 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_skewed_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation wired into the gate: per-type
+    event totals where 5 event types own ALL rows — exactly the
+    hot-key shape where one final-stage reducer becomes the straggler.
+    Deterministic salt (xxhash64 of the unique event id) spreads each
+    hot key over 32 reducers; the result is salt-invariant, so the
+    oracle is the plain GROUP BY sum."""
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    out = salted_sum(
+        events, ["event_type"], "value", buckets=32, salt_on="event_id"
+    )
+    return out.select(
+        "event_type", F.round("sum_value", 2).alias("total_value")
+    )
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot compaction: each user's latest event (ties
+    on ts broken by event id) via a single partial->final max_by
+    aggregation — |users| rows shuffle, not |events|; the oracle
+    spells the same thing as a rank window."""
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    out = latest_by_key(events, ["user_id"], "ts", tie_break="event_id")
+    return out.withColumn("value", F.round("value", 2))
+
+
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF per (doc, token): exploded postings -> partial
+    counts; doc-length / doc-frequency aggregates over the counts
+    table; lazy broadcast scalar for N."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return tf_idf(docs)
+
+
 def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible train/valid/test assignment + per-split stats:
     deterministic content-hash bucketing, identical on any engine and
@@ -832,6 +878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_quantiles": q_quantity_quantiles,
         "value_histogram": q_value_histogram,
         "top_tokens": q_top_tokens,
+        "skewed_event_totals": q_skewed_event_totals,
+        "latest_event_per_user": q_latest_event_per_user,
+        "tf_idf": q_tf_idf,
     }
 
 
@@ -1257,6 +1306,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, n,
                row_number() OVER (ORDER BY n DESC, token) AS rank
         FROM g QUALIFY rank <= 20
+        """,
+        # salted_sum is salt-invariant: the oracle is the plain sum
+        "skewed_event_totals": """
+        SELECT event_type, ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1
+        """,
+        "latest_event_per_user": """
+        SELECT user_id, event_id, ts, event_type,
+               ROUND(value, 2) AS value
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "tf_idf": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        counts AS (
+          SELECT doc_id, token, COUNT(*) AS tf_count
+          FROM toks GROUP BY 1, 2
+        ),
+        dl AS (SELECT doc_id, CAST(SUM(tf_count) AS BIGINT) AS n_tokens
+               FROM counts GROUP BY 1),
+        dfreq AS (SELECT token, COUNT(*) AS doc_freq
+                  FROM counts GROUP BY 1),
+        total AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        SELECT c.doc_id, c.token,
+               ROUND(c.tf_count / dl.n_tokens, 6) AS tf,
+               dfreq.doc_freq,
+               ROUND(ln(total.n_docs / dfreq.doc_freq), 6) AS idf,
+               ROUND((c.tf_count / dl.n_tokens)
+                     * ln(total.n_docs / dfreq.doc_freq), 6) AS tf_idf
+        FROM counts c
+        JOIN dl USING (doc_id)
+        JOIN dfreq USING (token)
+        CROSS JOIN total
         """,
         "order_status_pivot": """
         SELECT o_orderpriority,

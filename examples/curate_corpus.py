@@ -1,0 +1,139 @@
+"""End-to-end training-data curation pipeline — the user-facing chain
+of this engine's LLM-data operators over a documents parquet table:
+
+    quality scoring -> language ID -> PII redaction -> exact dedup ->
+    MinHash near-dup groups (transitive) -> keep one doc per group ->
+    deterministic train/valid/test split -> partitioned parquet lake
+    write + one-line JSON report.
+
+Every stage is a DataFrame transform from the library (zero driver
+loops, zero Python row-UDFs); the whole pipeline is lazy until the
+single write at the end, so Catalyst prunes/pushes across stage
+boundaries.  Deterministic end to end: re-running on the same input
+produces byte-identical output (content-hash splits, no RNG).
+
+    python examples/curate_corpus.py \
+        --input /root/testdata/sf0.01 --output /tmp/curated \
+        [--jaccard-threshold 0.5] [--min-quality 0.3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
+    minhash_near_dup_pairs,
+)
+from kafka_sparkstreaming_sbt_spark.operators.graph import near_dup_groups
+from kafka_sparkstreaming_sbt_spark.operators.sampling import with_split
+from kafka_sparkstreaming_sbt_spark.operators.text import (
+    exact_dedup_groups,
+    lang_id,
+    quality_score,
+    redact_pii,
+)
+from kafka_sparkstreaming_sbt_spark.session import get_spark
+from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+
+def curate(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    jaccard_threshold: float = 0.5,
+    min_quality: float = 0.3,
+) -> dict:
+    """Run the curation chain; returns the per-stage count report."""
+    docs = read_table(spark, input_dir, "documents")
+    n_input = docs.count()
+
+    # annotate: quality + language (pure per-row maps, no shuffle)
+    scored = quality_score(docs).select(
+        "doc_id", "quality_score"
+    )
+    langs = lang_id(docs).select("doc_id", "detected_lang")
+
+    # exact dedup: keep the minimum doc_id per identical content
+    exact_keep = exact_dedup_groups(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+
+    # near-dup dedup: transitive MinHash groups, keep group minimum
+    pairs = minhash_near_dup_pairs(
+        docs, shingle_n=3, n_bands=8, threshold=jaccard_threshold
+    ).select("doc_a", "doc_b")
+    groups = near_dup_groups(docs, pairs)
+    near_keep = groups.filter(
+        F.col("doc_id") == F.col("group_id")
+    ).select("doc_id")
+
+    kept = (
+        docs.join(exact_keep, "doc_id", "left_semi")
+        .join(near_keep, "doc_id", "left_semi")
+        .join(scored, "doc_id")
+        .join(langs, "doc_id")
+        .filter(F.col("quality_score") >= min_quality)
+    )
+
+    # redact AFTER dedup (why scrub text you are about to drop), then
+    # attach the deterministic split and write the curated lake
+    redacted = redact_pii(kept).select(
+        "doc_id", "redacted", "n_emails", "n_ips", "n_phones"
+    )
+    curated = (
+        kept.select(
+            "doc_id", "lang", "source", "quality_score", "detected_lang"
+        )
+        .join(redacted, "doc_id")
+        .withColumnRenamed("redacted", "text")
+    )
+    final = with_split(curated.withColumn("n_chars", F.length("text")), "doc_id")
+    final.write.mode("overwrite").partitionBy("split").parquet(output_dir)
+
+    out = spark.read.parquet(output_dir)
+    report = {
+        "input_docs": n_input,
+        "curated_docs": out.count(),
+        "by_split": {
+            r.split: r.n
+            for r in out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        },
+        "pii_redactions": out.agg(
+            F.sum(
+                F.col("n_emails") + F.col("n_ips") + F.col("n_phones")
+            ).alias("s")
+        ).first().s,
+    }
+    return report
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="dir with documents.parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--jaccard-threshold", type=float, default=0.5)
+    p.add_argument("--min-quality", type=float, default=0.3)
+    args = p.parse_args()
+    spark = get_spark(app_name="curate-corpus")
+    report = curate(
+        spark,
+        args.input,
+        args.output,
+        args.jaccard_threshold,
+        args.min_quality,
+    )
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,7 @@ def salted_sum(
     value_col: str,
     buckets: int = 32,
     out_col: str | None = None,
+    salt_on: str | None = None,
 ) -> DataFrame:
     """Two-phase aggregation for extreme key skew: partial sums on
     (key, salt) spread a hot key over ``buckets`` reducers, the final
@@ -68,9 +69,20 @@ def salted_sum(
 
     Map-side partial aggregation already bounds shuffle VOLUME; what
     this fixes is the single final-stage reducer owning a hot key's
-    every partial row when upstream partition count is large."""
+    every partial row when upstream partition count is large.
+
+    ``salt_on``: name of a (unique-ish) column to derive the salt from
+    via ``xxhash64`` — fully DETERMINISTIC, independent of
+    partitioning and row order, so results are bit-reproducible across
+    runs and engines (the driver-gate query uses this).  Without it
+    the salt falls back to seeded ``rand`` (per-partition streams —
+    deterministic only for a fixed partitioning)."""
     out_col = out_col or f"sum_{value_col}"
-    salted = df.withColumn("_salt", (F.rand(seed=42) * buckets).cast("int"))
+    if salt_on is not None:
+        salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets))
+    else:
+        salt = (F.rand(seed=42) * buckets).cast("int")
+    salted = df.withColumn("_salt", salt)
     partial = salted.groupBy(*key_cols, "_salt").agg(
         F.sum(value_col).alias("_partial")
     )

@@ -218,3 +218,51 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         for name in _PII_ORDER
     ]
     return df.select("doc_id", redacted.alias("redacted"), *counts)
+
+
+def tf_idf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-(document, token) TF-IDF — the classic corpus-statistics
+    feature for retrieval/quality pipelines.
+
+    tf = token count in doc / doc token count; idf = ln(N / doc_freq)
+    (raw variant — every input to the double math is an exact integer
+    ratio, so Spark and the SQL oracle compute bit-identical values).
+
+    Scale shape: explode -> partial->final (doc, token) count, then
+    two aggregations over the COUNTS table (doc lengths, document
+    frequencies — both orders of magnitude smaller than the postings),
+    a scalar corpus count kept LAZY via a broadcast cross join (no
+    driver-side action inside the builder), and broadcast-friendly
+    dimension joins back onto the postings.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    counts = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf_count")
+    )
+    doc_len = counts.groupBy(id_col).agg(
+        F.sum("tf_count").alias("n_tokens")
+    )
+    dfreq = counts.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    total = df.select(F.countDistinct(id_col).alias("n_docs"))
+    tf = F.col("tf_count") / F.col("n_tokens")
+    idf = F.ln(F.col("n_docs") / F.col("doc_freq"))
+    return (
+        counts.join(doc_len, id_col)
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "token",
+            F.round(tf, 6).alias("tf"),
+            "doc_freq",
+            F.round(idf, 6).alias("idf"),
+            F.round(tf * idf, 6).alias("tf_idf"),
+        )
+    )

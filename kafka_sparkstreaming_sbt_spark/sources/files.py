@@ -90,3 +90,32 @@ def write_bucketed_table(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction — the maintenance pass every streaming-
+    fed lake table needs: micro-batch sinks leave thousands of KB-size
+    files whose per-file open/footer cost eventually dominates scans.
+
+    Sizes the output from the Hadoop FileSystem listing (no data
+    scan): ``ceil(input_bytes / target_file_bytes)`` files, rewritten
+    via ``repartition`` (round-robin — even output sizes; ``coalesce``
+    would merge neighbors and inherit their skew).  Returns the output
+    file count."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    spark.read.parquet(src_path).repartition(n_files).write.mode(
+        mode
+    ).parquet(dest_path)
+    return n_files

@@ -1,0 +1,33 @@
+"""End-to-end curation example: the full LLM-data chain (quality ->
+lang-id -> exact dedup -> MinHash transitive dedup -> PII redaction ->
+deterministic split -> partitioned lake write) over driver testdata."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"),
+)
+
+from curate_corpus import curate  # noqa: E402
+
+
+def test_curate_corpus_end_to_end(spark, sf_small):
+    out = tempfile.mkdtemp()
+    report = curate(spark, sf_small, out)
+    assert 0 < report["curated_docs"] <= report["input_docs"]
+    # dedup stages must actually drop something on this corpus (it
+    # contains planted exact and near duplicates)
+    assert report["curated_docs"] < report["input_docs"]
+    assert set(report["by_split"]) <= {"train", "valid", "test"}
+    # deterministic: a second run over the same input is identical
+    out2 = tempfile.mkdtemp()
+    report2 = curate(spark, sf_small, out2)
+    assert report == report2
+    a = spark.read.parquet(out).orderBy("doc_id").collect()
+    b = spark.read.parquet(out2).orderBy("doc_id").collect()
+    assert a == b

@@ -174,3 +174,32 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_small):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_compact_parquet_reduces_file_count(spark, tmpdir):
+    """Compaction sizes output from the FS listing (no data scan) and
+    preserves content exactly."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from kafka_sparkstreaming_sbt_spark.sources.files import (
+        compact_parquet,
+    )
+
+    src = f"{tmpdir}/small_files"
+    dest = f"{tmpdir}/compacted"
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(
+        64
+    ).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+    n = compact_parquet(spark, src, dest, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{dest}/part-*.parquet")) == 1
+    a = spark.read.parquet(src).agg(
+        F.count(F.lit(1)), F.sum("v")
+    ).first()
+    b = spark.read.parquet(dest).agg(
+        F.count(F.lit(1)), F.sum("v")
+    ).first()
+    assert tuple(a) == tuple(b)

@@ -77,6 +77,27 @@ def test_ann_rank_pruned_map_side(spark, sf_small):
         assert partial[-1] > exchange[0]
 
 
+def test_latest_by_key_is_partial_aggregate_not_window(spark, sf_small):
+    """CDC latest-by-key must be a partial->final max_by aggregate —
+    |keys| rows shuffle — never the rank-window spelling that shuffles
+    every update row."""
+    plan = _physical(entry_mod.q_latest_event_per_user(spark, sf_small))
+    assert "Window" not in plan
+    # struct-ordered max_by compiles to SortAggregate; the load-bearing
+    # property is the MAP-SIDE partial (each partition reduces to one
+    # candidate per key before the single exchange)
+    assert "partial_max_by" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_skewed_totals_two_phase_aggregation(spark, sf_small):
+    """salted_sum: (key, salt) partial phase then key phase — two
+    exchanges, four HashAggregate nodes (partial+final each)."""
+    plan = _physical(entry_mod.q_skewed_event_totals(spark, sf_small))
+    assert plan.count("HashAggregate") >= 4
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_global_topk_has_no_window_operator(spark, sf_small):
     """top_customers / top_tokens: global top-k must be
     TakeOrderedAndProject (per-partition bounded heap, k-row merge) +
