@@ -39,6 +39,7 @@ from kafka_sparkstreaming_sbt_spark.session import get_spark
 from kafka_sparkstreaming_sbt_spark.sources.jdbc import (
     JdbcConfig,
     write_jdbc_append,
+    write_jdbc_upsert,
 )
 from kafka_sparkstreaming_sbt_spark.sources.kafka import (
     parse_transactions,
@@ -102,6 +103,14 @@ def main() -> None:
         help="fail the query on sink errors instead of swallowing them",
     )
     p.add_argument(
+        "--upsert",
+        action="store_true",
+        help="correctness-mode sink (SURVEY §7.4): idempotent staged "
+        "MERGE on (customer_id, transaction_date) instead of the "
+        "reference's append-and-swallow; requires a <table>_staging "
+        "sibling with the target schema",
+    )
+    p.add_argument(
         "--demo",
         action="store_true",
         help="rate-source producer + console sink; no Kafka/Postgres",
@@ -146,8 +155,17 @@ def main() -> None:
             password=conf["db.password"],
         )
 
-        def write_daily(df):
-            write_jdbc_append(df, cfg)
+        if args.upsert:
+
+            def write_daily(df):
+                write_jdbc_upsert(
+                    df, cfg, ["customer_id", "transaction_date"]
+                )
+
+        else:
+
+            def write_daily(df):
+                write_jdbc_append(df, cfg)
 
     query = run_spending_pipeline(
         txns,

@@ -119,3 +119,26 @@ def compact_parquet(
         mode
     ).parquet(dest_path)
     return n_files
+
+
+def write_range_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted lake layout — the third layout lever
+    after hive partitioning (directory pruning) and bucketing
+    (co-located joins): ``repartitionByRange`` gives globally
+    range-disjoint files and the within-file sort gives tight
+    parquet row-group min/max statistics, so selective predicates on
+    ``sort_cols`` (typically event time) skip whole files and row
+    groups at scan time.  The standard layout for time-series fact
+    tables queried by time range."""
+    out = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

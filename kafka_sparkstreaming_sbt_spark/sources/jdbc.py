@@ -1,10 +1,16 @@
-"""JDBC batch source / sink options (SURVEY.md §2.1 S4, §2.2 K2).
+"""JDBC batch source / sink (SURVEY.md §2.1 S4, §2.2 K2).
 
 The reference reads back its Postgres sink table in tests
 (CustomerSpendingIntegrationTest.scala:340-347, :486-493) and appends
-per micro-batch (CustomerSpendingAnalysis.scala:110-118).  No JDBC
-driver jar ships in this environment, so these helpers only *build*
-the reader/writer — tests exercise option plumbing, not a live DB.
+per micro-batch (CustomerSpendingAnalysis.scala:110-118), swallowing
+PK violations (CSA:172-175).  These helpers are LIVE-tested in
+tests/test_jdbc.py against the embedded Derby engine that ships in
+Spark's jar directory (``jdbc:derby:memory:``) — round trips, PK
+rollback, both swallow modes, and the idempotent upsert.
+
+``write_jdbc_upsert`` is the §7.4 "correctness mode": checkpoint +
+idempotent sink = effectively-once delivery, replacing the
+reference's swallow-and-drop contract.
 """
 
 from __future__ import annotations
@@ -62,4 +68,61 @@ def write_jdbc_append(df: DataFrame, cfg: JdbcConfig) -> None:
         .option("batchsize", str(cfg.batchsize))
         .mode("append")
         .save()
+    )
+
+
+def _exec_statements(spark: SparkSession, cfg: JdbcConfig, *stmts: str) -> None:
+    """Run DDL/DML on the driver over a plain JDBC connection (the
+    Spark JDBC writer only does INSERT; staging cleanup and MERGE are
+    single statements the database runs server-side)."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(
+        cfg.url, cfg.user or None, cfg.password or None
+    )
+    try:
+        st = conn.createStatement()
+        for sql in stmts:
+            st.executeUpdate(sql)
+        st.close()
+    finally:
+        conn.close()
+
+
+def write_jdbc_upsert(
+    df: DataFrame,
+    cfg: JdbcConfig,
+    key_cols: list[str],
+    staging_table: str | None = None,
+) -> None:
+    """IDEMPOTENT per-batch upsert — the correctness-mode sink
+    (SURVEY.md §7.4): with a checkpointed foreachBatch, a replayed
+    micro-batch re-stages the same rows and the MERGE converges to the
+    same table state, so delivery is effectively-once — no swallowed
+    PK errors, no silent drops, no duplicates.
+
+    Standard Spark JDBC upsert shape (the JDBC datasource has no merge
+    mode): (1) truncate + parallel-append the batch into a staging
+    table (executors stream partitions concurrently, exactly like the
+    plain append path); (2) one server-side ``MERGE`` from staging
+    into the target — a single atomic statement, and the only
+    driver-side step is issuing it.  The staging table must exist with
+    the target's schema.
+    """
+    staging = staging_table or f"{cfg.table}_staging"
+    _exec_statements(df.sparkSession, cfg, f"DELETE FROM {staging}")
+    write_jdbc_append(
+        df, JdbcConfig(**{**cfg.__dict__, "table": staging})
+    )
+    non_keys = [c for c in df.columns if c not in key_cols]
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    set_clause = ", ".join(f"t.{c} = s.{c}" for c in non_keys)
+    cols = ", ".join(df.columns)
+    vals = ", ".join(f"s.{c}" for c in df.columns)
+    _exec_statements(
+        df.sparkSession,
+        cfg,
+        f"MERGE INTO {cfg.table} t USING {staging} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})",
+        f"DELETE FROM {staging}",
     )

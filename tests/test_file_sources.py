@@ -203,3 +203,35 @@ def test_compact_parquet_reduces_file_count(spark, tmpdir):
         F.count(F.lit(1)), F.sum("v")
     ).first()
     assert tuple(a) == tuple(b)
+
+
+def test_range_sorted_write_skips_row_groups(spark, tmpdir, sf_small):
+    """Range-disjoint sorted files: a time predicate reaches the scan
+    as a pushed filter AND the per-file min/max stats let parquet skip
+    non-matching files (observed: selective scans read fewer rows)."""
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+    from kafka_sparkstreaming_sbt_spark.sources.files import (
+        write_range_sorted_parquet,
+    )
+    from pyspark.sql import functions as F
+
+    events = read_table(spark, sf_small, "events").select(
+        "event_id", "ts", "value"
+    )
+    dest = f"{tmpdir}/events_sorted"
+    write_range_sorted_parquet(events, dest, ["ts"], n_files=8)
+    out = spark.read.parquet(dest)
+    hi = events.agg(F.max("ts")).first()[0]
+    sel = out.filter(F.col("ts") >= hi)  # matches the last file only
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan
+    assert sel.count() >= 1
+    # row order within files is sorted -> min/max stats are tight:
+    # every file's (min, max) ranges must be pairwise disjoint
+    stats = (
+        out.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in stats)
+    assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))

@@ -174,3 +174,50 @@ def test_streaming_pk_append_swallow_modes(spark, daily_table, swallow):
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def staged_daily_table(spark, daily_table):
+    """The daily table plus its same-schema staging sibling."""
+    staging = f"{daily_table}_staging"
+    _exec_ddl(
+        spark,
+        f"CREATE TABLE {staging} ("
+        "customer_id VARCHAR(32) NOT NULL, "
+        "transaction_date DATE NOT NULL, "
+        "total_spent DOUBLE)",
+    )
+    yield daily_table, staging
+    _exec_ddl(spark, f"DROP TABLE {staging}")
+
+
+def test_jdbc_upsert_is_idempotent_and_updates(spark, staged_daily_table):
+    """§7.4 correctness mode: re-delivering a batch converges to the
+    same state (checkpoint replay safe), and changed totals UPDATE
+    instead of violating the PK."""
+    from kafka_sparkstreaming_sbt_spark.sources.jdbc import (
+        write_jdbc_upsert,
+    )
+
+    table, staging = staged_daily_table
+    keys = ["customer_id", "transaction_date"]
+    batch = _daily_df(
+        spark, [("1", "2025-03-10", 250.0), ("2", "2025-03-10", 99.5)]
+    )
+    write_jdbc_upsert(batch, _cfg(table), keys, staging_table=staging)
+    # replay the identical batch: no PK violation, no duplicates
+    write_jdbc_upsert(batch, _cfg(table), keys, staging_table=staging)
+    assert _read_back(spark, table) == {
+        ("1", "2025-03-10", 250.0),
+        ("2", "2025-03-10", 99.5),
+    }
+    # an updated total for an existing key MERGEs in place; new key inserts
+    batch2 = _daily_df(
+        spark, [("1", "2025-03-10", 300.0), ("3", "2025-03-11", 10.0)]
+    )
+    write_jdbc_upsert(batch2, _cfg(table), keys, staging_table=staging)
+    assert _read_back(spark, table) == {
+        ("1", "2025-03-10", 300.0),
+        ("2", "2025-03-10", 99.5),
+        ("3", "2025-03-11", 10.0),
+    }

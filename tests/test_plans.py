@@ -110,6 +110,31 @@ def test_global_topk_has_no_window_operator(spark, sf_small):
         assert "Window" not in plan  # no WindowExec of any kind
 
 
+def _walk_plan(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        children = n.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
+def test_no_partitionless_window_in_any_query(spark, sf_small):
+    """Fleet-wide guard (VERDICT r1): NO gate query may contain a
+    WindowExec with an empty partition spec — the 'moving all data to
+    a single partition' plan that collapses at scale.  Walks the
+    actual physical plan tree of every queries() entry."""
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        plan = fn(spark, sf_small)._jdf.queryExecution().sparkPlan()
+        for node in _walk_plan(plan):
+            if node.getClass().getSimpleName() == "WindowExec":
+                if node.partitionSpec().isEmpty():
+                    offenders.append(name)
+    assert not offenders, f"partition-less WindowExec in: {offenders}"
+
+
 def test_anti_join_pushes_quantity_filter(spark, sf_small):
     df = entry_mod.q_parts_without_bulk(spark, sf_small)
     plan = _physical(df)
