@@ -84,23 +84,26 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nb_label"))
         )
-        new_labels = (
+        # the convergence flag is computed INSIDE the update join (old
+        # and new label are both on the row) and rides through the
+        # checkpoint — the fixpoint test is then a filter-count over
+        # the materialized table, not another labels-vs-labels join
+        # job per round
+        stepped = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["dst"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nb_label", "label")
                 ).alias("label"),
+                (
+                    F.coalesce("nb_label", "label") < F.col("label")
+                ).alias("_changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("_changed")).count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             converged = True
             break
