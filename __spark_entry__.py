@@ -54,6 +54,7 @@ from kafka_sparkstreaming_sbt_spark.operators.graph import (  # noqa: E402
 )
 from kafka_sparkstreaming_sbt_spark.operators.multimodal import (  # noqa: E402
     decode_media,
+    media_features,
     synthetic_media,
 )
 from kafka_sparkstreaming_sbt_spark.operators.sampling import (  # noqa: E402
@@ -818,6 +819,24 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: Arrow mapInPandas 16-bin byte
+    histogram per media item, exploded to (media_id, bin, share) rows
+    so every value is a scalar the driver can hash.  Like the decode
+    stage, the synthetic payload is closed-form in (media_id, dims),
+    so the full Python codec path gets a DuckDB oracle."""
+    _utc(spark)
+    media = synthetic_media(spark, 256, partitions=2)
+    feats = media_features(media)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("bin", "share")
+    ).select(
+        "media_id",
+        F.col("bin").cast("long").alias("bin"),
+        F.round("share", 6).alias("share"),
+    )
+
+
 #: queries() entries with no oracle_sql twin — the driver records a
 #: weaker rows-only check for these.  ivf_kmeans_topk: k-means cell
 #: means are float-summation-order sensitive across engines, so its
@@ -855,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "embedding_similar_pairs": q_embedding_similar_pairs,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
         "monthly_order_stats": q_monthly_order_stats,
@@ -1395,6 +1415,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(t, '{PII_PATTERNS["phone"]}'))
                     AS BIGINT) AS n_phones
         FROM s
+        """,
+        # the 16-bin byte histogram over the same closed-form body:
+        # bin(x) = x*16 // 256, share = bin count / body length —
+        # exact integer counts, identical double division
+        "multimodal_features": """
+        WITH m AS (SELECT unnest(range(0, 256)) AS i),
+        d AS (
+          SELECT i,
+                 least((8 + (i % 5) * 4) * (8 + (i % 7) * 2)
+                       * (CASE WHEN i % 3 = 0 THEN 3 ELSE 1 END),
+                       4096) AS n
+          FROM m
+        ),
+        body AS (
+          SELECT i, n,
+                 list_transform(range(0, n),
+                                j -> (i * 31 + j * 7) % 256) AS bytes
+          FROM d
+        ),
+        bins AS (SELECT unnest(range(0, 16)) AS bin)
+        SELECT body.i AS media_id,
+               bins.bin,
+               ROUND(len(list_filter(body.bytes,
+                     x -> CAST(floor(x * 16 / 256) AS BIGINT) = bins.bin))
+                     / body.n, 6) AS share
+        FROM body CROSS JOIN bins
         """,
         # mirrors operators/multimodal.py's synthetic payload in closed
         # form: body byte j of media i is (i*31 + j*7) % 256, body
