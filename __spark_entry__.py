@@ -59,6 +59,7 @@ from kafka_sparkstreaming_sbt_spark.operators.multimodal import (  # noqa: E402
 )
 from kafka_sparkstreaming_sbt_spark.operators.sampling import (  # noqa: E402
     deterministic_sample,
+    stratified_sample,
     with_split,
 )
 from kafka_sparkstreaming_sbt_spark.operators.cdc import (  # noqa: E402
@@ -728,6 +729,17 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified 2/16 sample: the hash key is salted
+    with the stratum, so every language is an independent draw —
+    reproducible on any engine, pushable to the scan."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", sixteenths=2).select(
+        "doc_id", "lang"
+    )
+
+
 def q_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-grain time rollup: day and (day, hour)
     aggregates of event values in ONE pass via GROUPING SETS (the
@@ -895,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_grain_rollup": q_multi_grain_rollup,
         "split_assignment": q_split_assignment,
         "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
         "quantity_quantiles": q_quantity_quantiles,
         "value_histogram": q_value_histogram,
         "top_tokens": q_top_tokens,
@@ -1291,6 +1304,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE (CASE WHEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) <= 57
                     THEN ascii(substr(md5(doc_id::VARCHAR), 1, 1)) - 48
                     ELSE ascii(substr(md5(doc_id::VARCHAR), 1, 1)) - 87 END) < 2
+        """,
+        "stratified_sample": """
+        SELECT doc_id, lang
+        FROM documents
+        WHERE (CASE WHEN ascii(substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
+                    THEN ascii(substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+                    ELSE ascii(substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) < 2
         """,
         "multi_grain_rollup": """
         SELECT date_trunc('day', ts)  AS day,

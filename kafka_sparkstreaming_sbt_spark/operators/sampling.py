@@ -49,3 +49,27 @@ def with_split(
         .when(nib < valid_upto, F.lit("valid"))
         .otherwise(F.lit("test")),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    sixteenths: int = 2,
+) -> DataFrame:
+    """Per-stratum deterministic sample: the hash key is SALTED with
+    the stratum value (md5 of ``group|id``), so each group's selection
+    is an independent ``sixteenths``/16 draw — a group's members don't
+    share the global sample's nibble bias, and adding a new stratum
+    never changes which rows of existing strata are picked.  Same
+    scan-pushable, RNG-free discipline as :func:`deterministic_
+    sample`."""
+    key = F.concat(
+        F.col(group_col).cast("string"),
+        F.lit("|"),
+        F.col(id_col).cast("string"),
+    )
+    ch = F.substring(F.md5(key), 1, 1)
+    v = F.ascii(ch)
+    nib = F.when(v <= 57, v - 48).otherwise(v - 87)
+    return df.filter(nib < sixteenths)

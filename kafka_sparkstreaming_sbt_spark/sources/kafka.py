@@ -22,6 +22,24 @@ from kafka_sparkstreaming_sbt_spark.functions.scalar import (
 from kafka_sparkstreaming_sbt_spark.schemas import TRANSACTION_SCHEMA
 
 
+def ensure_kafka_support(spark: SparkSession) -> None:
+    """Fail fast with an actionable message when the Kafka connector
+    jar is absent (it is NOT bundled with plain pyspark): without this
+    the first ``load()`` dies with an opaque 'Failed to find data
+    source: kafka'.  Same gating discipline as ``sources.avro``."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception as exc:  # noqa: BLE001
+        raise ImportError(
+            "the spark-sql-kafka connector is not on the classpath; "
+            "launch with --packages org.apache.spark:"
+            "spark-sql-kafka-0-10_2.13:<spark-version> (or add the "
+            "jar) to use the live Kafka source"
+        ) from exc
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -41,6 +59,7 @@ def read_kafka_stream(
     Structured Streaming (SURVEY.md §4); the working equivalent is
     ``maxOffsetsPerTrigger``, applied here.
     """
+    ensure_kafka_support(spark)
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

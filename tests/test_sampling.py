@@ -45,3 +45,23 @@ def test_sample_is_subset_of_train_like_buckets(spark):
         for r in with_split(df, "doc_id").filter("split = 'train'").collect()
     }
     assert sample <= train  # nibble<2 implies nibble<13
+
+
+def test_stratified_sample_per_group_independent(spark, sf_small):
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_small, "documents")
+    picked = stratified_sample(docs, "lang", "doc_id", sixteenths=2)
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sampled = {r.lang: r.n for r in picked.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # every stratum drawn at roughly 2/16 = 12.5% (loose bounds; small strata noisy)
+    for lang, total in totals.items():
+        frac = sampled.get(lang, 0) / total
+        assert 0.0 <= frac <= 0.35, (lang, frac, total)
+    # deterministic: identical on rerun
+    again = {r.doc_id for r in stratified_sample(docs, "lang", "doc_id", 2).select("doc_id").collect()}
+    assert {r.doc_id for r in picked.select("doc_id").collect()} == again

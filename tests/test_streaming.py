@@ -491,3 +491,15 @@ def test_multi_query_per_source(spark, stream_dir):
     # independent progress: each query tracked its own offsets
     assert q_raw.lastProgress["numInputRows"] >= 1
     assert q_agg.lastProgress is not None
+
+
+def test_kafka_source_gated_with_actionable_error(spark):
+    """S1 gating: plain pyspark ships no Kafka connector jar; the
+    source must fail fast with the --packages remedy, not an opaque
+    'Failed to find data source' at load() time."""
+    from kafka_sparkstreaming_sbt_spark.sources.kafka import (
+        read_kafka_stream,
+    )
+
+    with pytest.raises(ImportError, match="spark-sql-kafka"):
+        read_kafka_stream(spark, "localhost:9092")
