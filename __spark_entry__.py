@@ -91,8 +91,10 @@ from kafka_sparkstreaming_sbt_spark.operators.text import (  # noqa: E402
     doc_fingerprints,
     exact_dedup_groups,
     lang_id,
+    benchmark_overlap,
     quality_score,
     redact_pii,
+    repetition_stats,
     tf_idf,
     token_stats,
 )
@@ -423,6 +425,24 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("day", F.col("day").cast("timestamp"))
     )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repeated-trigram ratio — the boilerplate/looped-text
+    quality filter; NULLs for docs below trigram support."""
+    _utc(spark)
+    return repetition_stats(read_table(spark, sf_dir, "documents"))
+
+
+def q_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: trigram overlap of every corpus doc against a
+    pseudo-benchmark (docs 0-4 stand in for the eval set — they flag
+    themselves, which is exactly the self-hit a real decontamination
+    run must catch)."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    return benchmark_overlap(docs, bench, n=3, min_overlap=1)
 
 
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "redact_pii": q_redact_pii,
+        "repetition_stats": q_repetition_stats,
+        "benchmark_overlap": q_benchmark_overlap,
         "approx_distinct_users": q_approx_distinct_users,
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_near_dup": q_minhash_near_dup,
@@ -1411,6 +1433,40 @@ def oracle_sql() -> dict[str, str]:
                ROUND(p.value, 2) AS value
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        """,
+        "repetition_stats": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' '))
+                 END AS grams
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+               ROUND(1 - len(list_distinct(grams)) / len(grams), 6)
+                 AS repetition_ratio
+        FROM g
+        """,
+        "benchmark_overlap": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS grams
+          FROM t WHERE len(toks) >= 3
+        ),
+        e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        b AS (SELECT DISTINCT gram FROM e WHERE doc_id < 5),
+        hits AS (SELECT e.doc_id, COUNT(*) AS n_overlap
+                 FROM e JOIN b USING (gram) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+               COALESCE(h.n_overlap, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         # patterns injected from operators.text.PII_PATTERNS so Spark
         # and oracle can never drift; counts taken on the pre-redaction

@@ -266,3 +266,82 @@ def tf_idf(
             F.round(tf * idf, 6).alias("tf_idf"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Intra-document repetition — the standard quality filter for
+    boilerplate/looped generations: the share of word ``n``-grams that
+    are repeats of an earlier n-gram in the SAME document
+    (1 - distinct/total).  Docs with fewer than ``n`` tokens report
+    NULLs (no n-gram support).  Pure per-row array expressions: no
+    shuffle, linear in the scan."""
+    toks = F.split(F.col(text_col), " ")
+    n_sh = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    total = F.when(n_sh >= 1, n_sh)
+    distinct = F.when(n_sh >= 1, F.size(F.array_distinct(grams)))
+    return df.select(
+        "doc_id",
+        total.cast("long").alias("n_grams"),
+        distinct.cast("long").alias("n_distinct_grams"),
+        F.round(1 - distinct / total, 6).alias("repetition_ratio"),
+    )
+
+
+def benchmark_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Decontamination: flag corpus documents sharing at least
+    ``min_overlap`` distinct word ``n``-grams with a benchmark/eval
+    set — the overlap check every training corpus runs before a model
+    is evaluated on public benchmarks.
+
+    Scale shape: the benchmark is orders of magnitude smaller than the
+    corpus, so its distinct shingle set is explicitly ``broadcast`` —
+    the corpus-side exploded shingles stream through a map-side hash
+    join and only the (doc_id, hit) pairs reach the count shuffle; the
+    corpus is scanned once and never shuffled whole."""
+    def shingles(frame: DataFrame):
+        toks = F.split(F.col(text_col), " ")
+        return (
+            frame.filter(F.size(toks) >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                        )
+                    )
+                ).alias("gram"),
+            )
+        )
+
+    bench_grams = benchmark.transform(shingles).select("gram").distinct()
+    hits = (
+        shingles(df)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        df.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
