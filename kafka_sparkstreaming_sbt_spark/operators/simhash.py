@@ -114,7 +114,11 @@ def simhash_fingerprints(
     SLOWER here: the 64-int-wide join rows cost more than recomputing
     bit contributions inline from the 16-char hash prefix.)"""
     ex = (
-        df.select(
+        # the md5 + 16-nibble decode per token is compute-bound and the
+        # byte-small doc table arrives as one scan partition: rebalance
+        # BEFORE the heavy projection or it runs single-threaded
+        parallelize_for_compute(df)
+        .select(
             F.col(id_col),
             F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
         )

@@ -140,7 +140,13 @@ def doc_fingerprints(
     # stays a pure map (shuffle-free): the interpreted array transform
     # costs less than an explode + partial-min shuffle + join-back
     # would here (measured — the opposite tradeoff from
-    # dedup_fuzzy.minhash_signatures, whose pipeline already shuffles)
+    # dedup_fuzzy.minhash_signatures, whose pipeline already shuffles).
+    # But the map is md5-heavy and the byte-small doc scan is one
+    # partition: rebalance first so it uses every core (the only
+    # shuffle is of the small input bytes, before the heavy work).
+    from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
+
+    df = parallelize_for_compute(df)
     toks = F.split(F.col(text_col), " ")
     n_sh = F.size(toks) - (shingle_n - 1)
     shingle_mins = F.array_min(
