@@ -64,6 +64,7 @@ CONFIG_DEFAULTS = {
     "db.table": "public.customer_daily_spending",
     "db.user": "",
     "db.password": "",
+    "db.driver": "org.postgresql.Driver",
     "pipeline.watermark": "5 seconds",
 }
 
@@ -153,6 +154,7 @@ def main() -> None:
             table=conf["db.table"],
             user=conf["db.user"],
             password=conf["db.password"],
+            driver=conf["db.driver"],
         )
 
         if args.upsert:

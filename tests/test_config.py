@@ -82,3 +82,25 @@ def test_resolve_precedence_cli_over_file_over_defaults():
 def test_resolve_rejects_unknown_keys():
     with pytest.raises(KeyError, match="db.ur"):
         resolve({"db.url": ""}, {"db.ur": "typo"})
+
+
+def test_runner_defaults_accept_reference_conf():
+    """The reference's own application.conf (kafka.bootstrap.servers +
+    db.url/user/password/driver) must resolve against the runner's
+    defaults without a rejected-key error."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+        ),
+    )
+    from run_pipeline import CONFIG_DEFAULTS
+
+    merged = resolve(CONFIG_DEFAULTS, parse_hocon_subset(REFERENCE_CONF))
+    assert merged["db.driver"] == "org.postgresql.Driver"
+    assert merged["db.user"] == "postgres"
+    assert merged["kafka.bootstrap.servers"] == "localhost:9092"
