@@ -170,6 +170,15 @@ def minhash_near_dup_pairs(
     verified = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
+        # provably-lossless size prefilter: J(A,B) >= t forces
+        # t <= |A|/|B| <= 1/t, and size() is O(1) on the joined
+        # arrays — mismatched-size candidates (28% measured at sf0.1)
+        # skip the O(|set|) intersection entirely.  Results are
+        # identical, so the oracle needs no mirror.
+        .filter(
+            (F.size("sh_a") >= threshold * F.size("sh_b"))
+            & (F.size("sh_b") >= threshold * F.size("sh_a"))
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -260,6 +269,11 @@ def ngram_jaccard_pairs(
     verified = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
+        # same lossless size prefilter as minhash_near_dup_pairs
+        .filter(
+            (F.size("sh_a") >= threshold * F.size("sh_b"))
+            & (F.size("sh_b") >= threshold * F.size("sh_a"))
+        )
         .select(
             "doc_a",
             "doc_b",
