@@ -179,8 +179,8 @@ _MINHASH_CTES = """
                  FROM sigs x JOIN sigs y
                    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
         pairs AS (SELECT doc_a, doc_b,
-                         ROUND(len(list_intersect(a.sh, b.sh))
-                               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+                         len(list_intersect(a.sh, b.sh))
+                           / len(list_distinct(list_concat(a.sh, b.sh))) AS j
                   FROM cand
                   JOIN docs a ON a.doc_id = cand.doc_a
                   JOIN docs b ON b.doc_id = cand.doc_b)
@@ -1040,12 +1040,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": "WITH "
         + _MINHASH_CTES
         + """
-        SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
+        FROM pairs WHERE j >= 0.5
         """,
         "near_dup_groups": "WITH RECURSIVE "
         + _MINHASH_CTES
         + """,
-        p AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+        p AS (SELECT doc_a, doc_b FROM pairs WHERE j >= 0.5),
         edges AS (
           SELECT doc_a AS src, doc_b AS dst FROM p
           UNION
@@ -1239,14 +1240,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         pairs AS (
           SELECT doc_a, doc_b,
-                 ROUND(len(list_intersect(a.sh, b.sh))
-                       / len(list_distinct(list_concat(a.sh, b.sh))), 6)
-                   AS jaccard
+                 len(list_intersect(a.sh, b.sh))
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS j
           FROM cand
           JOIN docs a ON a.doc_id = cand.doc_a
           JOIN docs b ON b.doc_id = cand.doc_b
         )
-        SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.6
+        SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
+        FROM pairs WHERE j >= 0.6
         """,
         "user_sessions": """
         WITH o AS (

@@ -182,12 +182,16 @@ def minhash_near_dup_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias(
-                "jaccard"
-            ),
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("_j"),
         )
     )
-    return verified.filter(F.col("jaccard") >= threshold)
+    # filter on the UNROUNDED jaccard: this keeps the size prefilter
+    # exactly lossless (round-up at the t boundary would otherwise
+    # admit pairs the prefilter could have dropped) and matches the
+    # oracle's unrounded comparison; rounding is display-only
+    return verified.filter(F.col("_j") >= threshold).select(
+        "doc_a", "doc_b", F.round("_j", 6).alias("jaccard")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -277,9 +281,10 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias(
-                "jaccard"
-            ),
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("_j"),
         )
     )
-    return verified.filter(F.col("jaccard") >= threshold)
+    # unrounded filter, display-only rounding (see minhash variant)
+    return verified.filter(F.col("_j") >= threshold).select(
+        "doc_a", "doc_b", F.round("_j", 6).alias("jaccard")
+    )

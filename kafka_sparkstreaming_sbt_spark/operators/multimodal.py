@@ -11,13 +11,26 @@ The REAL parts (tested, scale-honest):
   batch transfer
 - UDF signatures and output schemas
 
-The STUBBED part: actual codec work.  This container ships no
-image/audio libraries, so payloads use a deterministic synthetic
-format (``FAKE`` header + dims + raw bytes) and ``decode_media``
-parses that; a real deployment swaps ``_decode_payload`` for
-PIL/ffmpeg while every schema/batching contract stays identical.
-Attempting to decode a payload that is not in the synthetic format
-raises ``NotImplementedError`` (clearly marked stub boundary).
+Codec support (round 3): ``_decode_payload`` dispatches on magic
+bytes and REALLY decodes two standard uncompressed formats in pure
+Python — no image libraries needed:
+
+- **BMP** (``BM`` magic): BITMAPINFOHEADER, ``BI_RGB`` only, 24-bit
+  true-color or 8-bit paletted; honors 4-byte row padding and
+  bottom-up vs top-down row order.  Pixels are reduced to 8-bit luma
+  (ITU-R BT.601 integer weights) so every downstream stage sees one
+  uniform intensity-bytes contract.
+- **PPM/PGM** (``P6``/``P5`` magic): binary netpbm with full
+  whitespace/comment header handling, maxval <= 255 (RGB reduced to
+  the same BT.601 luma; PGM passed through).
+
+The deterministic synthetic format (``FAKE`` header + dims + raw
+bytes) remains as a third branch — it is what the closed-form DuckDB
+oracle predicts, so the gate queries stay hash-matched while the
+real-format path is covered by ``tests/test_multimodal.py``.
+Compressed formats (JPEG/PNG/...) still raise
+``NotImplementedError`` — that boundary now marks "needs an external
+codec library", not "no codec at all".
 """
 
 from __future__ import annotations
@@ -25,6 +38,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,15 +94,172 @@ def _encode_payload(width: int, height: int, n_frames: int, seed: int) -> bytes:
     return header + body
 
 
-def _decode_payload(payload: bytes) -> tuple[int, int, int, bytes]:
-    """STUB BOUNDARY: replace with PIL/ffmpeg in a real deployment."""
-    if payload is None or payload[:4] != MAGIC:
+def _luma(r: int, g: int, b: int) -> int:
+    """8-bit ITU-R BT.601 luma with integer weights (deterministic
+    across platforms — no float rounding in the data path)."""
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed BMP (BI_RGB, 24-bit or 8-bit paletted) -> luma
+    bytes in top-to-bottom row order.  Format per the public Windows
+    BITMAPFILEHEADER/BITMAPINFOHEADER layout."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP: missing headers")
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
         raise NotImplementedError(
-            "real codec decode not available in this environment; "
-            "payload is not in the synthetic FAKE format"
+            f"BMP with {dib_size}-byte DIB header (BITMAPCOREHEADER era) "
+            "not supported; use BITMAPINFOHEADER"
         )
-    width, height, n_frames = struct.unpack("<iii", payload[4:16])
-    return width, height, n_frames, payload[16:]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"compressed BMP (compression={compression}) needs a real "
+            "codec library; only BI_RGB is decoded here"
+        )
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad BMP dims {width}x{height}")
+    row_stride = ((width * bpp + 31) // 32) * 4  # rows pad to 4 bytes
+    if bpp == 24:
+        palette = None
+    elif bpp == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + dib_size
+        palette = [
+            _luma(payload[pal_off + 4 * i + 2],
+                  payload[pal_off + 4 * i + 1],
+                  payload[pal_off + 4 * i])  # BGRA quads
+            for i in range(n_colors)
+        ]
+    else:
+        raise NotImplementedError(
+            f"{bpp}-bit BMP not supported (24-bit BI_RGB or 8-bit "
+            "paletted only)"
+        )
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=height * row_stride,
+        offset=pixel_offset,
+    ).reshape(height, row_stride)
+    if not top_down:
+        raster = raster[::-1]  # BMP default is bottom-up
+    if bpp == 24:
+        px = raster[:, : width * 3].reshape(height, width, 3).astype(np.int32)
+        # BMP stores BGR; same integer BT.601 luma as _luma()
+        luma = (299 * px[:, :, 2] + 587 * px[:, :, 1] + 114 * px[:, :, 0]) // 1000
+    else:
+        lut = np.array(palette, dtype=np.uint8)
+        luma = lut[raster[:, :width]]
+    return width, height, 1, luma.astype(np.uint8).tobytes()
+
+
+def _decode_netpbm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Binary netpbm: P5 (PGM, gray) / P6 (PPM, RGB->luma), maxval
+    <= 255, with standard whitespace-and-#-comment header tokens."""
+    kind = payload[:2]
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos] == ord("#"):
+            while pos < len(payload) and payload[pos] != ord("\n"):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError(
+            "16-bit netpbm (maxval > 255) not supported"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad netpbm dims {width}x{height}")
+    n = width * height
+    if kind == b"P5":
+        body = payload[pos : pos + n]
+        if len(body) < n:
+            raise ValueError("truncated PGM raster")
+        return width, height, 1, bytes(body)
+    raster = payload[pos : pos + 3 * n]
+    if len(raster) < 3 * n:
+        raise ValueError("truncated PPM raster")
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(n, 3).astype(np.int32)
+    luma = (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000
+    return width, height, 1, luma.astype(np.uint8).tobytes()
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Codec dispatch on magic bytes -> (width, height, n_frames,
+    intensity-bytes).  Real decoders for BMP and binary netpbm;
+    synthetic FAKE kept for the closed-form oracle; anything else
+    (JPEG/PNG/...) needs an external library and raises."""
+    if payload is None:
+        raise NotImplementedError("null payload")
+    if payload[:4] == MAGIC:
+        width, height, n_frames = struct.unpack("<iii", payload[4:16])
+        return width, height, n_frames, payload[16:]
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_netpbm(payload)
+    raise NotImplementedError(
+        "compressed/unknown media format (magic "
+        f"{payload[:4]!r}); this environment decodes BMP, PPM/PGM and "
+        "the synthetic FAKE format — plug a codec library in for more"
+    )
+
+
+def encode_bmp(width: int, height: int, rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Tiny 24-bit BI_RGB BMP writer (tests + example producers).
+    ``rgb_rows`` is top-to-bottom ``height`` rows of ``width`` (r,g,b)
+    tuples; emitted bottom-up with standard 4-byte row padding."""
+    row_stride = ((width * 24 + 31) // 32) * 4
+    raster = bytearray()
+    for row in reversed(rgb_rows):
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (row_stride - len(line))
+        raster += line
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(raster)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, pixel_offset)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster),
+            2835, 2835, 0, 0,
+        )
+    )
+    return bytes(header) + bytes(raster)
+
+
+def encode_ppm(width: int, height: int, rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Tiny binary PPM (P6) writer for tests."""
+    out = bytearray(f"P6\n{width} {height}\n255\n".encode())
+    for row in rgb_rows:
+        for r, g, b in row:
+            out += bytes((r, g, b))
+    return bytes(out)
+
+
+def encode_pgm(width: int, height: int, gray_rows: list[list[int]]) -> bytes:
+    """Tiny binary PGM (P5) writer for tests."""
+    out = bytearray(f"P5\n{width} {height}\n255\n".encode())
+    for row in gray_rows:
+        out += bytes(row)
+    return bytes(out)
 
 
 def synthetic_media(

@@ -27,6 +27,7 @@ def salted_join(
     on: str,
     buckets: int = 16,
     how: str = "inner",
+    salt_on: str | None = None,
 ) -> DataFrame:
     """Equi-join where ``skewed``'s hot keys overwhelm single
     reducers: each skewed row gets one of ``buckets`` salt values,
@@ -37,17 +38,26 @@ def salted_join(
     left joins (each skewed row still meets every matching other row
     exactly once).  Right/full/outer joins are REJECTED: the
     replicated side's unmatched rows would surface ``buckets`` times —
-    silently wrong results."""
-    if how not in ("inner", "left", "left_outer"):
+    silently wrong results.  Any Spark-accepted spelling of the safe
+    types ('inner', 'left', 'left_outer', 'leftouter') is accepted.
+
+    ``salt_on``: column to derive the salt from via ``xxhash64`` —
+    fully deterministic, so a task RETRY routes every row to the same
+    salt bucket (seeded ``rand`` is only per-partition-deterministic:
+    correct either way, since salt only routes, but not
+    bit-reproducible under repartitioning)."""
+    normalized = how.lower().replace("_", "")
+    if normalized not in ("inner", "left", "leftouter"):
         raise ValueError(
-            "salted_join is only correct for how in "
-            f"('inner', 'left', 'left_outer'); got {how!r} — the "
-            "replicated side's unmatched rows would appear once per "
-            "salt bucket"
+            "salted_join is only correct for inner/left joins; got "
+            f"{how!r} — the replicated side's unmatched rows would "
+            "appear once per salt bucket"
         )
-    salted = skewed.withColumn(
-        "_salt", (F.rand(seed=42) * buckets).cast("int")
-    )
+    if salt_on is not None:
+        salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets))
+    else:
+        salt = (F.rand(seed=42) * buckets).cast("int")
+    salted = skewed.withColumn("_salt", salt)
     replicated = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )

@@ -317,11 +317,15 @@ def benchmark_overlap(
     set — the overlap check every training corpus runs before a model
     is evaluated on public benchmarks.
 
-    Scale shape: the benchmark is orders of magnitude smaller than the
-    corpus, so its distinct shingle set is explicitly ``broadcast`` —
-    the corpus-side exploded shingles stream through a map-side hash
-    join and only the (doc_id, hit) pairs reach the count shuffle; the
-    corpus is scanned once and never shuffled whole."""
+    Scale shape: the benchmark is usually orders of magnitude smaller
+    than the corpus, but its distinct-shingle volume is DATA-DEPENDENT
+    (a consortium eval suite with long contexts can reach GBs of
+    n-grams), so the join strategy is left to AQE: runtime statistics
+    pick a broadcast when the shingle set is genuinely small and fall
+    back to a shuffle join when it is not — the same policy as the
+    minhash verify join (dedup_fuzzy.py).  Either way the corpus is
+    scanned once and only (doc_id, hit) pairs reach the count
+    shuffle."""
     def shingles(frame: DataFrame):
         toks = F.split(F.col(text_col), " ")
         return (
@@ -342,7 +346,7 @@ def benchmark_overlap(
     bench_grams = benchmark.transform(shingles).select("gram").distinct()
     hits = (
         shingles(df)
-        .join(F.broadcast(bench_grams), "gram")
+        .join(bench_grams, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

@@ -14,14 +14,12 @@ partition-less again — verified against Spark 4.1.)
 The scale-safe shape is ``orderBy(...).limit(k)``, which compiles to
 ``TakeOrderedAndProject``: every partition keeps a bounded k-row heap,
 and only k rows per partition reach the final merge.  The rank column
-is then derived over the k survivors alone with a bounded k x k
-comparison join — the whole plan contains NO window operator at all
-(asserted in tests/test_plans.py).
+is then assigned over the k survivors alone in one bounded Arrow
+batch — the whole plan contains NO window operator at all (asserted
+in tests/test_plans.py).
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -37,19 +35,15 @@ def _order_cols(specs: list[OrderSpec]) -> list[Column]:
     ]
 
 
-def _strictly_ahead(specs: list[OrderSpec]) -> Column:
-    """Predicate: the ``_u_``-aliased row sorts strictly before the
-    unaliased row under the lexicographic order ``specs``."""
-    clauses: list[Column] = []
-    equal_prefix: list[Column] = []
-    for c, d in specs:
-        u, t = F.col(f"_u_{c}"), F.col(c)
-        cmp = (u > t) if d == "desc" else (u < t)
-        clauses.append(
-            reduce(lambda a, b: a & b, equal_prefix + [cmp])
-        )
-        equal_prefix.append(u == t)
-    return reduce(lambda a, b: a | b, clauses)
+def topk_cut(
+    df: DataFrame, order_specs: list[OrderSpec], k: int
+) -> DataFrame:
+    """The lazy top-``k`` cut: ``orderBy(...).limit(k)``, which Spark
+    compiles to ``TakeOrderedAndProject`` (per-partition bounded k-row
+    heap, k-row final merge — no global sort, no window).  Exposed
+    separately so plan tests can assert the physical shape before
+    :func:`global_topk_with_rank` checkpoints it away."""
+    return df.orderBy(*_order_cols(order_specs)).limit(k)
 
 
 def global_topk_with_rank(
@@ -69,20 +63,37 @@ def global_topk_with_rank(
     (k <= a few dozen) comparison rows, independent of input size, and
     zero window operators anywhere in the plan.
     """
-    top = df.orderBy(*_order_cols(order_specs)).limit(k)
-    # the k survivors feed BOTH sides of the rank join; without this
-    # the probe side would re-execute the whole upstream subtree (a
-    # second 100 TB scan — exchange reuse does not kick in because
-    # column pruning makes the two subtrees non-identical).  Caching k
-    # rows makes the scan+aggregate run exactly once.
-    top = top.persist()
-    probe = top.select(
-        *[F.col(c).alias(f"_u_{c}") for c, _ in order_specs]
+    top = topk_cut(df, order_specs, k)
+    # Rank the k survivors in ONE bounded Arrow batch: coalesce(1) on
+    # k rows is trivial, and mapInPandas sorts + numbers them without
+    # consuming `top` twice (the earlier self-join spelling needed a
+    # persist of the cut — the probe side would otherwise re-execute
+    # the whole upstream subtree — and that cache entry leaked in
+    # long-lived sessions because a lazy return can never safely
+    # unpersist).  Single consumption -> nothing to cache, the plan
+    # stays lazy, and TakeOrderedAndProject remains the dominant
+    # operator.  Python here touches exactly k rows, never the input.
+    # UTF-8 byte order (Spark) == code-point order (pandas) for valid
+    # UTF-8, so string sort directions agree across engines.
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(top.schema.fields)
+        + [T.StructField(rank_col, T.IntegerType(), False)]
     )
-    first_probe = f"_u_{order_specs[0][0]}"
-    # left join: the rank-1 row matches nothing ahead of it and counts 0
-    joined = top.join(probe, _strictly_ahead(order_specs), "left")
-    return (
-        joined.groupBy(*top.columns)
-        .agg((F.count(F.col(first_probe)) + 1).cast("int").alias(rank_col))
-    )
+    by = [c for c, _ in order_specs]
+    asc = [d != "desc" for _, d in order_specs]
+
+    def _rank(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(by, ascending=asc, kind="mergesort")
+            pdf[rank_col] = range(1, len(pdf) + 1)
+            pdf[rank_col] = pdf[rank_col].astype("int32")
+            yield pdf
+
+    return top.coalesce(1).mapInPandas(_rank, out_schema)

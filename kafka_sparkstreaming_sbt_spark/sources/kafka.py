@@ -26,10 +26,17 @@ def ensure_kafka_support(spark: SparkSession) -> None:
     """Fail fast with an actionable message when the Kafka connector
     jar is absent (it is NOT bundled with plain pyspark): without this
     the first ``load()`` dies with an opaque 'Failed to find data
-    source: kafka'.  Same gating discipline as ``sources.avro``."""
+    source: kafka'.  Same gating discipline as ``sources.avro``.
+
+    The probe goes through Spark's OWN provider lookup
+    (``DataSource.lookupDataSource``) rather than a bare
+    ``Class.forName``: the latter resolves on py4j's classloader,
+    which can MISS jars that Spark's context classloader sees (e.g.
+    ``spark.jars``/``addJar``-provisioned connectors) — a working
+    setup must never be turned into a hard ImportError."""
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "kafka", spark._jsparkSession.sessionState().conf()
         )
     except Exception as exc:  # noqa: BLE001
         raise ImportError(

@@ -9,13 +9,34 @@ from kafka_sparkstreaming_sbt_spark.operators.multimodal import (
     DECODED_SCHEMA,
     FEATURE_DIM,
     FEATURES_SCHEMA,
+    MEDIA_SCHEMA,
     _decode_payload,
     decode_media,
+    encode_bmp,
+    encode_pgm,
+    encode_ppm,
     frame_sample,
     media_features,
     media_metadata_stats,
     synthetic_media,
 )
+
+
+def _rgb_rows(width, height):
+    """Deterministic RGB test pattern."""
+    return [
+        [((x * 37) % 256, (y * 53) % 256, (x * y) % 256) for x in range(width)]
+        for y in range(height)
+    ]
+
+
+def _luma_ref(rgb_rows):
+    """Reference luma (integer BT.601), row-major top-to-bottom."""
+    return [
+        (299 * r + 587 * g + 114 * b) // 1000
+        for row in rgb_rows
+        for (r, g, b) in row
+    ]
 
 
 def test_decode_all_rows_with_schema(spark):
@@ -35,9 +56,106 @@ def test_decode_is_deterministic(spark):
 
 
 def test_decode_stub_boundary_is_explicit():
-    """Non-synthetic payloads hit the clearly-marked stub."""
+    """Compressed formats still hit the clearly-marked boundary."""
     with pytest.raises(NotImplementedError):
         _decode_payload(b"\x89PNG\r\n\x1a\n not actually decodable")
+
+
+def test_decode_real_bmp_bytes():
+    """A real 24-bit BMP byte payload decodes to the right dims and
+    exact integer-luma pixels (incl. bottom-up row flip + row pad:
+    width 5 -> 15-byte rows padded to 16)."""
+    rows = _rgb_rows(5, 4)
+    w, h, nf, body = _decode_payload(encode_bmp(5, 4, rows))
+    assert (w, h, nf) == (5, 4, 1)
+    assert list(body) == _luma_ref(rows)
+
+
+def test_decode_real_ppm_and_pgm_bytes():
+    rows = _rgb_rows(7, 3)
+    w, h, nf, body = _decode_payload(encode_ppm(7, 3, rows))
+    assert (w, h, nf) == (7, 3, 1)
+    assert list(body) == _luma_ref(rows)
+
+    gray = [[(x * 11 + y * 7) % 256 for x in range(6)] for y in range(5)]
+    w, h, nf, body = _decode_payload(encode_pgm(6, 5, gray))
+    assert (w, h, nf) == (6, 5, 1)
+    assert list(body) == [v for row in gray for v in row]
+
+
+def test_decode_netpbm_header_comments():
+    """netpbm headers may hold # comments between tokens."""
+    gray = [[1, 2], [3, 4]]
+    raw = encode_pgm(2, 2, gray)
+    commented = b"P5\n# a comment\n2 # trailing\n2\n255\n" + raw.split(b"255\n", 1)[1]
+    w, h, nf, body = _decode_payload(commented)
+    assert (w, h, nf) == (2, 2, 1)
+    assert list(body) == [1, 2, 3, 4]
+
+
+def test_decode_topdown_bmp():
+    """Negative BMP height = top-down row order (no flip)."""
+    rows = _rgb_rows(3, 2)
+    payload = bytearray(encode_bmp(3, 2, rows))
+    import struct as _s
+
+    # rewrite height to -2 and re-order raster rows to top-down
+    stride = 12  # 3px * 3B = 9, padded to 12
+    raster = payload[54:]
+    payload[54:] = raster[stride:] + raster[:stride]
+    _s.pack_into("<i", payload, 22, -2)
+    w, h, nf, body = _decode_payload(bytes(payload))
+    assert (w, h, nf) == (3, 2, 1)
+    assert list(body) == _luma_ref(rows)
+
+
+def test_decode_paletted_bmp():
+    """8-bit paletted BMP: indices resolve through the BGRA palette."""
+    import struct as _s
+
+    # 2x2, palette of 4 grays; rows pad to 4 bytes (2px -> 2B + 2 pad)
+    palette = b"".join(bytes((v, v, v, 0)) for v in (0, 64, 128, 255))
+    raster = bytes((0, 1, 0, 0)) + bytes((2, 3, 0, 0))  # bottom-up rows
+    pixel_offset = 14 + 40 + len(palette)
+    payload = (
+        b"BM"
+        + _s.pack("<IHHI", pixel_offset + len(raster), 0, 0, pixel_offset)
+        + _s.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(raster), 0, 0, 4, 0)
+        + palette
+        + raster
+    )
+    w, h, nf, body = _decode_payload(payload)
+    assert (w, h, nf) == (2, 2, 1)
+    # top row was the second raster row (bottom-up): indices 2,3 then 0,1;
+    # luma of pure gray v is exactly v ((299+587+114)v // 1000)
+    assert list(body) == [128, 255, 0, 64]
+
+
+def test_decode_media_end_to_end_on_real_formats(spark):
+    """Bytes in, typed columns out, through the same mapInPandas
+    stage the synthetic gate queries use (contract shape of reference
+    IT:418-421's batch decode): a DataFrame mixing BMP, PPM and FAKE
+    payloads decodes in one pass."""
+    bmp_rows, ppm_rows = _rgb_rows(4, 4), _rgb_rows(8, 2)
+    data = [
+        (100, "image", bytearray(encode_bmp(4, 4, bmp_rows)),
+         {"format": "bmp", "width": 4, "height": 4, "n_frames": 1}),
+        (101, "image", bytearray(encode_ppm(8, 2, ppm_rows)),
+         {"format": "ppm", "width": 8, "height": 2, "n_frames": 1}),
+    ]
+    real = spark.createDataFrame(data, MEDIA_SCHEMA)
+    mixed = real.unionByName(synthetic_media(spark, 4))
+    out = {r.media_id: r for r in decode_media(mixed).collect()}
+    assert len(out) == 6
+    assert (out[100].width, out[100].height) == (4, 4)
+    exp_bmp = _luma_ref(bmp_rows)
+    assert out[100].mean_intensity == pytest.approx(sum(exp_bmp) / len(exp_bmp))
+    exp_ppm = _luma_ref(ppm_rows)
+    assert (out[101].width, out[101].height) == (8, 2)
+    assert out[101].mean_intensity == pytest.approx(sum(exp_ppm) / len(exp_ppm))
+    # features stage runs over the same mixed batch
+    feats = media_features(mixed).collect()
+    assert len(feats) == 6 and all(len(r.features) == FEATURE_DIM for r in feats)
 
 
 def test_features_shape(spark):

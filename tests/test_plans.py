@@ -135,6 +135,49 @@ def test_no_partitionless_window_in_any_query(spark, sf_small):
     assert not offenders, f"partition-less WindowExec in: {offenders}"
 
 
+def test_benchmark_overlap_join_strategy_is_runtime_chosen(spark, sf_small):
+    """Decontamination's shingle join must carry NO forced broadcast
+    hint: the eval-set shingle volume is data-dependent, so strategy
+    belongs to AQE runtime statistics (policy parity with the minhash
+    verify join).  A hint would OOM the driver exactly when an eval
+    suite's n-gram set is large."""
+    df = entry_mod.q_benchmark_overlap(spark, sf_small)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized
+    assert "strategy=broadcast" not in optimized
+
+
+#: Queries whose BroadcastNestedLoopJoin is INTENTIONAL and bounded:
+#: the broadcast side is provably small by construction — never a
+#: data-dependent table.
+_BOUNDED_NESTED_LOOP = {
+    "ann_cosine_topk",  # scored cross join vs the broadcast query set
+    "ivf_topk",  # probe assignment vs the bounded centroid set
+    "ivf_kmeans_topk",  # same, k-means centroids (~sqrt N rows)
+    "tf_idf",  # 1-row corpus-size scalar joined lazily (no collect)
+}
+
+
+def test_no_accidental_cartesian_in_any_query(spark, sf_small):
+    """Fleet-wide guard (VERDICT r2 #8): no gate query may contain a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only
+    where the broadcast side is bounded by construction (whitelist
+    above).  An accidental cross join is quadratic at 100 TB."""
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        plan = fn(spark, sf_small)._jdf.queryExecution().sparkPlan()
+        for node in _walk_plan(plan):
+            kind = node.getClass().getSimpleName()
+            if kind == "CartesianProductExec":
+                offenders.append((name, kind))
+            if (
+                kind == "BroadcastNestedLoopJoinExec"
+                and name not in _BOUNDED_NESTED_LOOP
+            ):
+                offenders.append((name, kind))
+    assert not offenders, f"unbounded join in: {offenders}"
+
+
 def test_anti_join_pushes_quantity_filter(spark, sf_small):
     df = entry_mod.q_parts_without_bulk(spark, sf_small)
     plan = _physical(df)

@@ -65,3 +65,39 @@ def test_salted_join_spreads_hot_key(spark):
     # the physical join key includes the salt column
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_salted_join_rejects_outer_accepts_spellings(spark):
+    left = spark.createDataFrame([(1, "a")], "k long, tag string")
+    right = spark.createDataFrame([(1, 10)], "k long, w long")
+    import pytest
+
+    for bad in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, "k", how=bad)
+    # every Spark-accepted spelling of the safe types passes
+    for ok in ("inner", "left", "left_outer", "leftouter", "LEFT_OUTER"):
+        assert salted_join(left, right, "k", buckets=2, how=ok).count() == 1
+
+
+def test_salted_join_salt_on_deterministic_under_repartition(spark):
+    """With salt_on, the salt derives from row CONTENT (xxhash64), so
+    the same rows route identically no matter how the input is
+    partitioned — task retries and different cluster layouts produce
+    bit-identical routing (seeded rand only pins a fixed
+    partitioning)."""
+    left = _skewed_df(spark).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    # freeze rid values so both layouts hold identical rows
+    rows = left.collect()
+    frozen = spark.createDataFrame(rows, left.schema)
+    right = spark.range(120).select(
+        (F.col("id") + 1).alias("k"), (F.col("id") * 10).alias("w")
+    )
+
+    def run(df):
+        out = salted_join(df, right, "k", buckets=8, salt_on="rid")
+        return sorted((r.k, r.rid, r.w) for r in out.collect())
+
+    assert run(frozen.repartition(3)) == run(frozen.repartition(17))
