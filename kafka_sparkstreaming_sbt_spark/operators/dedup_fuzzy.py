@@ -14,8 +14,8 @@ pipeline, e.g. Broder 1997 / MMDS ch.3):
 3. candidates: docs sharing a (band, signature) bucket — an equi-join
    on the bucket key.  At 100 TB this is the step that turns N^2
    comparison into sum-of-bucket^2; the join is a plain hash shuffle
-   Catalyst handles, and hot buckets (boilerplate docs) can be salted
-   or capped upstream.
+   Catalyst handles, and hot buckets (boilerplate docs) are capped by
+   ``cap_hot_buckets`` via ``max_bucket_size``.
 4. verify: exact Jaccard over the distinct shingle sets, keep pairs
    >= threshold.
 
@@ -109,18 +109,75 @@ def jaccard(a: F.Column, b: F.Column) -> F.Column:
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
 
 
+def cap_hot_buckets(
+    df: DataFrame,
+    bucket_col: str,
+    max_bucket_size: int | None,
+    log_dropped: bool = False,
+) -> DataFrame:
+    """Drop every row of LSH buckets larger than ``max_bucket_size``
+    BEFORE the quadratic bucket self-join — the guard rail for
+    boilerplate-heavy corpora, where one shared header/footer puts a
+    large fraction of all docs in a single bucket and the per-bucket
+    quadratic candidate join degenerates to the global N^2 this whole
+    pipeline exists to avoid (the classic 100 TB dedup failure).
+
+    RECALL TRADEOFF (documented, intentional): a pair is lost only if
+    EVERY bucket it shares is hot.  For multi-band MinHash a true
+    near-dup pair collides in ~(J^rows_per_band) of the bands, so
+    moderate caps cost little recall while bounding the worst bucket
+    at ``max_bucket_size^2`` candidates; a corpus where near-all docs
+    are mutual near-dups (hot bucket = real duplicate class) should
+    instead be exact-deduped first (``text.exact_dedup``).
+
+    The size scan is a partial->final count on the same key the
+    candidate join shuffles on, and the anti-join's hot side is tiny
+    (it holds only over-cap bucket KEYS), so AQE broadcasts it.
+
+    ``log_dropped=True`` runs one extra (tiny) job to count and log
+    the dropped buckets — keep it off in lazy library paths.
+    """
+    if max_bucket_size is None:
+        return df
+    counts = df.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).alias("_bucket_n")
+    )
+    hot = counts.filter(F.col("_bucket_n") > max_bucket_size).select(
+        bucket_col
+    )
+    if log_dropped:
+        import logging
+
+        n_hot = hot.count()
+        if n_hot:
+            logging.getLogger(__name__).warning(
+                "cap_hot_buckets: dropping %d bucket(s) larger than %d "
+                "rows before candidate generation (recall tradeoff "
+                "documented in cap_hot_buckets docstring)",
+                n_hot,
+                max_bucket_size,
+            )
+    return df.join(hot, bucket_col, "left_anti")
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     shingle_n: int = 3,
     n_bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle -> minhash bands ->
     bucket-join candidates -> exact-Jaccard verify.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
     jaccard >= threshold, rounded to 6 dp.
+
+    ``max_bucket_size`` caps LSH bucket fan-out before the candidate
+    self-join (see :func:`cap_hot_buckets` for the recall tradeoff) —
+    set it on boilerplate-heavy corpora where one shared template
+    would otherwise make a single bucket quadratic.
     """
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
@@ -141,6 +198,7 @@ def minhash_near_dup_pairs(
     sigs = minhash_signatures(docs, n_bands).select(
         "doc_id", F.xxhash64("band", "sig").alias("bs")
     )
+    sigs = cap_hot_buckets(sigs, "bs", max_bucket_size)
     cand = (
         sigs.alias("x")
         .join(

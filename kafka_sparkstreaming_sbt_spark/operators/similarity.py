@@ -174,16 +174,25 @@ def lsh_near_pairs(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: bucket join (equi-join on the LSH key)
     then exact cosine filter within buckets — the scale path for
     embedding near-dedup (candidate set is per-bucket quadratic, not
-    global quadratic)."""
+    global quadratic).
+
+    ``max_bucket_size`` drops over-cap buckets before the quadratic
+    join (boilerplate/zero-vector pileups) — recall tradeoff and plan
+    shape documented in ``dedup_fuzzy.cap_hot_buckets``."""
+    from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
+        cap_hot_buckets,
+    )
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
     b = lsh_bucket(
         parallelize_for_compute(df), dim, n_bits, seed, vec_col
     ).withColumn("norm", _norm(F.col(vec_col)))
+    b = cap_hot_buckets(b, "bucket", max_bucket_size)
     left = b.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
@@ -245,6 +254,42 @@ def ivf_assign(
     )
 
 
+def _metadata_row_count(df: DataFrame) -> int | None:
+    """Row count from METADATA only — zero Spark jobs: catalog/CBO
+    statistics when present (``ANALYZE TABLE``), else parquet footer
+    row counts read driver-side for file-backed plans.  Returns None
+    when neither source applies (in-memory fixtures, non-parquet
+    formats, remote filesystems this process can't read directly) —
+    callers fall back to an explicit scan and should document it.
+
+    For a FILTERED parquet scan the footer total is the pre-filter
+    count (an upper bound) — fine for sizing decisions like
+    ``n_cells ~ sqrt(N)``, wrong for exact cardinality needs."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    try:
+        files = df.inputFiles()  # driver-side listing, no job
+    except Exception:  # noqa: BLE001 — e.g. plans with no file relation
+        return None
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            if f.startswith("file:"):
+                f = f[5:]
+            elif "://" in f:  # remote fs: no direct footer access here
+                return None
+            total += pq.ParquetFile(f).metadata.num_rows
+        return total
+    except Exception:  # noqa: BLE001 — unreadable/corrupt footer
+        return None
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_cells: int | None = None,
@@ -283,7 +328,14 @@ def kmeans_centroids(
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
     if n_cells is None:
-        n_cells = max(2, int(math.isqrt(corpus.count())))
+        # sizing from metadata (catalog stats / parquet footers) — a
+        # full sizing scan at 100 TB costs more than the clustering;
+        # the count() fallback only fires for plans with no metadata
+        # source (in-memory fixtures), where a scan is cheap anyway.
+        n_rows = _metadata_row_count(corpus)
+        if n_rows is None:
+            n_rows = corpus.count()
+        n_cells = max(2, int(math.isqrt(n_rows)))
     hashed = corpus.select(
         F.col(id_col),
         F.col(vec_col),

@@ -7,8 +7,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
+    cap_hot_buckets,
     jaccard,
     minhash_near_dup_pairs,
+    minhash_signatures,
     with_shingles,
 )
 from kafka_sparkstreaming_sbt_spark.operators.similarity import (
@@ -109,3 +111,84 @@ def test_lsh_near_pairs_subset_of_brute_force(spark, sf_small):
     emb = read_table(spark, sf_small, "embeddings")
     pairs = lsh_near_pairs(emb, dim=64, threshold=0.4, n_bits=4).collect()
     assert all(r.cosine >= 0.4 and r.id_a < r.id_b for r in pairs)
+
+
+def _boilerplate_corpus(spark):
+    """Adversarial corpus: 20% of docs are copies of one template (all
+    their LSH buckets are hot), plus one planted near-dup pair and
+    distinct filler docs."""
+    template = "terms of service apply to every page of this site always"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [(i, template) for i in range(20)]
+    rows += [(100, near_a), (101, near_b)]
+    rows += [
+        (
+            200 + i,
+            " ".join(f"w{i}x{j}" for j in range(10)),  # token-disjoint
+        )
+        for i in range(78)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_hot_bucket_cap_bounds_candidates_and_keeps_cold_pairs(spark):
+    """VERDICT r2 #2: with max_bucket_size, the 20%-of-corpus
+    boilerplate bucket is dropped BEFORE the quadratic join (its 190
+    intra-template pairs disappear — the documented recall tradeoff),
+    while pairs living in cold buckets are untouched."""
+    docs = _boilerplate_corpus(spark)
+
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(
+            docs, threshold=0.5, max_bucket_size=10
+        ).collect()
+    }
+    template_pairs = {(a, b) for a in range(20) for b in range(20) if a < b}
+    assert template_pairs <= uncapped and (100, 101) in uncapped
+    # every hot-bucket pair gone, the planted cold pair survives
+    assert capped & template_pairs == set()
+    assert (100, 101) in capped
+    # capping never invents pairs
+    assert capped <= uncapped
+
+
+def test_cap_hot_buckets_drops_only_over_cap(spark):
+    docs = _boilerplate_corpus(spark)
+    sigs = minhash_signatures(with_shingles(docs)).select(
+        "doc_id", F.xxhash64("band", "sig").alias("bs")
+    )
+    capped = cap_hot_buckets(sigs, "bs", 10, log_dropped=True)
+    sizes = capped.groupBy("bs").count().agg(F.max("count")).first()[0]
+    assert sizes <= 10
+    # cold docs keep all their band rows
+    n_bands_kept = (
+        capped.filter(F.col("doc_id") >= 200)
+        .groupBy("doc_id")
+        .count()
+        .agg(F.min("count"))
+        .first()[0]
+    )
+    assert n_bands_kept == 8
+
+
+def test_lsh_near_pairs_hot_bucket_cap(spark, sf_small):
+    """Embedding-side cap: over-cap buckets contribute no pairs and
+    the result stays a subset of the uncapped output."""
+    emb = read_table(spark, sf_small, "embeddings")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_pairs(emb, dim=64, threshold=0.4, n_bits=2).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_pairs(
+            emb, dim=64, threshold=0.4, n_bits=2, max_bucket_size=50
+        ).collect()
+    }
+    assert capped <= uncapped

@@ -159,3 +159,23 @@ def test_running_totals_accumulate_across_batches(spark, stream_dir):
         assert latest["8"] == (10.0, 1)
     finally:
         q.stop()
+
+
+def test_kmeans_sizing_uses_metadata_not_a_scan(spark, sf_small):
+    """VERDICT r2 #9: defaulted n_cells must size from metadata
+    (parquet footers / catalog stats) — no Spark job may run for the
+    sizing decision on a parquet-backed corpus."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        _metadata_row_count,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    sc = spark.sparkContext
+    sc.setJobGroup("kmeans-sizing-probe", "metadata row count")
+    try:
+        n = _metadata_row_count(emb)
+        jobs = sc.statusTracker().getJobIdsForGroup("kmeans-sizing-probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs == []          # metadata only — zero jobs
+    assert n == emb.count()    # and exact for an unfiltered scan
