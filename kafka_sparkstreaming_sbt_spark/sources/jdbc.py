@@ -15,6 +15,7 @@ reference's swallow-and-drop contract.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
@@ -88,6 +89,83 @@ def _exec_statements(spark: SparkSession, cfg: JdbcConfig, *stmts: str) -> None:
         conn.close()
 
 
+#: plain or schema-qualified SQL identifier — everything these helpers
+#: interpolate into DML must match (no quotes, spaces, or statement
+#: separators can smuggle through).
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?$")
+
+
+def _checked_idents(*names: str) -> None:
+    for n in names:
+        if not _IDENT.match(n):
+            raise ValueError(
+                f"invalid SQL identifier {n!r}: only [A-Za-z0-9_] and an "
+                "optional schema qualifier are accepted in table/column "
+                "names interpolated into upsert statements"
+            )
+
+
+def sniff_dialect(url: str) -> str:
+    """Upsert dialect from the JDBC URL: ``postgresql`` (the
+    reference's actual sink database, IT:55-63) emits
+    ``INSERT … ON CONFLICT``; everything else gets ANSI ``MERGE``
+    (Derby — our live test engine — plus Oracle/MSSQL/DB2 accept it)."""
+    return "postgresql" if url.startswith("jdbc:postgresql:") else "merge"
+
+
+def upsert_statements(
+    dialect: str,
+    table: str,
+    staging: str,
+    columns: list[str],
+    key_cols: list[str],
+) -> list[str]:
+    """The server-side statements that fold a loaded staging table into
+    the target, per dialect — pure text generation so tests can pin the
+    exact SQL without a database (the Postgres text is otherwise
+    unexecutable in this sandbox).
+
+    With no non-key columns an UPDATE clause would be malformed SQL;
+    the row is either present or absent, so upsert degrades to
+    insert-if-absent (``DO NOTHING`` / no ``WHEN MATCHED`` branch).
+    """
+    _checked_idents(table, staging, *columns)
+    missing = [k for k in key_cols if k not in columns]
+    if missing:
+        raise ValueError(f"key_cols not in DataFrame columns: {missing}")
+    non_keys = [c for c in columns if c not in key_cols]
+    cols = ", ".join(columns)
+    if dialect == "postgresql":
+        conflict = ", ".join(key_cols)
+        action = (
+            "DO UPDATE SET "
+            + ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
+            if non_keys
+            else "DO NOTHING"
+        )
+        merge = (
+            f"INSERT INTO {table} ({cols}) "
+            f"SELECT {cols} FROM {staging} "
+            f"ON CONFLICT ({conflict}) {action}"
+        )
+    else:
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        vals = ", ".join(f"s.{c}" for c in columns)
+        matched = (
+            "WHEN MATCHED THEN UPDATE SET "
+            + ", ".join(f"t.{c} = s.{c}" for c in non_keys)
+            + " "
+            if non_keys
+            else ""
+        )
+        merge = (
+            f"MERGE INTO {table} t USING {staging} s ON {on} "
+            f"{matched}"
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        )
+    return [merge, f"DELETE FROM {staging}"]
+
+
 def write_jdbc_upsert(
     df: DataFrame,
     cfg: JdbcConfig,
@@ -107,22 +185,21 @@ def write_jdbc_upsert(
     into the target — a single atomic statement, and the only
     driver-side step is issuing it.  The staging table must exist with
     the target's schema.
+
+    The merge statement is dialect-aware (:func:`sniff_dialect`):
+    Postgres — the reference's sink — gets ``INSERT … ON CONFLICT``,
+    Derby and other ANSI engines get ``MERGE``.
     """
     staging = staging_table or f"{cfg.table}_staging"
+    _checked_idents(cfg.table, staging)
     _exec_statements(df.sparkSession, cfg, f"DELETE FROM {staging}")
     write_jdbc_append(
         df, JdbcConfig(**{**cfg.__dict__, "table": staging})
     )
-    non_keys = [c for c in df.columns if c not in key_cols]
-    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
-    set_clause = ", ".join(f"t.{c} = s.{c}" for c in non_keys)
-    cols = ", ".join(df.columns)
-    vals = ", ".join(f"s.{c}" for c in df.columns)
     _exec_statements(
         df.sparkSession,
         cfg,
-        f"MERGE INTO {cfg.table} t USING {staging} s ON {on} "
-        f"WHEN MATCHED THEN UPDATE SET {set_clause} "
-        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})",
-        f"DELETE FROM {staging}",
+        *upsert_statements(
+            sniff_dialect(cfg.url), cfg.table, staging, df.columns, key_cols
+        ),
     )
