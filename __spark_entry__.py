@@ -54,7 +54,9 @@ from kafka_sparkstreaming_sbt_spark.operators.graph import (  # noqa: E402
 )
 from kafka_sparkstreaming_sbt_spark.operators.multimodal import (  # noqa: E402
     decode_media,
+    frame_sample,
     media_features,
+    resize_media,
     synthetic_media,
 )
 from kafka_sparkstreaming_sbt_spark.operators.sampling import (  # noqa: E402
@@ -484,16 +486,16 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 over REAL k-means Voronoi cells
-    (~sqrt(N) cells, 3 Lloyd rounds, deterministic hash-spread init)
-    — the production quantizer behind q_ivf_topk's oracle-replicable
-    stand-in.  Cell means are float-summation-order sensitive across
-    engines, so the driver records a rows-only check; the recall-vs-
-    brute-force gate lives in tests/test_ivf_stateful.py."""
+    (~sqrt(N) cells, 3 Lloyd rounds, deterministic hash-spread init,
+    adaptive n_probe = cells/3) — the production quantizer behind
+    q_ivf_topk's oracle-replicable stand-in.  Cell means are
+    float-summation-order sensitive across engines, so the driver
+    records a rows-only check; the recall-vs-brute-force gate lives in
+    tests/test_ivf_stateful.py and the bench reports measured
+    recall@10 vs ann_cosine_topk per round."""
     _utc(spark)
     emb = read_table(spark, sf_dir, "embeddings")
-    out = ivf_kmeans_topk(
-        emb, emb.filter(F.col("vec_id") < 100), k=10, n_probe=4
-    )
+    out = ivf_kmeans_topk(emb, emb.filter(F.col("vec_id") < 100), k=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -869,6 +871,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 2nd frame) over the synthetic media
+    table: videos contribute frames 0 and 2, stills frame 0; per-frame
+    mean intensity is closed-form in (media_id, dims, frame), giving
+    the generator-style mapInPandas stage a hash-match oracle."""
+    _utc(spark)
+    media = synthetic_media(spark, 256, partitions=2)
+    return frame_sample(media, every_k=2).select(
+        "media_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.round("frame_mean", 6).alias("frame_mean"),
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize of every media item's first frame to
+    4x4, exploded to (media_id, pos, value) scalar rows.  The remap is
+    integer-exact (src = dst * src_dim // 4), so resized pixels are a
+    pure index transform of the closed-form payload bytes."""
+    _utc(spark)
+    media = synthetic_media(spark, 256, partitions=2)
+    resized = resize_media(media, out_w=4, out_h=4)
+    return resized.select(
+        "media_id", F.posexplode("resized").alias("pos", "value")
+    ).select(
+        "media_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("value").cast("long").alias("value"),
+    )
+
+
 #: queries() entries with no oracle_sql twin — the driver records a
 #: weaker rows-only check for these.  ivf_kmeans_topk: k-means cell
 #: means are float-summation-order sensitive across engines, so its
@@ -909,6 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_similar_pairs": q_embedding_similar_pairs,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frame_stats": q_multimodal_frame_stats,
+        "multimodal_resize": q_multimodal_resize,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
         "monthly_order_stats": q_monthly_order_stats,
@@ -1518,6 +1553,44 @@ def oracle_sql() -> dict[str, str]:
                      x -> CAST(floor(x * 16 / 256) AS BIGINT) = bins.bin))
                      / body.n, 6) AS share
         FROM body CROSS JOIN bins
+        """,
+        # frame fi of media i spans body bytes [fi*w*h, (fi+1)*w*h);
+        # every-2nd-frame sampling keeps fi in {0} for stills (nf=1)
+        # and {0, 2} for videos (nf=3)
+        "multimodal_frame_stats": """
+        WITH m AS (SELECT unnest(range(0, 256)) AS i),
+        d AS (
+          SELECT i,
+                 8 + (i % 5) * 4 AS w,
+                 8 + (i % 7) * 2 AS h,
+                 CASE WHEN i % 3 = 0 THEN 3 ELSE 1 END AS nf
+          FROM m
+        ),
+        f AS (
+          SELECT i, w, h, unnest(range(0, nf, 2)) AS fi FROM d
+        )
+        SELECT i AS media_id,
+               CAST(fi AS BIGINT) AS frame_index,
+               ROUND(list_avg(list_transform(
+                 range(fi * w * h, (fi + 1) * w * h),
+                 j -> (i * 31 + j * 7) % 256)), 6) AS frame_mean
+        FROM f
+        """,
+        # nearest-neighbor remap: output pixel (y, x) of the 4x4 grid
+        # reads source index (y*h//4)*w + (x*w//4) of frame 0, whose
+        # byte is the closed-form (i*31 + idx*7) % 256
+        "multimodal_resize": """
+        WITH m AS (SELECT unnest(range(0, 256)) AS i),
+        d AS (SELECT i, 8 + (i % 5) * 4 AS w, 8 + (i % 7) * 2 AS h
+              FROM m),
+        p AS (SELECT unnest(range(0, 16)) AS pos)
+        SELECT d.i AS media_id,
+               p.pos AS pos,
+               CAST((d.i * 31 +
+                     (((p.pos // 4) * d.h // 4) * d.w
+                      + ((p.pos % 4) * d.w // 4)) * 7) % 256
+                    AS BIGINT) AS value
+        FROM d CROSS JOIN p
         """,
         # mirrors operators/multimodal.py's synthetic payload in closed
         # form: body byte j of media i is (i*31 + j*7) % 256, body

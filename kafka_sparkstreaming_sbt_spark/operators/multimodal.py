@@ -352,21 +352,33 @@ def media_features(df: DataFrame) -> DataFrame:
 
 def frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
     """Frame sampling for video payloads: emits one row per kept frame
-    (frame indices 0, k, 2k, ...) with the frame's byte slice — a
-    generator-style map (row count grows, still no shuffle)."""
+    (frame indices 0, k, 2k, ...) with the frame's byte slice and its
+    mean intensity — a generator-style map (row count grows, still no
+    shuffle).  ``frame_mean`` rides along for free (the slice is
+    already in hand) and gives the sampled output a numeric,
+    oracle-checkable surface."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, frames, blobs = [], [], []
+            ids, frames, blobs, means = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, nf, body = _decode_payload(bytes(payload))
                 frame_sz = max(1, len(body) // max(nf, 1))
                 for fi in range(0, nf, every_k):
+                    blob = body[fi * frame_sz : (fi + 1) * frame_sz]
                     ids.append(mid)
                     frames.append(fi)
-                    blobs.append(body[fi * frame_sz : (fi + 1) * frame_sz])
+                    blobs.append(blob)
+                    means.append(
+                        float(sum(blob)) / len(blob) if blob else 0.0
+                    )
             yield pd.DataFrame(
-                {"media_id": ids, "frame_index": frames, "frame": blobs}
+                {
+                    "media_id": ids,
+                    "frame_index": frames,
+                    "frame": blobs,
+                    "frame_mean": means,
+                }
             )
 
     schema = T.StructType(
@@ -374,9 +386,68 @@ def frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
             T.StructField("media_id", T.LongType(), False),
             T.StructField("frame_index", T.IntegerType(), False),
             T.StructField("frame", T.BinaryType(), True),
+            T.StructField("frame_mean", T.DoubleType(), True),
         ]
     )
     return df.select("media_id", "payload").mapInPandas(_sample, schema)
+
+
+def resize_media(
+    df: DataFrame, out_w: int, out_h: int, frame_index: int = 0
+) -> DataFrame:
+    """Resize stage: nearest-neighbor downscale/upscale of the decoded
+    intensity raster to ``out_w x out_h`` — vectorized NumPy fancy
+    indexing over Arrow batches, no shuffle, partitioning preserved.
+
+    Nearest-neighbor (``src = floor(dst * src_dim / out_dim)``) is
+    chosen over bilinear because it is integer-exact — the resized
+    pixels are a pure index remap of decoded bytes, so the gate query
+    hash-matches a closed-form oracle; a bilinear variant would only
+    get a rows-only check.  Videos resize the ``frame_index``-th
+    frame (frames are independent rows after :func:`frame_sample` —
+    compose the two stages to resize all sampled frames).
+
+    Output: one row per media item with the resized raster as an
+    int array (row-major), plus source dims.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = np.arange(out_h)
+        xs = np.arange(out_w)
+        for pdf in batches:
+            ids, widths, heights, rasters = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, nf, body = _decode_payload(bytes(payload))
+                if frame_index >= nf:
+                    continue  # e.g. still images when asked for frame 2
+                frame_sz = w * h
+                raster = np.frombuffer(
+                    body, dtype=np.uint8, count=frame_sz,
+                    offset=frame_index * frame_sz,
+                ).reshape(h, w)
+                resized = raster[(ys * h // out_h)[:, None], xs * w // out_w]
+                ids.append(mid)
+                widths.append(w)
+                heights.append(h)
+                rasters.append(resized.reshape(-1).astype(np.int32))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "src_width": widths,
+                    "src_height": heights,
+                    "resized": rasters,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("src_width", T.IntegerType(), True),
+            T.StructField("src_height", T.IntegerType(), True),
+            T.StructField("resized", T.ArrayType(T.IntegerType()), True),
+        ]
+    )
+    return df.select("media_id", "payload").mapInPandas(_resize, schema)
 
 
 def media_metadata_stats(df: DataFrame) -> DataFrame:

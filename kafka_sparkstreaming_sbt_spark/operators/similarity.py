@@ -388,18 +388,38 @@ def ivf_kmeans_topk(
     queries: DataFrame,
     k: int = 10,
     n_cells: int | None = None,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     n_iter: int = 3,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_frac: float = 2 / 3,
 ) -> DataFrame:
     """IVF ANN with a REAL k-means coarse quantizer (cells ~ sqrt(N))
     — the production scale path.  Search machinery is shared with
     :func:`ivf_topk`; only the quantizer differs.  K-means cell means
     are float-summation-order sensitive, so correctness is gated on
     RECALL vs brute force (tests/test_ivf_stateful.py), not on an
-    exact-match SQL oracle."""
+    exact-match SQL oracle.
+
+    ``n_probe`` defaults to ``probe_frac`` of the cells (min 4).  The
+    fraction is the recall/cost knob and is DATA-dependent: the
+    default 2/3 targets recall@10 >= 0.9 on the WORST case —
+    isotropic random vectors (this synthetic corpus), where neighbor
+    recall is essentially bounded by the corpus fraction scanned
+    (measured: 15/44 cells -> 0.73, 32/44 -> 0.95 at sf0.1; the bench
+    re-measures recall per round).  Real embedding corpora are
+    clustered, so the same recall arrives at a far smaller fraction —
+    tune ``probe_frac`` down against a measured recall floor, exactly
+    as the bench does.
+    """
+    if n_cells is None:
+        n_rows = _metadata_row_count(corpus)
+        if n_rows is None:
+            n_rows = corpus.count()
+        n_cells = max(2, int(math.isqrt(n_rows)))
+    if n_probe is None:
+        n_probe = max(4, math.ceil(probe_frac * n_cells))
     cent = kmeans_centroids(corpus, n_cells, n_iter, seed, vec_col, id_col)
     return _ivf_search(corpus, queries, cent, k, n_probe, vec_col, id_col)
 

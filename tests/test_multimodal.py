@@ -18,6 +18,7 @@ from kafka_sparkstreaming_sbt_spark.operators.multimodal import (
     frame_sample,
     media_features,
     media_metadata_stats,
+    resize_media,
     synthetic_media,
 )
 
@@ -182,10 +183,66 @@ def test_frame_sample_videos_expand(spark):
             assert frames == [0]
 
 
+def test_frame_sample_means_match_decode_for_stills(spark):
+    """A still image's only frame IS its whole raster, so frame 0's
+    mean must equal decode_media's mean_intensity exactly."""
+    media = synthetic_media(spark, 30)
+    means = {
+        r.media_id: r.frame_mean
+        for r in frame_sample(media).collect()
+        if r.frame_index == 0
+    }
+    for r in decode_media(media).collect():
+        if r.n_frames == 1:
+            assert means[r.media_id] == r.mean_intensity
+
+
+def test_resize_nearest_neighbor_real_bmp(spark):
+    """End-to-end resize of a REAL 2x2 BMP checkerboard to 4x4: each
+    source pixel's luma must replicate into its 2x2 output block
+    (nearest-neighbor src = dst * 2 // 4 = dst // 2)."""
+    rgb = [
+        [(255, 255, 255), (0, 0, 0)],
+        [(0, 0, 0), (255, 255, 255)],
+    ]
+    payload = encode_bmp(2, 2, rgb)
+    df = spark.createDataFrame(
+        [(0, payload)], "media_id long, payload binary"
+    )
+    rows = resize_media(df, out_w=4, out_h=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.src_width, r.src_height) == (2, 2)
+    white = (299 * 255 + 587 * 255 + 114 * 255) // 1000
+    grid = [r.resized[i * 4 : (i + 1) * 4] for i in range(4)]
+    expect = [
+        [white, white, 0, 0],
+        [white, white, 0, 0],
+        [0, 0, white, white],
+        [0, 0, white, white],
+    ]
+    assert grid == expect
+
+
+def test_resize_video_frames_are_independent(spark):
+    """frame_index selects the frame; stills are skipped when asked
+    for a frame they don't have."""
+    media = synthetic_media(spark, 12)
+    f0 = resize_media(media, 4, 4, frame_index=0).collect()
+    f2 = resize_media(media, 4, 4, frame_index=2).collect()
+    assert len(f0) == 12  # every item has a frame 0
+    videos = {r.media_id for r in media.collect() if r.kind == "video"}
+    assert {r.media_id for r in f2} == videos
+    by0 = {r.media_id: r.resized for r in f0}
+    for r in f2:  # deeper frames read different byte ranges
+        assert r.resized != by0[r.media_id]
+
+
 def test_map_stages_add_no_shuffle(spark):
     """decode is a pure map: input partitioning must survive."""
     media = synthetic_media(spark, 32).repartition(7)
     assert decode_media(media).rdd.getNumPartitions() == 7
+    assert resize_media(media, 4, 4).rdd.getNumPartitions() == 7
 
 
 def test_metadata_stats_prune_payload(spark, tmp_path):
