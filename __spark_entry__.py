@@ -871,6 +871,62 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of every document into 32-token chunks
+    at stride 24 (8-token overlap) — split -> posexplode(sequence) ->
+    slice, zero shuffle."""
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, stride=24)
+
+
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle + contiguous sequence packing: md5-ranked
+    epoch permutation into 16 shards, each shard's token stream cut
+    into 256-token training sequences; every doc's (seq_index,
+    seq_offset) is closed-form from the per-shard running token
+    total.  One shuffle, per-shard windows only."""
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        pack_documents,
+    )
+
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_documents(docs, seq_len=256)
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 spenders per nation — the grouped top-k primitive, where
+    a PARTITIONED rank window is the scale-correct tool (Catalyst
+    inserts a partial WindowGroupLimit below the exchange, asserted in
+    tests/test_plans.py)."""
+    from kafka_sparkstreaming_sbt_spark.operators.topk import grouped_topk
+
+    _utc(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent")
+    )
+    joined = (
+        spend.join(customer, spend.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.col("c_custkey").alias("custkey"),
+            "total_spent",
+        )
+    )
+    return grouped_topk(
+        joined, ["n_name"], [("total_spent", "desc"), ("custkey", "asc")], 3
+    )
+
+
 def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (every 2nd frame) over the synthetic media
     table: videos contribute frames 0 and 2, stills frame 0; per-frame
@@ -944,6 +1000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_stats": q_multimodal_frame_stats,
         "multimodal_resize": q_multimodal_resize,
+        "doc_chunks": q_doc_chunks,
+        "packed_sequences": q_packed_sequences,
+        "top_customers_per_nation": q_top_customers_per_nation,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
         "monthly_order_stats": q_monthly_order_stats,
@@ -1553,6 +1612,88 @@ def oracle_sql() -> dict[str, str]:
                      x -> CAST(floor(x * 16 / 256) AS BIGINT) = bins.bin))
                      / body.n, 6) AS share
         FROM body CROSS JOIN bins
+        """,
+        # chunk starts are exact stride multiples, so chunk_index =
+        # start // stride; DuckDB 1-based inclusive list slicing
+        # toks[s+1 : s+32] == Spark slice(toks, s+1, 32)
+        "doc_chunks": """
+        WITH t AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        ),
+        e AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, n - 1, 24)) AS start
+          FROM s
+        )
+        SELECT doc_id,
+               CAST(start // 24 AS BIGINT) AS chunk_index,
+               CAST(start AS BIGINT) AS token_start,
+               CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_tokens,
+               array_to_string(toks[start + 1 : start + 32], ' ')
+                 AS chunk_text
+        FROM e
+        """,
+        # the md5 epoch hash, its first-byte shard, and the per-shard
+        # running token total are all engine-portable arithmetic —
+        # ascii('0'..'9')-48 / ascii('a'..'f')-87 decodes hex digits
+        # identically in both engines
+        "packed_sequences": """
+        WITH t AS (
+          SELECT doc_id,
+                 len(string_split_regex(text, '\\s+')) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR) || ':42') AS h
+          FROM documents
+        ),
+        hx AS (
+          SELECT *,
+                 CASE WHEN ascii(substr(h, 1, 1)) <= 57
+                      THEN ascii(substr(h, 1, 1)) - 48
+                      ELSE ascii(substr(h, 1, 1)) - 87 END AS d1,
+                 CASE WHEN ascii(substr(h, 2, 1)) <= 57
+                      THEN ascii(substr(h, 2, 1)) - 48
+                      ELSE ascii(substr(h, 2, 1)) - 87 END AS d2
+          FROM t
+        ),
+        s AS (
+          SELECT doc_id, n_tokens, h,
+                 CAST((d1 * 16 + d2) % 16 AS BIGINT) AS shard
+          FROM hx
+        ),
+        r AS (
+          SELECT doc_id, shard,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(row_number() OVER
+                      (PARTITION BY shard ORDER BY h, doc_id)
+                      AS BIGINT) AS pos_in_shard,
+                 SUM(n_tokens) OVER
+                   (PARTITION BY shard ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM s
+        )
+        SELECT doc_id, shard, pos_in_shard, n_tokens,
+               CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_index,
+               CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
+        FROM r
+        """,
+        "top_customers_per_nation": """
+        WITH spend AS (
+          SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent
+          FROM orders GROUP BY 1
+        )
+        SELECT n.n_name, c.c_custkey AS custkey, s.total_spent,
+               CAST(row_number() OVER
+                    (PARTITION BY n.n_name
+                     ORDER BY s.total_spent DESC, c.c_custkey)
+                    AS BIGINT) AS rank
+        FROM spend s
+        JOIN customer c ON s.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        QUALIFY rank <= 3
         """,
         # frame fi of media i spans body bytes [fi*w*h, (fi+1)*w*h);
         # every-2nd-frame sampling keeps fi in {0} for stills (nf=1)

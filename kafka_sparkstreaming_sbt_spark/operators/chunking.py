@@ -1,0 +1,149 @@
+"""Training-set assembly: chunking, deterministic shuffling, and
+contiguous sequence packing (extension surface — the operators an
+LLM pretraining-data pipeline runs AFTER cleaning/dedup turn a
+document lake into training sequences).
+
+All three are pure DataFrame compositions — codegen'd splits,
+``posexplode`` fan-out, and per-shard window functions.  Nothing is
+driver-side and nothing windows without a partition:
+
+- **chunking** is a map + generate (rows grow ~n_tokens/stride per
+  doc, no shuffle at all);
+- **shuffle/pack** shuffles ONCE on the shard key and sorts within
+  shards — a deterministic global permutation without a global sort:
+  md5 is uniform, so shards are skew-free by construction, and each
+  shard's sort is independent (100 TB / n_shards per sort, pick
+  n_shards to size them).
+
+Everything is engine-portable arithmetic (md5 hex, instr, integer
+div/mod) so every stage carries an exact DuckDB oracle — no RNG
+state anywhere, reruns and task retries can't reorder the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunks: starts 0, stride, 2*stride, ...
+    while < n_tokens; each chunk keeps up to ``chunk_tokens`` tokens
+    (the final chunks are shorter — kept, so no text is dropped;
+    filter ``n_tokens`` downstream if short tails are unwanted).
+
+    ``stride < chunk_tokens`` gives overlapping chunks (overlap =
+    chunk_tokens - stride), the usual retrieval/embedding setup.
+    Whole pipeline is split -> ``posexplode(sequence(...))`` ->
+    ``slice`` — per-row codegen, zero shuffle, partitioning preserved.
+    """
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    toks = F.split(F.col(text_col), r"\s+")
+    with_chunks = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_toks",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+            ).alias("chunk_index", "_start"),
+        )
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return with_chunks.select(
+        id_col,
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("_start").cast("long").alias("token_start"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def _hex_val(h, pos: int):
+    """0-15 value of hex char ``pos`` (1-based) of column ``h`` from
+    its ascii code — engine-portable arithmetic (Spark and DuckDB
+    don't share a hex-to-int builtin, but ascii/substr agree):
+    '0'-'9' -> 48-57, 'a'-'f' -> 97-102."""
+    c = F.ascii(F.substring(h, pos, 1))
+    return F.when(c <= 57, c - 48).otherwise(c - 87)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic pseudo-random global permutation for training
+    order: md5 over (id, seed) ranks every row; rows are sharded by
+    the hash's first byte (uniform, skew-free) and ordered within
+    shards — global order = (shard, pos_in_shard) without any global
+    sort or driver collect.  A new ``seed`` is a fresh epoch
+    permutation; task retries can't reroute rows (no RNG state).
+    """
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed)))
+    hashed = df.withColumn("_h", h).withColumn(
+        "shard",
+        ((_hex_val(F.col("_h"), 1) * 16 + _hex_val(F.col("_h"), 2))
+         % n_shards).cast("long"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return hashed.withColumn(
+        "pos_in_shard", F.row_number().over(w).cast("long")
+    ).drop("_h")
+
+
+def pack_documents(
+    df: DataFrame,
+    seq_len: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Contiguous sequence packing (the standard pretraining layout):
+    shuffle deterministically, then concatenate each shard's token
+    stream in shuffle order and cut it into ``seq_len``-token
+    sequences.  Each doc's placement is closed-form from the running
+    token total: it starts at offset ``(cum - n) % seq_len`` of
+    sequence ``(cum - n) // seq_len`` (docs may span sequence
+    boundaries — that's the contract of packed pretraining batches;
+    add BOS/EOS in the tokenizer stage).
+
+    One shuffle (shard key) + per-shard running sum — the prefix sums
+    never leave their shard, so scale cost is sort(|shard|), chosen
+    via ``n_shards``.
+    """
+    n_tok = F.size(F.split(F.col(text_col), r"\s+"))
+    shuffled = deterministic_shuffle(
+        df.select(F.col(id_col), F.col(text_col)).withColumn(
+            "n_tokens", n_tok.cast("long")
+        ),
+        id_col=id_col,
+        seed=seed,
+        n_shards=n_shards,
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos_in_shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    started = cum - F.col("n_tokens")
+    return shuffled.select(
+        id_col,
+        "shard",
+        "pos_in_shard",
+        "n_tokens",
+        F.floor(started / seq_len).cast("long").alias("seq_index"),
+        (started % seq_len).cast("long").alias("seq_offset"),
+    )

@@ -97,3 +97,31 @@ def global_topk_with_rank(
             yield pdf
 
     return top.coalesce(1).mapInPandas(_rank, out_schema)
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_specs: list[OrderSpec],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top ``k`` rows PER GROUP — here a rank window is the right
+    tool, unlike the global case above: the window has a real
+    partition key, and Catalyst's ``InferWindowGroupLimit`` (Spark
+    >= 3.5) inserts a partial ``WindowGroupLimit`` BELOW the exchange,
+    so every map task pre-prunes to its local per-group top-k and the
+    shuffle carries at most k rows per (group, input partition) —
+    the same bounded-heap behavior ``TakeOrderedAndProject`` gives the
+    global cut (plan-asserted in tests/test_plans.py).
+
+    ``order_specs`` must totally order rows within a group (include a
+    tie-break column) or ranks are nondeterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*_order_cols(order_specs))
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .withColumn(rank_col, F.col(rank_col).cast("long"))
+    )

@@ -1,0 +1,109 @@
+"""Training-set assembly: chunking, deterministic shuffle, sequence
+packing — semantics + the scale discipline (no global sort, no
+unpartitioned window, chunking shuffle-free)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+    chunk_documents,
+    deterministic_shuffle,
+    pack_documents,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_chunk_boundaries_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(50))  # 50 tokens
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), chunk_tokens=32, stride=24
+    ).collect()
+    # starts 0, 24, 48 -> 3 chunks
+    assert [(r.chunk_index, r.token_start, r.n_tokens) for r in out] == [
+        (0, 0, 32),
+        (1, 24, 26),  # truncated tail
+        (2, 48, 2),
+    ]
+    # overlap: chunk 1 re-covers tokens 24..31
+    c0, c1 = out[0].chunk_text.split(" "), out[1].chunk_text.split(" ")
+    assert c0[24:] == c1[:8]
+    assert c1 == [f"t{i}" for i in range(24, 50)]
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, "a b c")]), chunk_tokens=32, stride=24
+    ).collect()
+    assert len(out) == 1
+    assert (out[0].n_tokens, out[0].chunk_text) == (3, "a b c")
+
+
+def test_chunking_adds_no_shuffle(spark):
+    df = _docs(spark, [(i, "a b c") for i in range(20)]).repartition(5)
+    chunked = chunk_documents(df)
+    assert chunked.rdd.getNumPartitions() == 5
+    # pre-AQE physical plan (executedPlan's toString prints the
+    # initial AND final adaptive plans, double-counting nodes)
+    plan = chunked._jdf.queryExecution().sparkPlan().toString()
+    # the ONLY exchange is the test's own repartition(5) upstream —
+    # the chunking stages themselves are pure map/generate
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning(5)" in plan
+
+
+def test_shuffle_is_deterministic_and_complete(spark):
+    df = _docs(spark, [(i, "x") for i in range(200)])
+    a = deterministic_shuffle(df, seed=7).collect()
+    b = deterministic_shuffle(df.repartition(13), seed=7).collect()
+    # same permutation regardless of input partitioning
+    key = lambda rows: sorted((r.doc_id, r.shard, r.pos_in_shard) for r in rows)  # noqa: E731
+    assert key(a) == key(b)
+    # a permutation: every doc exactly once, positions contiguous per shard
+    assert sorted(r.doc_id for r in a) == list(range(200))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # a different seed is a different epoch order
+    c = deterministic_shuffle(df, seed=8).collect()
+    assert key(a) != key(c)
+
+
+def test_pack_running_offsets(spark):
+    # 3 docs of 100 tokens each in one shard -> contiguous packing
+    # into 256-token sequences: starts at 0, 100, 200
+    docs = _docs(spark, [(i, " ".join(["w"] * 100)) for i in range(3)])
+    out = pack_documents(docs, seq_len=256, n_shards=1).collect()
+    got = sorted((r.pos_in_shard, r.seq_index, r.seq_offset) for r in out)
+    assert got == [(1, 0, 0), (2, 0, 100), (3, 0, 200)]
+    assert all(r.n_tokens == 100 for r in out)
+
+
+def test_pack_spans_sequence_boundary(spark):
+    docs = _docs(spark, [(i, " ".join(["w"] * 200)) for i in range(3)])
+    out = {
+        r.pos_in_shard: (r.seq_index, r.seq_offset)
+        for r in pack_documents(docs, seq_len=256, n_shards=1).collect()
+    }
+    # doc 2 starts at token 200 of seq 0 (spans into seq 1),
+    # doc 3 starts at token 400 -> seq 1 offset 144
+    assert out == {1: (0, 0), 2: (0, 200), 3: (1, 144)}
+
+
+def test_pack_windows_are_all_partitioned(spark):
+    """The shuffle/pack plan may window ONLY per shard — never a
+    partition-less window (the global-sort scale-killer)."""
+    docs = _docs(spark, [(i, "a b") for i in range(50)])
+    plan = pack_documents(docs)._jdf.queryExecution().sparkPlan()
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "WindowExec":
+            assert not node.partitionSpec().isEmpty()
+        ch = node.children()
+        stack.extend(ch.apply(i) for i in range(ch.size()))

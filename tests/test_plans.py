@@ -110,6 +110,26 @@ def test_global_topk_has_no_window_operator(spark, sf_small):
         assert "Window" not in plan  # no WindowExec of any kind
 
 
+def test_grouped_topk_pruned_map_side(spark, sf_small):
+    """grouped_topk (top-3 per nation) must get Catalyst's partial
+    WindowGroupLimit below the rank exchange — map tasks pre-prune to
+    their local per-group top-k, so the shuffle carries at most
+    k x groups x partitions rows."""
+    lines = _physical(
+        entry_mod.q_top_customers_per_nation(spark, sf_small)
+    ).splitlines()
+    partial = [
+        i
+        for i, l in enumerate(lines)
+        if "WindowGroupLimit" in l and "Partial" in l
+    ]
+    exchange = [
+        i for i, l in enumerate(lines) if "Exchange hashpartitioning(n_name" in l
+    ]
+    assert partial and exchange
+    assert partial[-1] > exchange[0]  # Partial prune upstream of the exchange
+
+
 def _walk_plan(node):
     stack = [node]
     while stack:
