@@ -170,6 +170,7 @@ def simhash_near_dup_pairs(
     n_bands: int = 4,
     max_hamming: int = 3,
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, hamming <= max_hamming) via banded
     fingerprint join.  Complete for ``max_hamming < n_bands`` — and the
@@ -187,7 +188,17 @@ def simhash_near_dup_pairs(
     corpora collide more), so nothing here forces a broadcast — the
     verify join carries only 65-byte fingerprints and AQE picks the
     strategy from actual sizes.
+
+    ``max_bucket_size`` caps (band, chunk) bucket fan-out before the
+    quadratic candidate join — same guard rail and recall tradeoff as
+    ``dedup_fuzzy.cap_hot_buckets`` (a banding-completeness caveat on
+    top: a pair surviving only via a capped band is lost, so the
+    capped result is a subset of the exact hamming ball).
     """
+    from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
+        cap_hot_buckets,
+    )
+
     assert max_hamming < n_bands, "banding completeness needs hamming < bands"
     band_w = N_BITS // n_bands
     fp = simhash_fingerprints(
@@ -211,13 +222,17 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("bc"),
-    ).select("doc_id", "bc.band", "bc.chunk")
+    ).select(
+        # hashed 64-bit bucket key (band, chunk) — same join-key
+        # discipline as the minhash path (8 bytes vs a 17-char string)
+        "doc_id", F.xxhash64("bc.band", "bc.chunk").alias("bucket")
+    )
+    bands = cap_hot_buckets(bands, "bucket", max_bucket_size)
     cand = (
         bands.alias("x")
         .join(
             bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.chunk") == F.col("y.chunk"))
+            (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(

@@ -14,7 +14,8 @@ absent.  The JSON-schema string format is Avro's own, e.g.::
 
 from __future__ import annotations
 
-from pyspark.sql import Column, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def avro_available(spark: SparkSession) -> bool:
@@ -42,6 +43,37 @@ def decode_avro(col: Column | str, json_schema: str) -> Column:
             "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
         ) from exc
     return from_avro(col, json_schema)
+
+
+def with_confluent_frame(
+    df: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """Split Confluent Schema-Registry wire framing — the public
+    ``[0x00 magic][4-byte big-endian schema id][avro body]`` layout
+    every Registry-integrated producer emits (the reference's declared
+    serializer, SURVEY.md §2.11) — into typed columns:
+
+    - ``schema_id``: int (null when the magic byte isn't 0x00 — a
+      non-Registry payload; route those to a dead-letter sink)
+    - ``avro_payload``: the body bytes to hand to :func:`decode_avro`
+
+    Pure built-in byte ops (substring on binary, hex -> conv), fully
+    codegen'd — needs NO avro jar, so the framing is testable in this
+    environment even though the decode itself stays gated.
+    """
+    value = F.col(value_col)
+    is_framed = (F.length(value) >= 5) & (
+        F.substring(value, 1, 1) == F.lit(bytes([0]))
+    )
+    schema_id = F.conv(F.hex(F.substring(value, 2, 4)), 16, 10).cast("int")
+    return df.withColumns(
+        {
+            "schema_id": F.when(is_framed, schema_id),
+            "avro_payload": F.when(
+                is_framed, F.expr(f"substring({value_col}, 6)")
+            ),
+        }
+    )
 
 
 def encode_avro(col: Column | str) -> Column:

@@ -116,6 +116,32 @@ def test_avro_gated(spark):
             assert "spark-avro" in str(e)
 
 
+def test_confluent_frame_split(spark):
+    """Registry wire framing splits with built-in byte ops: magic 0x00
+    + big-endian schema id + body; unframed payloads yield nulls."""
+    import struct
+
+    from kafka_sparkstreaming_sbt_spark.sources.avro import (
+        with_confluent_frame,
+    )
+
+    body = b"\x0cavrob"  # arbitrary avro-ish bytes
+    framed = b"\x00" + struct.pack(">I", 4242) + body
+    big_id = b"\x00" + struct.pack(">I", 2**31 - 1) + body
+    unframed = b"\x01junkpayload"
+    short = b"\x00\x01"
+    df = spark.createDataFrame(
+        [(1, framed), (2, unframed), (3, short), (4, big_id)],
+        "k long, value binary",
+    )
+    rows = {r.k: r for r in with_confluent_frame(df).collect()}
+    assert rows[1].schema_id == 4242
+    assert bytes(rows[1].avro_payload) == body
+    assert rows[4].schema_id == 2**31 - 1
+    assert rows[2].schema_id is None and rows[2].avro_payload is None
+    assert rows[3].schema_id is None
+
+
 def test_bucketed_tables_join_without_shuffle(spark, sf_small):
     """The co-located join layout: orders and lineitem bucketed the
     same way on the join key join with ZERO Exchange — the write-time

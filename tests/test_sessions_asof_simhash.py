@@ -137,6 +137,35 @@ def test_simhash_near_dup_pairs_finds_duplicates(spark):
     assert {(r.doc_a, r.doc_b): r.hamming for r in out8.collect()} == got
 
 
+def test_simhash_hot_bucket_cap(spark):
+    """Boilerplate guard parity with minhash (VERDICT r2 #2): identical
+    template docs share EVERY band bucket; capping drops those buckets
+    before the quadratic join while pairs in cold buckets survive."""
+    template = "terms of service apply to every page of this site always"
+    rows = [(i, template) for i in range(20)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    rows += [
+        (200 + i, " ".join(f"w{i}q{j}" for j in range(8))) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dup_pairs(df).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dup_pairs(df, max_bucket_size=10).collect()
+    }
+    template_pairs = {(a, b) for a in range(20) for b in range(20) if a < b}
+    assert template_pairs <= uncapped and (100, 101) in uncapped
+    assert capped & template_pairs == set()
+    assert (100, 101) in capped
+    assert capped <= uncapped
+
+
 def test_hamming_column(spark):
     df = spark.createDataFrame([("1100", "1001")], "a string, b string")
     assert df.select(hamming(F.col("a"), F.col("b"), 4).alias("h")).first().h == 2
