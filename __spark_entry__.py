@@ -163,7 +163,7 @@ def _sql_bucket_expr(n_bits: int, seed: int) -> str:
 #: (mirrors operators.dedup_fuzzy.minhash_near_dup_pairs at
 #: shingle_n=3, n_bands=8) — used by the pair oracle and, extended
 #: with a recursive closure, the connected-components group oracle.
-_MINHASH_CTES = """
+_MINHASH_SIG_CTES = """
         docs AS (
           SELECT doc_id,
                  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
@@ -176,7 +176,10 @@ _MINHASH_CTES = """
                           substr(md5(CASE WHEN band < 4 THEN s
                                           ELSE '1|' || s END),
                                  CAST((band % 4) * 8 + 1 AS INTEGER), 8))) AS sig
-                 FROM docs, bands),
+                 FROM docs, bands)
+"""
+
+_MINHASH_CTES = _MINHASH_SIG_CTES + """,
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                  FROM sigs x JOIN sigs y
                    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
@@ -871,6 +874,23 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: docs >= 400 screened as the NEW batch
+    against the < 400 corpus — batch x corpus bucket join (never
+    corpus x corpus), corpus text re-shingled only for candidates."""
+    from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
+        incremental_near_dup,
+    )
+
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return incremental_near_dup(
+        docs.filter(F.col("doc_id") >= 400),
+        docs.filter(F.col("doc_id") < 400),
+        threshold=0.4,
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking of every document into 32-token chunks
     at stride 24 (8-token overlap) — split -> posexplode(sequence) ->
@@ -1000,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_stats": q_multimodal_frame_stats,
         "multimodal_resize": q_multimodal_resize,
+        "incremental_dedup": q_incremental_dedup,
         "doc_chunks": q_doc_chunks,
         "packed_sequences": q_packed_sequences,
         "top_customers_per_nation": q_top_customers_per_nation,
@@ -1136,6 +1157,25 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
         FROM pairs WHERE j >= 0.5
+        """,
+        # same signature CTEs, but candidates are new-batch x corpus
+        # (x >= 400 screened against y < 400) — never corpus x corpus
+        "incremental_dedup": "WITH "
+        + _MINHASH_SIG_CTES
+        + """,
+        cand AS (SELECT DISTINCT x.doc_id AS new_doc_id,
+                        y.doc_id AS dup_of
+                 FROM sigs x JOIN sigs y
+                   ON x.band = y.band AND x.sig = y.sig
+                 WHERE x.doc_id >= 400 AND y.doc_id < 400),
+        pairs AS (SELECT new_doc_id, dup_of,
+                         len(list_intersect(a.sh, b.sh))
+                           / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+                  FROM cand
+                  JOIN docs a ON a.doc_id = cand.new_doc_id
+                  JOIN docs b ON b.doc_id = cand.dup_of)
+        SELECT new_doc_id, dup_of, ROUND(j, 6) AS jaccard
+        FROM pairs WHERE j >= 0.4
         """,
         "near_dup_groups": "WITH RECURSIVE "
         + _MINHASH_CTES

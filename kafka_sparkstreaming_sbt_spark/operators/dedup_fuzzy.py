@@ -252,6 +252,100 @@ def minhash_near_dup_pairs(
     )
 
 
+def incremental_near_dup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup check — the daily-ingest shape: screen a
+    NEW batch against an EXISTING corpus without re-pairing the corpus
+    with itself.  Returns (new_doc_id, dup_of, jaccard) where
+    ``dup_of`` is a corpus doc with J >= threshold (a new doc appears
+    once per matching corpus doc; aggregate downstream to keep/drop).
+
+    Scale shape vs the full :func:`minhash_near_dup_pairs`:
+
+    - the bucket join is new-batch x corpus (|new| << |corpus|), not
+      corpus x corpus — the daily cost is proportional to the batch;
+    - the corpus contributes only its (doc_id, bucket) signature rows
+      to the join — in production that side is a MATERIALIZED
+      signature table maintained across ingests (signatures are
+      append-only per doc), re-computed here from text for
+      self-containment;
+    - corpus text is re-shingled ONLY for docs that appear in a
+      candidate pair (semi-join prune before the verify), so the
+      verify never rescans the 100 TB text column.
+    """
+    from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
+
+    def _prep(df: DataFrame) -> DataFrame:
+        return with_shingles(
+            parallelize_for_compute(df), text_col, shingle_n
+        ).select("doc_id", "shingles")
+
+    new = _prep(new_docs).persist()
+    corpus = _prep(corpus_docs)
+
+    def _sigs(docs: DataFrame) -> DataFrame:
+        s = minhash_signatures(docs, n_bands).select(
+            "doc_id", F.xxhash64("band", "sig").alias("bs")
+        )
+        return cap_hot_buckets(s, "bs", max_bucket_size)
+
+    cand = (
+        _sigs(new)
+        .alias("x")
+        .join(
+            _sigs(corpus).alias("y"),
+            (F.col("x.bs") == F.col("y.bs"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("new_doc_id"),
+            F.col("y.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    # verify: only candidate corpus docs are re-shingled (semi prune)
+    corpus_cand = corpus.join(
+        cand.select(F.col("dup_of").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    verified = (
+        cand.join(
+            new.select(
+                F.col("doc_id").alias("new_doc_id"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "new_doc_id",
+        )
+        .join(
+            corpus_cand.select(
+                F.col("doc_id").alias("dup_of"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "dup_of",
+        )
+        .filter(
+            (F.size("sh_a") >= threshold * F.size("sh_b"))
+            & (F.size("sh_b") >= threshold * F.size("sh_a"))
+        )
+        .select(
+            "new_doc_id",
+            "dup_of",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("_j"),
+        )
+    )
+    return verified.filter(F.col("_j") >= threshold).select(
+        "new_doc_id", "dup_of", F.round("_j", 6).alias("jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
