@@ -874,6 +874,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offset windows partitioned by customer: days since the
+    previous and until the next order."""
+    from kafka_sparkstreaming_sbt_spark.operators.analytics import (
+        customer_order_gaps,
+    )
+
+    _utc(spark)
+    out = customer_order_gaps(read_table(spark, sf_dir, "orders"))
+    return out.withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest dedup: docs >= 400 screened as the NEW batch
     against the < 400 corpus — batch x corpus bucket join (never
@@ -1020,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_stats": q_multimodal_frame_stats,
         "multimodal_resize": q_multimodal_resize,
+        "customer_order_gaps": q_customer_order_gaps,
         "incremental_dedup": q_incremental_dedup,
         "doc_chunks": q_doc_chunks,
         "packed_sequences": q_packed_sequences,
@@ -1157,6 +1172,19 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
         FROM pairs WHERE j >= 0.5
+        """,
+        "customer_order_gaps": """
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               CAST(date_diff('day',
+                    lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+                 AS days_since_prev,
+               CAST(date_diff('day',
+                    o_orderdate, lead(o_orderdate) OVER w) AS BIGINT)
+                 AS days_until_next
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
         """,
         # same signature CTEs, but candidates are new-batch x corpus
         # (x >= 400 screened against y < 400) — never corpus x corpus

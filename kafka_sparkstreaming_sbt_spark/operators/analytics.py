@@ -126,6 +126,29 @@ def monthly_order_stats(orders: DataFrame) -> DataFrame:
     )
 
 
+def customer_order_gaps(orders: DataFrame) -> DataFrame:
+    """lag/lead offset windows: per customer, each order with the gap
+    (days) since the previous order and until the next — re-order
+    cadence analysis.  The window partitions on the customer key, so
+    Catalyst shuffles once on o_custkey and sorts within groups; no
+    partition-less window anywhere (the fleet guard applies here
+    too)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_d = F.lag("o_orderdate").over(w)
+    next_d = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), prev_d).cast("long").alias(
+            "days_since_prev"
+        ),
+        F.datediff(next_d, F.col("o_orderdate")).cast("long").alias(
+            "days_until_next"
+        ),
+    )
+
+
 def order_priority_rollup(orders: DataFrame) -> DataFrame:
     """ROLLUP grouping over (priority, status): subtotal rows carry
     NULLs — multi-grain aggregation in one pass."""

@@ -412,6 +412,12 @@ def ivf_kmeans_topk(
     clustered, so the same recall arrives at a far smaller fraction —
     tune ``probe_frac`` down against a measured recall floor, exactly
     as the bench does.
+
+    ``n_iter`` matters only when the data HAS cluster structure: on
+    this isotropic corpus recall is identical at 1, 2, or 3 Lloyd
+    rounds (measured 0.942/0.943/0.942 at sf0.1) — the default stays
+    3 for real corpora, where centroid quality shifts the
+    recall-per-scan curve; drop it for known-unstructured data.
     """
     if n_cells is None:
         n_rows = _metadata_row_count(corpus)

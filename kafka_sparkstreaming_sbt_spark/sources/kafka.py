@@ -119,6 +119,43 @@ def parse_transactions(
     return parsed
 
 
+def parse_transactions_with_dlq(
+    df: DataFrame,
+    schema: T.StructType = TRANSACTION_SCHEMA,
+    value_col: str = "value",
+    reparse_timestamp: bool = True,
+    key_field: str = "transaction_id",
+) -> DataFrame:
+    """Decode like :func:`parse_transactions` but KEEP the raw payload
+    of undecodable rows in a ``_corrupt`` column instead of silently
+    carrying an all-null struct (the reference's PERMISSIVE behavior
+    silently drops malformed messages into null-land — at ingest scale
+    you want them routed to a dead-letter sink and counted).
+
+    A row is corrupt when the payload fails to parse as a JSON object
+    AT ALL or parses without the ``key_field`` the pipeline keys on
+    (the all-null-struct disguise).  Valid rows carry ``_corrupt`` =
+    NULL — route with two filters inside one foreachBatch (persist the
+    batch first so the lineage executes once):
+
+        good = batch.filter("_corrupt IS NULL").drop("_corrupt")
+        dead = batch.filter("_corrupt IS NOT NULL")
+    """
+    raw = df.selectExpr(f"CAST({value_col} AS STRING) AS _raw")
+    parsed = raw.select(
+        "_raw", F.from_json(F.col("_raw"), schema).alias("data")
+    )
+    bad = F.col(f"data.{key_field}").isNull()
+    out = parsed.select(
+        "data.*", F.when(bad, F.col("_raw")).alias("_corrupt")
+    )
+    if reparse_timestamp and "timestamp" in out.columns:
+        out = out.withColumn(
+            "timestamp", reparse_timestamp_whole_seconds(F.col("timestamp"))
+        )
+    return out
+
+
 def events_as_transactions(events: DataFrame) -> DataFrame:
     """Project the driver's ``events`` table onto the transaction shape
     (FIXTURES.md §1.4) so every reference-parity operator also runs on

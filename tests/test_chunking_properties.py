@@ -1,0 +1,95 @@
+"""Property-based invariants (hypothesis) for training-set assembly —
+the contracts downstream renderers rely on, checked over generated
+corpora rather than hand-picked examples:
+
+- chunking covers every token and reconstructs the doc at
+  stride == chunk_tokens (disjoint chunks);
+- packing tiles each shard's token stream exactly (no gaps, no
+  overlap) and never loses a document.
+
+Example counts are kept small: every example runs real Spark jobs on
+the shared session (~0.3 s each)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+    chunk_documents,
+    pack_documents,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# docs of 1..60 single-char tokens; ids unique by construction
+_corpora = st.lists(
+    st.integers(min_value=1, max_value=60), min_size=1, max_size=8
+).map(
+    lambda lens: [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)))
+        for i, n in enumerate(lens)
+    ]
+)
+
+
+@given(corpus=_corpora, chunk=st.integers(4, 16))
+@settings(**_SETTINGS)
+def test_disjoint_chunks_reconstruct_documents(spark, corpus, chunk):
+    """stride == chunk_tokens: chunks partition the token stream, so
+    joining them in chunk_index order rebuilds every document."""
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    rows = chunk_documents(
+        df, chunk_tokens=chunk, stride=chunk
+    ).collect()
+    rebuilt = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_index)):
+        rebuilt[r.doc_id] = (
+            rebuilt.get(r.doc_id, "") + " " + r.chunk_text
+        ).strip()
+        assert 1 <= r.n_tokens <= chunk
+    assert rebuilt == dict(corpus)
+
+
+@given(corpus=_corpora, chunk=st.integers(6, 16), stride=st.integers(2, 6))
+@settings(**_SETTINGS)
+def test_overlapping_chunks_cover_every_token(spark, corpus, chunk, stride):
+    """stride < chunk_tokens: every token index of every doc appears
+    in at least one chunk window [start, start + chunk)."""
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    rows = chunk_documents(
+        df, chunk_tokens=chunk, stride=stride
+    ).collect()
+    covered = {}
+    for r in rows:
+        covered.setdefault(r.doc_id, set()).update(
+            range(r.token_start, r.token_start + r.n_tokens)
+        )
+    for doc_id, text in corpus:
+        assert covered[doc_id] == set(range(len(text.split())))
+
+
+@given(corpus=_corpora, seq_len=st.integers(8, 64), seed=st.integers(0, 3))
+@settings(**_SETTINGS)
+def test_packing_tiles_each_shard_exactly(spark, corpus, seq_len, seed):
+    """Per shard, in pos order, each doc starts exactly where the
+    previous one ended (seq_index*seq_len + seq_offset is a running
+    token total), and no document is lost or duplicated."""
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    rows = pack_documents(
+        df, seq_len=seq_len, seed=seed, n_shards=4
+    ).collect()
+    assert sorted(r.doc_id for r in rows) == [i for i, _ in corpus]
+    streams = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.pos_in_shard)):
+        expect = streams.get(r.shard, 0)
+        assert r.seq_index * seq_len + r.seq_offset == expect
+        streams[r.shard] = expect + r.n_tokens
+    for (doc_id, text), r in zip(
+        sorted(corpus), sorted(rows, key=lambda r: r.doc_id)
+    ):
+        assert r.n_tokens == len(text.split())

@@ -59,6 +59,30 @@ def test_parse_malformed_to_null(spark):
     assert row.transaction_id is None and row.amount is None
 
 
+def test_parse_with_dlq_routes_corrupt_payloads(spark):
+    """Dead-letter variant: malformed JSON and key-less objects carry
+    their raw payload in _corrupt; valid rows carry NULL — so one
+    filter splits good from dead without re-decoding."""
+    from kafka_sparkstreaming_sbt_spark.sources.kafka import (
+        parse_transactions_with_dlq,
+    )
+
+    rows = [
+        (SAMPLE,),
+        ("not json {{{",),
+        ('{"customer_id": 5, "amount": 1.0}',),  # parses, no txn id
+    ]
+    df = spark.createDataFrame(rows, ["value"])
+    out = parse_transactions_with_dlq(df).collect()
+    good = [r for r in out if r._corrupt is None]
+    dead = [r for r in out if r._corrupt is not None]
+    assert len(good) == 1 and good[0].customer_id == "123"
+    assert {r._corrupt for r in dead} == {
+        "not json {{{",
+        '{"customer_id": 5, "amount": 1.0}',
+    }
+
+
 def test_reparse_quirk_nulls_subseconds(spark):
     """CSA:42 quirk: whole-second timestamps survive the
     cast->string->parse round trip; sub-second timestamps come back
