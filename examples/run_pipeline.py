@@ -43,6 +43,7 @@ from kafka_sparkstreaming_sbt_spark.sources.jdbc import (
 )
 from kafka_sparkstreaming_sbt_spark.sources.kafka import (
     parse_transactions,
+    parse_transactions_with_dlq,
     read_kafka_stream,
 )
 from kafka_sparkstreaming_sbt_spark.sources.synthetic import (
@@ -112,6 +113,14 @@ def main() -> None:
         "sibling with the target schema",
     )
     p.add_argument(
+        "--dlq",
+        default=None,
+        metavar="DIR",
+        help="dead-letter directory: undecodable Kafka payloads are "
+        "appended there as parquet (raw bytes + batch id) instead of "
+        "flowing on as the reference's silent all-null rows",
+    )
+    p.add_argument(
         "--demo",
         action="store_true",
         help="rate-source producer + console sink; no Kafka/Postgres",
@@ -145,7 +154,26 @@ def main() -> None:
             topic=conf["kafka.topic"],
             starting_offsets=conf["kafka.starting.offsets"],
         )
-        txns = parse_transactions(envelope)
+        if args.dlq:
+            from pyspark.sql import functions as F
+
+            parsed = parse_transactions_with_dlq(envelope)
+            txns = parsed.filter("_corrupt IS NULL").drop("_corrupt")
+            # second query over the same source (§3.2 pattern): dead
+            # letters append to parquet with their own checkpoint
+            (
+                parsed.filter("_corrupt IS NOT NULL")
+                .select(
+                    F.col("_corrupt").alias("payload"),
+                    F.current_timestamp().alias("seen_at"),
+                )
+                .writeStream.format("parquet")
+                .option("path", args.dlq)
+                .option("checkpointLocation", f"{checkpoint}_dlq")
+                .start()
+            )
+        else:
+            txns = parse_transactions(envelope)
         if not conf["db.url"]:
             p.error("--jdbc-url (or db.url in --config) is required "
                     "outside --demo mode")

@@ -503,3 +503,49 @@ def test_kafka_source_gated_with_actionable_error(spark):
 
     with pytest.raises(ImportError, match="spark-sql-kafka"):
         read_kafka_stream(spark, "localhost:9092")
+
+
+def test_streaming_dlq_split_routes_dead_letters(spark, stream_dir):
+    """The --dlq topology: one decoded stream feeds two queries — valid
+    rows aggregate, undecodable payloads append to a parquet dead
+    letter with their raw bytes intact (vs the reference's silent
+    all-null rows)."""
+    from kafka_sparkstreaming_sbt_spark.sources.kafka import (
+        parse_transactions_with_dlq,
+    )
+
+    good = _txn_json("t1", "1", "2025-03-10T12:00:00Z", 100.0)
+    bad = "corrupt {{{ payload"
+    keyless = json.dumps({"customer_id": 9, "amount": 5.0})
+    _write_batch(stream_dir, "b0", [good, bad, keyless])
+
+    parsed = parse_transactions_with_dlq(
+        _read_value_stream(spark, stream_dir)
+    )
+    dlq_dir = tempfile.mkdtemp()
+    collected = []
+    q_valid = start_foreach_batch_sink(
+        parsed.filter("_corrupt IS NULL").drop("_corrupt"),
+        lambda df, _id: collected.extend(df.collect()),
+        output_mode="append",
+        checkpoint_location=tempfile.mkdtemp(),
+        swallow_errors=False,
+    )
+    q_dead = (
+        parsed.filter("_corrupt IS NOT NULL")
+        .select(F.col("_corrupt").alias("payload"))
+        .writeStream.format("parquet")
+        .option("path", dlq_dir)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    try:
+        q_valid.processAllAvailable()
+        q_dead.processAllAvailable()
+    finally:
+        q_valid.stop()
+        q_dead.stop()
+    assert [r.transaction_id for r in collected] == ["t1"]
+    dead = {r.payload for r in spark.read.parquet(dlq_dir).collect()}
+    assert dead == {bad, keyless}
+    shutil.rmtree(dlq_dir, ignore_errors=True)
