@@ -261,3 +261,43 @@ def test_range_sorted_write_skips_row_groups(spark, tmpdir, sf_small):
     )
     spans = sorted((r.lo, r.hi) for r in stats)
     assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmpdir, sf_small):
+    """Z-order vs linear sort: a linear (user_id, value) sort clusters
+    only its leading column — a selective value predicate touches
+    nearly every file.  Morton interleaving keeps per-file min/max
+    tight in BOTH dimensions, so selective predicates on either column
+    touch a strict subset of files."""
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+    from kafka_sparkstreaming_sbt_spark.sources.files import (
+        write_range_sorted_parquet,
+        write_zorder_parquet,
+    )
+
+    events = read_table(spark, sf_small, "events").select(
+        "event_id", "user_id", "value"
+    )
+    linear, zord = f"{tmpdir}/ev_linear", f"{tmpdir}/ev_zorder"
+    write_range_sorted_parquet(events, linear, ["user_id"], n_files=16)
+    write_zorder_parquet(events, zord, "user_id", "value", n_files=16)
+
+    def files_touched(path, pred):
+        df = spark.read.parquet(path).filter(pred)
+        return df.select(F.input_file_name()).distinct().count()
+
+    # ~5% of rows: enough matches to scatter across a linear layout
+    hi_val = events.stat.approxQuantile("value", [0.95], 0.001)[0]
+    val_pred = F.col("value") >= hi_val
+    user_pred = F.col("user_id") <= 5
+
+    # same rows in both layouts
+    n = events.filter(val_pred).count()
+    assert spark.read.parquet(zord).filter(val_pred).count() == n
+
+    # value predicate: scattered across the user-sorted layout,
+    # clustered in the z-order
+    assert files_touched(zord, val_pred) < files_touched(linear, val_pred)
+    # user predicate: z-order still prunes (not as perfectly as the
+    # dedicated linear sort, but well below all 16 files)
+    assert files_touched(zord, user_pred) < 16
