@@ -287,6 +287,62 @@ def test_upsert_statement_guards():
     )
 
 
+def test_upsert_postgres_sql_executes_on_duckdb():
+    """The Postgres dialect path EXECUTED, not just pinned: DuckDB
+    implements Postgres-compatible ``INSERT … ON CONFLICT``, so the
+    exact statements we'd send a Postgres sink run here against a
+    real PK'd table — update-in-place, insert-new, idempotent replay,
+    staging cleanup."""
+    import duckdb
+
+    from kafka_sparkstreaming_sbt_spark.sources.jdbc import (
+        upsert_statements,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE daily (customer_id VARCHAR NOT NULL, "
+        "transaction_date DATE NOT NULL, total_spent DOUBLE, "
+        "PRIMARY KEY (customer_id, transaction_date))"
+    )
+    con.execute(
+        "CREATE TABLE daily_staging (customer_id VARCHAR, "
+        "transaction_date DATE, total_spent DOUBLE)"
+    )
+    stmts = upsert_statements(
+        "postgresql",
+        "daily",
+        "daily_staging",
+        ["customer_id", "transaction_date", "total_spent"],
+        ["customer_id", "transaction_date"],
+    )
+
+    def run_batch(rows):
+        con.execute("DELETE FROM daily_staging")
+        con.executemany(
+            "INSERT INTO daily_staging VALUES (?, ?, ?)", rows
+        )
+        for s in stmts:
+            con.execute(s)
+
+    batch = [("1", "2025-03-10", 250.0), ("2", "2025-03-10", 99.5)]
+    run_batch(batch)
+    run_batch(batch)  # replay: no PK violation, no duplicates
+    assert sorted(con.execute("SELECT * FROM daily").fetchall()) == [
+        ("1", dt.date(2025, 3, 10), 250.0),
+        ("2", dt.date(2025, 3, 10), 99.5),
+    ]
+    # changed total updates in place; new key inserts
+    run_batch([("1", "2025-03-10", 300.0), ("3", "2025-03-11", 10.0)])
+    assert sorted(con.execute("SELECT * FROM daily").fetchall()) == [
+        ("1", dt.date(2025, 3, 10), 300.0),
+        ("2", dt.date(2025, 3, 10), 99.5),
+        ("3", dt.date(2025, 3, 11), 10.0),
+    ]
+    # staging is cleaned after each merge
+    assert con.execute("SELECT COUNT(*) FROM daily_staging").fetchone()[0] == 0
+
+
 def test_jdbc_upsert_key_only_dataframe_live(spark):
     """The all-key degradation path executed against live Derby: a
     two-key table with no payload columns — replays insert nothing new
