@@ -432,6 +432,31 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile) per event type —
+    the at-scale variant of quantity_quantiles' exact percentile:
+    like the HLL sketch, partials are bounded-size and mergeable, so
+    the shuffle carries one sketch per (type, partition) instead of
+    every value.  Sketch results are implementation-specific ->
+    rows-only driver check; the tolerance gate vs exact percentiles
+    is tests/test_sketches.py."""
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    q = events.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", [0.25, 0.5, 0.75], 10_000
+        ).alias("qs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return q.select(
+        "event_type",
+        F.round(F.col("qs")[0], 6).alias("p25"),
+        F.round(F.col("qs")[1], 6).alias("p50"),
+        F.round(F.col("qs")[2], 6).alias("p75"),
+        "n_events",
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repeated-trigram ratio — the boilerplate/looped-text
     quality filter; NULLs for docs below trigram support."""
@@ -998,7 +1023,13 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: gate is the pytest recall-vs-brute-force threshold, not SQL.
 #: approx_distinct_users: HLL++ sketch estimates are engine-specific;
 #: its gate is the pytest tolerance check against the exact count.
-NON_SQL_QUERIES: set[str] = {"ivf_kmeans_topk", "approx_distinct_users"}
+#: approx_value_quantiles: same reasoning as the HLL sketch — the
+#: quantile sketch's estimates are engine-specific.
+NON_SQL_QUERIES: set[str] = {
+    "ivf_kmeans_topk",
+    "approx_distinct_users",
+    "approx_value_quantiles",
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1023,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "benchmark_overlap": q_benchmark_overlap,
         "approx_distinct_users": q_approx_distinct_users,
+        "approx_value_quantiles": q_approx_value_quantiles,
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_near_dup": q_minhash_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
