@@ -41,12 +41,16 @@ from kafka_sparkstreaming_sbt_spark.operators.simhash import (  # noqa: E402
 )
 from kafka_sparkstreaming_sbt_spark.operators.analytics import (  # noqa: E402
     customers_with_orders,
+    grouped_zscore_outliers,
     lapsed_customers,
+    large_orders,
     monthly_order_stats,
     order_priority_rollup,
     order_status_pivot,
     parts_without_bulk_shipments,
+    promo_revenue_share,
     revenue_by_nation,
+    rolling_customer_spend,
     top_customers,
 )
 from kafka_sparkstreaming_sbt_spark.operators.graph import (  # noqa: E402
@@ -62,10 +66,12 @@ from kafka_sparkstreaming_sbt_spark.operators.multimodal import (  # noqa: E402
 from kafka_sparkstreaming_sbt_spark.operators.sampling import (  # noqa: E402
     deterministic_sample,
     stratified_sample,
+    weighted_sample,
     with_split,
 )
 from kafka_sparkstreaming_sbt_spark.operators.cdc import (  # noqa: E402
     latest_by_key,
+    scd2_history,
 )
 from kafka_sparkstreaming_sbt_spark.operators.rollup import (  # noqa: E402
     daily_rollup_deterministic,
@@ -82,6 +88,9 @@ from kafka_sparkstreaming_sbt_spark.operators.similarity import (  # noqa: E402
     lsh_bucket,
     lsh_near_pairs,
 )
+from kafka_sparkstreaming_sbt_spark.operators.timeseries import (  # noqa: E402
+    gap_fill_locf,
+)
 from kafka_sparkstreaming_sbt_spark.operators.topk import (  # noqa: E402
     global_topk_with_rank,
 )
@@ -90,6 +99,7 @@ from kafka_sparkstreaming_sbt_spark.operators.text import (  # noqa: E402
     PII_PATTERNS,
     STOPWORDS,
     TOKEN_REGEX,
+    bigram_pmi,
     doc_fingerprints,
     exact_dedup_groups,
     lang_id,
@@ -99,6 +109,7 @@ from kafka_sparkstreaming_sbt_spark.operators.text import (  # noqa: E402
     repetition_stats,
     tf_idf,
     token_stats,
+    unigram_lm_scores,
 )
 from kafka_sparkstreaming_sbt_spark.operators.windows import (  # noqa: E402
     windowed_spending,
@@ -1017,6 +1028,97 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window: trailing 90-day spend per customer
+    as of each order, summed in integer cents so the rolling totals
+    are accumulation-order independent across engines."""
+    _utc(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    return rolling_customer_spend(orders, days=90)
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style conditional-agg share: monthly promo revenue
+    fraction via a CASE inside one aggregation over the broadcast
+    part join."""
+    _utc(spark)
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    return promo_revenue_share(lineitem, part)
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style HAVING filter with join-back: orders whose
+    lineitem quantity total exceeds 250, with customer detail."""
+    _utc(spark)
+    return large_orders(
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "lineitem"),
+        min_qty=250.0,
+    )
+
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: each user's event_type stream collapsed to
+    validity intervals (valid_from/valid_to/is_current/version) via
+    two same-key windows — one shuffle total."""
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    return scd2_history(
+        events, ["user_id"], "ts", "event_type", tie_break="event_id"
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sample: lineitems kept with
+    probability ~quantity/50 decided by an md5 byte — reproducible
+    importance sampling, scan-pushable predicate."""
+    _utc(spark)
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "li_id", F.concat_ws("-", "l_orderkey", "l_linenumber")
+    )
+    return weighted_sample(li, "li_id", "l_quantity", 50.0).select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("l_quantity")
+    )
+
+
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram-LM document scoring: mean token log-prob in
+    integer micro-nats (order-independent sums -> engine-identical)."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs)
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token collocations by PMI over exact integer counts;
+    pairs seen >= 5 times."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_pmi(docs, min_count=5)
+
+
+def q_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill: dense per-user daily spend spine with
+    LOCF fill for missing days — declared sequence/explode spine,
+    one window shuffle."""
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    return gap_fill_locf(events, "user_id", "ts", "value")
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomalies (|z| > 2): one stats aggregate
+    joined back, no windows — cutoffs divide cent-rounded sums so
+    every engine draws the same boundary."""
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    return grouped_zscore_outliers(
+        events, "event_type", "value", ["event_id", "user_id"], z=2.0
+    )
+
+
 #: queries() entries with no oracle_sql twin — the driver records a
 #: weaker rows-only check for these.  ivf_kmeans_topk: k-means cell
 #: means are float-summation-order sensitive across engines, so its
@@ -1098,6 +1200,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewed_event_totals": q_skewed_event_totals,
         "latest_event_per_user": q_latest_event_per_user,
         "tf_idf": q_tf_idf,
+        "rolling_customer_spend": q_rolling_customer_spend,
+        "promo_revenue_share": q_promo_revenue_share,
+        "large_orders": q_large_orders,
+        "scd2_user_state": q_scd2_user_state,
+        "weighted_sample": q_weighted_sample,
+        "unigram_lm_score": q_unigram_lm_score,
+        "bigram_pmi": q_bigram_pmi,
+        "gap_filled_daily": q_gap_filled_daily,
+        "value_outliers": q_value_outliers,
     }
 
 
@@ -1869,5 +1980,187 @@ def oracle_sql() -> dict[str, str]:
          AND e.ts >= p.purchase_ts - INTERVAL 24 HOURS
          AND e.ts < p.purchase_ts
         GROUP BY 1, 2, 3
+        """,
+        # integer-cents rolling sum: accumulation-order independent,
+        # so Spark's sliding frame and DuckDB's segment tree agree
+        "rolling_customer_spend": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROUND(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                       OVER w / 100.0, 2) AS rolling_spend,
+               COUNT(*) OVER w AS rolling_orders
+        FROM orders
+        WINDOW w AS (
+          PARTITION BY o_custkey
+          ORDER BY date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE))
+          RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+        """,
+        # both sums rounded to cents BEFORE the share division so the
+        # ratio divides engine-identical values
+        "promo_revenue_share": """
+        WITH monthly AS (
+          SELECT date_trunc('month', l_shipdate) AS ship_month,
+                 ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END), 2) AS promo_revenue,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1
+        )
+        SELECT ship_month, promo_revenue, total_revenue,
+               ROUND(100 * promo_revenue / total_revenue, 6)
+                 AS promo_share_pct
+        FROM monthly
+        """,
+        "large_orders": """
+        WITH qty AS (
+          SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               ROUND(total_qty, 2) AS total_qty
+        FROM orders
+        JOIN qty ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        """,
+        "scd2_user_state": """
+        WITH ordered AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        ),
+        changes AS (
+          SELECT user_id, ts, event_id, event_type
+          FROM ordered WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                 AS is_current,
+               row_number() OVER w AS version
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # md5-byte draw vs floor-scaled weight, mirrored nibble-by-
+        # nibble (ascii arithmetic, same family as the simhash oracle)
+        "weighted_sample": """
+        WITH keyed AS (
+          SELECT l_orderkey, l_linenumber, l_quantity,
+                 md5(CAST(l_orderkey AS VARCHAR) || '-'
+                     || CAST(l_linenumber AS VARCHAR)) AS h
+          FROM lineitem
+        ),
+        drawn AS (
+          SELECT l_orderkey, l_linenumber, l_quantity,
+                 (CASE WHEN ascii(substr(h, 1, 1)) <= 57
+                       THEN ascii(substr(h, 1, 1)) - 48
+                       ELSE ascii(substr(h, 1, 1)) - 87 END) * 16
+                 + (CASE WHEN ascii(substr(h, 2, 1)) <= 57
+                         THEN ascii(substr(h, 2, 1)) - 48
+                         ELSE ascii(substr(h, 2, 1)) - 87 END) AS b
+          FROM keyed
+        )
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_quantity, 2) AS l_quantity
+        FROM drawn WHERE b < floor(256 * l_quantity / 50.0)
+        """,
+        # per-token log-probs quantized to integer micro-nats before
+        # the per-doc sum: integer sums are order-independent
+        "unigram_lm_score": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        vocab AS (SELECT token, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+        total AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM vocab),
+        scored AS (
+          SELECT t.doc_id,
+                 CAST(round(ln(v.n_tok / total.n_total) * 1000000)
+                      AS BIGINT) AS lp
+          FROM toks t JOIN vocab v USING (token) CROSS JOIN total
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(CAST(SUM(lp) AS BIGINT)
+                     / (1000000 * COUNT(*)), 6) AS avg_logprob
+        FROM scored GROUP BY 1
+        """,
+        # every float input is an exact integer count and the
+        # expression tree is written identically on both engines
+        "bigram_pmi": """
+        WITH docs AS (
+          SELECT string_split(text, ' ') AS toks FROM documents
+        ),
+        pl AS (
+          SELECT list_transform(range(1, len(toks)),
+                   i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))
+                 AS ps
+          FROM docs
+        ),
+        pairs AS (SELECT unnest(ps, recursive := true) FROM pl),
+        bigrams AS (
+          SELECT w1, w2, COUNT(*) AS pair_count
+          FROM pairs GROUP BY 1, 2
+        ),
+        unigrams AS (
+          SELECT unnest(toks) AS token FROM docs
+        ),
+        uc AS (SELECT token, COUNT(*) AS n_tok FROM unigrams GROUP BY 1),
+        nb AS (SELECT CAST(SUM(pair_count) AS BIGINT) AS n_bigrams
+               FROM bigrams),
+        nu AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_unigrams FROM uc)
+        SELECT b.w1, b.w2, b.pair_count,
+               ROUND(ln((b.pair_count / nb.n_bigrams)
+                        / ((u1.n_tok / nu.n_unigrams)
+                           * (u2.n_tok / nu.n_unigrams))), 6) AS pmi
+        FROM bigrams b
+        JOIN uc u1 ON b.w1 = u1.token
+        JOIN uc u2 ON b.w2 = u2.token
+        CROSS JOIN nb CROSS JOIN nu
+        WHERE b.pair_count >= 5
+        """,
+        # LOCF copies cent-rounded (engine-identical) day totals;
+        # generate_series == Spark's sequence for the spine
+        "gap_filled_daily": """
+        WITH daily AS (
+          SELECT user_id AS k, date_trunc('day', ts) AS day,
+                 ROUND(SUM(value), 2) AS day_value
+          FROM events GROUP BY 1, 2
+        ),
+        spans AS (SELECT k, MIN(day) AS lo, MAX(day) AS hi
+                  FROM daily GROUP BY 1),
+        spine AS (
+          SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+          FROM spans
+        ),
+        j AS (
+          SELECT s.k, s.day, daily.day_value
+          FROM spine s LEFT JOIN daily USING (k, day)
+        )
+        SELECT k AS user_id, day, day_value,
+               last_value(day_value IGNORE NULLS)
+                 OVER (PARTITION BY k ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS value_filled,
+               CASE WHEN day_value IS NULL THEN 1 ELSE 0 END AS was_filled
+        FROM j
+        """,
+        # mean/std divide cent-rounded sums -> identical cutoff on
+        # every engine; |z| = threshold rows cannot flicker
+        "value_outliers": """
+        WITH s AS (
+          SELECT event_type, COUNT(*) AS n,
+                 ROUND(SUM(value), 2) AS sv,
+                 ROUND(SUM(value * value), 2) AS sv2
+          FROM events GROUP BY 1
+        )
+        SELECT event_id, user_id, event_type,
+               ROUND(value, 2) AS value,
+               ROUND((value - sv / n)
+                     / sqrt(sv2 / n - (sv / n) * (sv / n)), 6) AS zscore
+        FROM events JOIN s USING (event_type)
+        WHERE abs((value - sv / n)
+                  / sqrt(sv2 / n - (sv / n) * (sv / n))) > 2
         """,
     }

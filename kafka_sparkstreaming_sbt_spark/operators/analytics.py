@@ -210,6 +210,153 @@ def lapsed_customers(orders: DataFrame, year_a: int, year_b: int) -> DataFrame:
     return custs(year_a).subtract(custs(year_b))
 
 
+def rolling_customer_spend(orders: DataFrame, days: int = 90) -> DataFrame:
+    """RANGE-frame rolling window: per customer, the trailing
+    ``days``-day spend and order count as of each order.
+
+    The frame is declared over the DAY NUMBER (``unix_date``), not the
+    row position — two orders on the same day are peers and both see
+    the same trailing total, which makes the result deterministic
+    under any row order.  Money is summed in integer cents (the input
+    is 2-dp) so the rolling sums are exact and engine-independent —
+    a float rolling sum's value depends on accumulation order, which
+    differs between Spark's running-frame and an oracle's segment
+    tree.
+
+    Scale shape: one shuffle on the customer key, sort by day within
+    the partition, single pass with a sliding accumulator — the same
+    cost as any per-key window; nothing global."""
+    day = F.unix_date(F.col("o_orderdate").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-(days - 1), Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum(cents).over(w) / 100.0, 2).alias("rolling_spend"),
+        F.count(F.lit(1)).over(w).alias("rolling_orders"),
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame, part: DataFrame, promo_type: str = "PROMO"
+) -> DataFrame:
+    """TPC-H Q14-style conditional-aggregation share: per ship month,
+    the fraction of discounted revenue coming from promo parts.
+
+    One broadcast dimension join (part is tiny relative to lineitem)
+    and one month-grain aggregation; the promo/total split is a
+    CASE inside the same agg, not a second scan.  Both sums are
+    rounded to cents BEFORE the division so the share is a ratio of
+    engine-identical values (same discipline as
+    :func:`customers_with_orders`'s avg)."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == promo_type, rev).otherwise(
+        F.lit(0.0)
+    )
+    monthly = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            lineitem["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.round(F.sum(promo_rev), 2).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+    return monthly.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100 * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_share_pct"),
+    )
+
+
+def large_orders(
+    orders: DataFrame,
+    customer: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+) -> DataFrame:
+    """TPC-H Q18-style HAVING filter with join-back: orders whose
+    total lineitem quantity exceeds ``min_qty``, with customer detail.
+
+    The quantity aggregate runs FIRST (partial->final, one shuffle on
+    the order key) and its HAVING filter drops ~all groups before the
+    join-back, so the orders join probes a tiny filtered build side
+    and the customer join broadcasts — at 100 TB the expensive side is
+    the single lineitem aggregation, never a fact-fact join of the
+    full tables."""
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(qty, orders["o_orderkey"] == qty["l_orderkey"])
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("total_qty"), 2).alias("total_qty"),
+        )
+    )
+
+
+def grouped_zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str],
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score anomaly detection: rows whose value deviates
+    from the group mean by more than ``z`` population standard
+    deviations.
+
+    The group stats come from ONE partial->final aggregation of
+    (count, sum, sum-of-squares) — a |groups|-row table joined back
+    onto the fact scan (AQE chooses the strategy; a bounded group
+    domain broadcasts).  Mean and variance divide CENT-ROUNDED sums so
+    every engine computes the identical cutoff; a raw float variance
+    would make |z| = threshold rows flicker across engines.
+
+    At 100 TB this is two scans of the fact table and zero windows —
+    the alternative (a window over every row per group) would sort
+    entire groups for three scalars."""
+    s = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(value_col), 2).alias("sv"),
+        F.round(F.sum(F.col(value_col) * F.col(value_col)), 2).alias("sv2"),
+    )
+    mean = F.col("sv") / F.col("n")
+    std = F.sqrt(F.col("sv2") / F.col("n") - mean * mean)
+    zscore = (F.col(value_col) - mean) / std
+    return (
+        df.join(s, group_col)
+        .filter(F.abs(zscore) > z)
+        .select(
+            *id_cols,
+            group_col,
+            F.round(value_col, 2).alias(value_col),
+            F.round(zscore, 6).alias("zscore"),
+        )
+    )
+
+
 def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Semi join (EXISTS): customers that placed at least one order,
     with their order stats via a follow-up broadcast-aggregated join."""

@@ -13,7 +13,7 @@ DuckDB oracle uses would shuffle every update row into the rank sort;
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,4 +41,48 @@ def latest_by_key(
     )
     return latest.select(
         *key_cols, *[F.col(f"_r.{c}").alias(c) for c in payload]
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_col: str,
+    tie_break: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: collapse an event/CDC
+    stream into validity intervals — one row per (key, attribute
+    value) RUN, with ``valid_from`` / ``valid_to`` / ``is_current`` /
+    ``version``.
+
+    Two per-key windows, no joins: a ``lag`` marks rows where the
+    attribute actually changed (run starts), then ``lead`` over the
+    surviving change rows closes each interval.  Both windows
+    partition on the same key, so Catalyst plans ONE shuffle and
+    reuses the sort — the whole history build is a single exchange
+    regardless of table size.  ``tie_break`` (a unique column) makes
+    same-timestamp runs deterministic.
+    """
+    keys = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tie_break))
+    prev = F.lag(attr_col).over(w)
+    changes = df.select(
+        *key_cols, ts_col, tie_break, attr_col
+    ).withColumn(
+        "_changed", prev.isNull() | (prev != F.col(attr_col))
+    ).filter(
+        "_changed"
+    )
+    w2 = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tie_break))
+    valid_to = F.lead(ts_col).over(w2)
+    return changes.select(
+        *key_cols,
+        F.col(attr_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).cast("int").alias(
+            "is_current"
+        ),
+        F.row_number().over(w2).cast("long").alias("version"),
     )

@@ -51,6 +51,40 @@ def with_split(
     )
 
 
+def _key_byte(key: Column) -> Column:
+    """First md5 byte (0..255) of an arbitrary key expression — the
+    256-level uniform draw for weighted sampling (same ascii
+    arithmetic as :func:`_id_nibble`, two nibbles)."""
+    h = F.md5(key)
+
+    def nib(i: int) -> Column:
+        v = F.ascii(F.substring(h, i, 1))
+        return F.when(v <= 57, v - 48).otherwise(v - 87)
+
+    return nib(1) * 16 + nib(2)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    max_weight: float,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling: keep each row with
+    probability ``weight / max_weight``, decided by comparing the
+    row's md5 byte (uniform over 0..255) against the scaled weight —
+    RNG-free, so reruns and other engines draw the SAME rows, and
+    rows with twice the weight are twice as likely to survive (the
+    standard importance-sampling primitive for mixing training-data
+    sources at different rates).
+
+    Probabilities quantize to 1/256 (``floor(256*p)`` levels); the
+    comparison is a scan-pushable per-row predicate — zero shuffle,
+    same discipline as :func:`deterministic_sample`."""
+    p = F.floor(256 * F.col(weight_col) / F.lit(max_weight))
+    return df.filter(_key_byte(F.col(id_col).cast("string")) < p)
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,

@@ -274,6 +274,110 @@ def tf_idf(
     )
 
 
+def unigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus
+    unigram MLE — the cheap "how typical is this document" LM score
+    used for perplexity-style quality filtering.
+
+    Cross-engine determinism: a per-document SUM of doubles depends on
+    accumulation order, so each token's log-prob is first quantized to
+    an exact integer (micro-nats, ``round(ln(n/N)*1e6)``) — integer
+    sums are order-independent, and the single final division is
+    bit-identical everywhere.
+
+    Scale shape: explode -> vocabulary count (partial->final, one
+    shuffle on token), postings re-join on token (AQE picks the
+    strategy; the vocabulary side is zipf-small after aggregation),
+    scalar corpus total kept lazy via a broadcast cross join, then one
+    per-doc aggregation.  Same postings discipline as
+    :func:`tf_idf`."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = vocab.select(F.sum("n_tok").alias("n_total"))
+    lp_micro = F.round(
+        F.ln(F.col("n_tok") / F.col("n_total")) * 1000000
+    ).cast("long")
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, lp_micro.alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum("lp") / (1000000 * F.count(F.lit(1))), 6
+        ).alias("avg_logprob"),
+    )
+
+
+def bigram_pmi(
+    df: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Corpus collocations: pointwise mutual information of adjacent
+    token pairs, ``ln(P(xy) / (P(x)P(y)))``, for pairs seen at least
+    ``min_count`` times.
+
+    Every input to the float math is an exact integer count, and the
+    expression tree is written identically in the SQL oracle, so the
+    PMI values are bit-identical across engines (no sum-order
+    dependence — the only sums are integer counts).
+
+    Scale shape: two exploded counts (bigrams, unigrams — each
+    partial->final on its key), the surviving >=min_count bigram table
+    is tiny relative to the corpus, and the two unigram lookups join
+    on token with AQE choosing the strategy.  Scalar totals stay lazy
+    broadcast cross joins."""
+    toks = F.split(F.col(text_col), " ")
+    pairs = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("pair")
+    ).select("pair.w1", "pair.w2")
+    bigrams = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+    unigrams = df.select(
+        F.explode(toks).alias("token")
+    ).groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    n_bi = bigrams.select(F.sum("pair_count").alias("n_bigrams"))
+    n_uni = unigrams.select(F.sum("n_tok").alias("n_unigrams"))
+    u1 = unigrams.select(
+        F.col("token").alias("w1"), F.col("n_tok").alias("c1")
+    )
+    u2 = unigrams.select(
+        F.col("token").alias("w2"), F.col("n_tok").alias("c2")
+    )
+    pmi = F.ln(
+        (F.col("pair_count") / F.col("n_bigrams"))
+        / (
+            (F.col("c1") / F.col("n_unigrams"))
+            * (F.col("c2") / F.col("n_unigrams"))
+        )
+    )
+    return (
+        bigrams.filter(F.col("pair_count") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(pmi, 6).alias("pmi"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:

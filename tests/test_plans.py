@@ -175,6 +175,8 @@ _BOUNDED_NESTED_LOOP = {
     "ivf_topk",  # probe assignment vs the bounded centroid set
     "ivf_kmeans_topk",  # same, k-means centroids (~sqrt N rows)
     "tf_idf",  # 1-row corpus-size scalar joined lazily (no collect)
+    "unigram_lm_score",  # 1-row corpus-total scalar, same pattern
+    "bigram_pmi",  # two 1-row count scalars, same pattern
 }
 
 

@@ -47,6 +47,96 @@ def test_sample_is_subset_of_train_like_buckets(spark):
     assert sample <= train  # nibble<2 implies nibble<13
 
 
+def test_weighted_sample_rate_tracks_weight(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").cast("string").alias("rid"),
+        (F.col("id") % 4).cast("double").alias("w"),
+    )
+    picked = weighted_sample(df, "rid", "w", max_weight=4.0)
+    rates = {
+        r.w: r.n
+        for r in picked.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # weight 0 -> probability 0; rate roughly proportional to weight
+    assert 0.0 not in rates
+    assert 0.15 < rates[1.0] / 1000 < 0.35  # ~0.25
+    assert 0.65 < rates[3.0] / 1000 < 0.85  # ~0.75
+    assert rates[1.0] < rates[2.0] < rates[3.0]
+    # deterministic under repartitioning
+    a = {r.rid for r in picked.collect()}
+    b = {
+        r.rid
+        for r in weighted_sample(
+            df.repartition(13), "rid", "w", max_weight=4.0
+        ).collect()
+    }
+    assert a == b
+
+
+def test_weighted_sample_monotone_in_weight(spark):
+    # raising a row's weight can only ADD it to the sample, never
+    # evict it (byte stays fixed, the threshold grows)
+    from pyspark.sql import functions as F
+
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    base = spark.range(1500).select(
+        F.col("id").cast("string").alias("rid")
+    )
+    low = {
+        r.rid
+        for r in weighted_sample(
+            base.withColumn("w", F.lit(1.0)), "rid", "w", 4.0
+        ).collect()
+    }
+    high = {
+        r.rid
+        for r in weighted_sample(
+            base.withColumn("w", F.lit(3.0)), "rid", "w", 4.0
+        ).collect()
+    }
+    assert low <= high
+
+
+def test_scd2_history_contract(spark):
+    from kafka_sparkstreaming_sbt_spark.operators.cdc import scd2_history
+
+    rows = [
+        # user A: a -> a -> b -> a  (3 runs)
+        ("A", 1, 1, "a"),
+        ("A", 2, 2, "a"),
+        ("A", 3, 3, "b"),
+        ("A", 5, 4, "a"),
+        # user B: single run
+        ("B", 1, 5, "x"),
+        ("B", 9, 6, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "state0"])
+    out = scd2_history(df, ["user_id"], "ts", "state0", tie_break="event_id")
+    got = {
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.is_current, r.version)
+        for r in out.collect()
+    }
+    assert got == {
+        ("A", "a", 1, 3, 0, 1),
+        ("A", "b", 3, 5, 0, 2),
+        ("A", "a", 5, None, 1, 3),
+        ("B", "x", 1, None, 1, 1),
+    }
+    # exactly one current row per key; intervals are contiguous
+    assert sum(1 for g in got if g[4] == 1 and g[0] == "A") == 1
+
+
 def test_stratified_sample_per_group_independent(spark, sf_small):
     from kafka_sparkstreaming_sbt_spark.operators.sampling import (
         stratified_sample,
