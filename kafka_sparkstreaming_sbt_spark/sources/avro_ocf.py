@@ -1,0 +1,315 @@
+"""Pure-Python Avro Object Container File source (extension surface —
+the reference DECLARES Avro + Schema Registry dependencies but ships
+JSON-only code, SURVEY.md §2.11; ``sources.avro`` carries the gated
+spark-avro wrappers, this module makes Avro archives READABLE in
+environments without the jar).
+
+Format implemented from the public Avro 1.11 spec (container file +
+binary encoding): magic ``Obj\\x01``, metadata map (``avro.schema``
+JSON, ``avro.codec``), 16-byte sync marker, then blocks of
+``(row_count, byte_size, payload, sync)`` with ``null`` or
+``deflate`` (raw zlib) codecs.  Supported schemas: records of the
+primitive types (boolean / int / long / float / double / bytes /
+string) and their ``["null", T]`` nullable unions — the shape of
+every Kafka-archive/CDC dump this engine's reference feeds on.
+
+Spark-first distribution: ``spark.read.format("binaryFile")`` ships
+each file's bytes to an executor and ``mapInPandas`` decodes there —
+the driver never touches row data (it reads only one file's HEADER
+for schema sniffing when the caller doesn't pass a schema).  The
+parallelism unit is the file, the standard layout for archived Avro
+(many ~128 MB objects); rows stream out in bounded pandas batches so
+a large file never materializes as one Python list.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_MAGIC = b"Obj\x01"
+
+# ---------------------------------------------------------------- binary --
+
+
+def _read_varint(buf: io.BytesIO) -> int:
+    """Avro variable-length zigzag long."""
+    shift = 0
+    acc = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated varint")
+        acc |= (b[0] & 0x7F) << shift
+        if not b[0] & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _write_varint(out: io.BytesIO, value: int) -> None:
+    n = (value << 1) ^ (value >> 63)
+    n &= (1 << 64) - 1
+    while True:
+        if n < 0x80:
+            out.write(bytes([n]))
+            return
+        out.write(bytes([(n & 0x7F) | 0x80]))
+        n >>= 7
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _read_varint(buf)
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError("truncated bytes")
+    return data
+
+
+_PRIMITIVE_READERS = {
+    "boolean": lambda buf: buf.read(1) == b"\x01",
+    "int": _read_varint,
+    "long": _read_varint,
+    "float": lambda buf: struct.unpack("<f", buf.read(4))[0],
+    "double": lambda buf: struct.unpack("<d", buf.read(8))[0],
+    "bytes": _read_bytes,
+    "string": lambda buf: _read_bytes(buf).decode("utf-8"),
+}
+
+_PRIMITIVE_SPARK_TYPES = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(),
+    "string": T.StringType(),
+}
+
+
+def _field_type(ftype: Any) -> tuple[str, bool]:
+    """Normalize a field's schema to (primitive name, nullable).
+    Accepts a primitive name, ``{"type": name}``, or ``["null", T]``
+    (either order)."""
+    if isinstance(ftype, dict):
+        ftype = ftype["type"]
+    if isinstance(ftype, list):
+        branches = [b["type"] if isinstance(b, dict) else b for b in ftype]
+        non_null = [b for b in branches if b != "null"]
+        if len(non_null) != 1 or len(branches) > 2:
+            raise ValueError(f"unsupported union {ftype!r}")
+        return non_null[0], True
+    if ftype not in _PRIMITIVE_READERS:
+        raise ValueError(f"unsupported avro type {ftype!r}")
+    return ftype, False
+
+
+def spark_schema_for(avro_schema: dict) -> T.StructType:
+    """Spark StructType for a supported Avro record schema."""
+    if avro_schema.get("type") != "record":
+        raise ValueError("top-level schema must be a record")
+    fields = []
+    for f in avro_schema["fields"]:
+        name, nullable = _field_type(f["type"])
+        fields.append(
+            T.StructField(f["name"], _PRIMITIVE_SPARK_TYPES[name], nullable)
+        )
+    return T.StructType(fields)
+
+
+def _record_reader(avro_schema: dict):
+    """Compile the schema to a list of (name, reader, nullable)."""
+    plan = []
+    for f in avro_schema["fields"]:
+        tname, nullable = _field_type(f["type"])
+        plan.append((f["name"], _PRIMITIVE_READERS[tname], nullable))
+
+    def read(buf: io.BytesIO) -> dict:
+        row = {}
+        for name, rdr, nullable in plan:
+            if nullable:
+                # union index: 0 -> first branch; null branch yields None
+                idx = _read_varint(buf)
+                row[name] = None if idx == 0 else rdr(buf)
+            else:
+                row[name] = rdr(buf)
+        return row
+
+    return read
+
+
+# --------------------------------------------------------------- decoder --
+
+
+def read_ocf_header(data: bytes) -> tuple[dict, str, bytes, int]:
+    """Parse an OCF header: (schema dict, codec, sync marker, body
+    offset)."""
+    if data[:4] != _MAGIC:
+        raise ValueError("not an Avro object container file")
+    buf = io.BytesIO(data[4:])
+    meta: dict[str, bytes] = {}
+    while True:
+        count = _read_varint(buf)
+        if count == 0:
+            break
+        if count < 0:  # negative block count is followed by byte size
+            count = -count
+            _read_varint(buf)
+        for _ in range(count):
+            key = _read_bytes(buf).decode("utf-8")
+            meta[key] = _read_bytes(buf)
+    sync = buf.read(16)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    return schema, codec, sync, 4 + buf.tell()
+
+
+def iter_ocf_records(data: bytes) -> Iterator[dict]:
+    """Yield records from one container file's bytes."""
+    schema, codec, sync, offset = read_ocf_header(data)
+    read_record = _record_reader(schema)
+    buf = io.BytesIO(data)
+    buf.seek(offset)
+    while True:
+        head = buf.read(1)
+        if not head:
+            return
+        buf.seek(-1, io.SEEK_CUR)
+        n_rows = _read_varint(buf)
+        payload = _read_bytes(buf)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        block = io.BytesIO(payload)
+        for _ in range(n_rows):
+            yield read_record(block)
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+
+
+def read_avro_ocf(
+    spark: SparkSession,
+    path: str,
+    avro_schema: dict | None = None,
+    batch_rows: int = 10_000,
+) -> DataFrame:
+    """Distributed Avro OCF read without the spark-avro jar.
+
+    ``binaryFile`` ships whole files to executors; a ``mapInPandas``
+    stage decodes them there in ``batch_rows`` chunks.  When
+    ``avro_schema`` is None the driver sniffs the HEADER of one file
+    (local filesystems only — pass the schema explicitly for object
+    stores).  Mirrors the contract of ``spark.read.format("avro")``
+    for the supported primitive-record subset."""
+    import pandas as pd
+
+    if avro_schema is None:
+        import glob as _glob
+        import os as _os
+
+        root = path[len("file:"):] if path.startswith("file:") else path
+        candidates = (
+            sorted(_glob.glob(_os.path.join(root, "**", "*.avro"),
+                              recursive=True))
+            if _os.path.isdir(root)
+            else [root]
+        )
+        if not candidates:
+            raise FileNotFoundError(f"no .avro files under {path}")
+        with open(candidates[0], "rb") as fh:
+            head = fh.read(1 << 20)  # header only; never row data
+        avro_schema, _, _, _ = read_ocf_header(head)
+
+    out_schema = spark_schema_for(avro_schema)
+    names = [f.name for f in out_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows: list[dict] = []
+                for rec in iter_ocf_records(bytes(content)):
+                    rows.append(rec)
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=names)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=names)
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(decode, schema=out_schema)
+
+
+# --------------------------------------------------------------- encoder --
+
+
+_PRIMITIVE_WRITERS = {
+    "boolean": lambda out, v: out.write(b"\x01" if v else b"\x00"),
+    "int": _write_varint,
+    "long": _write_varint,
+    "float": lambda out, v: out.write(struct.pack("<f", v)),
+    "double": lambda out, v: out.write(struct.pack("<d", v)),
+    "bytes": lambda out, v: (_write_varint(out, len(v)), out.write(v)),
+    "string": lambda out, v: (
+        _write_varint(out, len(v.encode("utf-8"))),
+        out.write(v.encode("utf-8")),
+    ),
+}
+
+
+def write_ocf_bytes(
+    records: list[dict],
+    avro_schema: dict,
+    codec: str = "deflate",
+    sync: bytes = b"\x00" * 16,
+    rows_per_block: int = 1000,
+) -> bytes:
+    """Encode records as a standards-compliant container file (the
+    test-side twin of the reader; also usable to archive small control
+    tables).  Deterministic: fixed sync marker by default."""
+    plan = [
+        (f["name"], *_field_type(f["type"])) for f in avro_schema["fields"]
+    ]
+    out = io.BytesIO()
+    out.write(_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(avro_schema).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    _write_varint(out, len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode("utf-8")
+        _write_varint(out, len(kb))
+        out.write(kb)
+        _write_varint(out, len(v))
+        out.write(v)
+    out.write(b"\x00")  # end of metadata map
+    out.write(sync)
+    for start in range(0, len(records), rows_per_block):
+        chunk = records[start:start + rows_per_block]
+        block = io.BytesIO()
+        for rec in chunk:
+            for name, tname, nullable in plan:
+                v = rec.get(name)
+                if nullable:
+                    _write_varint(block, 0 if v is None else 1)
+                    if v is None:
+                        continue
+                elif v is None:
+                    raise ValueError(f"null in non-nullable field {name}")
+                _PRIMITIVE_WRITERS[tname](block, v)
+        payload = block.getvalue()
+        if codec == "deflate":
+            payload = zlib.compress(payload)[2:-4]  # raw deflate body
+        _write_varint(out, len(chunk))
+        _write_varint(out, len(payload))
+        out.write(payload)
+        out.write(sync)
+    return out.getvalue()
