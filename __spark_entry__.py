@@ -2032,8 +2032,13 @@ def oracle_sql() -> dict[str, str]:
           FROM events
         ),
         changes AS (
+          -- row_number()=1 (true first row) OR null-safe inequality,
+          -- mirroring the operator's eqNullSafe change detection
           SELECT user_id, ts, event_id, event_type
-          FROM ordered WHERE prev IS NULL OR prev <> event_type
+          FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS rn
+                FROM ordered)
+          WHERE rn = 1 OR prev IS DISTINCT FROM event_type
         )
         SELECT user_id, event_type AS state, ts AS valid_from,
                lead(ts) OVER w AS valid_to,

@@ -74,13 +74,19 @@ def stream_throughput(spark, n_rows: int, n_files: int = 16) -> dict:
             wall = time.perf_counter() - t0
         finally:
             q.stop()
-        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        # count batches from the foreachBatch callback itself, not
+        # q.recentProgress — the progress buffer retains only the last
+        # spark.sql.streaming.numRecentProgressUpdates (default 100)
+        # entries, so large replays would undercount batches and
+        # inflate the reported per-batch latency (ADVICE r3).  Every
+        # non-empty micro-batch produces >= 1 daily row here.
+        n_batches = sum(1 for c in daily_rows if c > 0)
         return {
             "stream_rows": n_rows,
             "stream_wall_sec": round(wall, 3),
             "stream_rows_per_sec": round(n_rows / wall, 1),
-            "stream_batches": len(batches),
-            "stream_batch_latency_sec": round(wall / max(1, len(batches)), 3),
+            "stream_batches": n_batches,
+            "stream_batch_latency_sec": round(wall / max(1, n_batches), 3),
             "stream_daily_rows_out": int(sum(daily_rows)),
         }
     finally:
@@ -108,7 +114,12 @@ def ivf_kmeans_recall(spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+    # progress bars write "[Stage N]" control lines to stdout, which
+    # eat into the same 2000-char tail the final JSON line must fit in
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     # warm up the JVM / codegen / parquet footer caches so timings
     # measure the queries, not session startup
@@ -136,20 +147,54 @@ def main() -> None:
         spark, int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "200000"))
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_query_wall_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": runs,
-                "ivf_kmeans_recall_at_10": recall,
-                **stream,
-            }
-        )
-    )
+    full = {
+        "metric": "total_headline_query_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": runs,
+        "ivf_kmeans_recall_at_10": recall,
+        **stream,
+    }
+    # Full per-query detail goes to a repo file; the stdout line must
+    # stay under the harness's 2000-char stdout-tail capture or the
+    # round's bench record can't be parsed at all (BENCH_r03 lost its
+    # numbers exactly this way once the query count passed ~60).  The
+    # line keeps every query that fits — slowest first, since those
+    # are the ones perf tracking compares round-over-round — and rolls
+    # the fastest remainder into an aggregate.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_details.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=2)
+
+    def _line(payload: dict) -> str:
+        return json.dumps(payload, separators=(",", ":"))
+
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1900"))
+    compact = dict(full)
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    if len(_line(compact)) > budget:
+        by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+        kept: dict[str, float] = {}
+        for name, sec in by_cost:
+            trial = dict(compact)
+            trial["queries"] = {**kept, name: round(sec, 2)}
+            trial["queries_omitted"] = len(timings) - len(kept) - 1
+            trial["queries_omitted_sec"] = 999.99
+            if len(_line(trial)) > budget:
+                break
+            kept[name] = round(sec, 2)
+        omitted = [v for k, v in timings.items() if k not in kept]
+        compact["queries"] = kept
+        compact["queries_omitted"] = len(omitted)
+        compact["queries_omitted_sec"] = round(sum(omitted), 2)
+    line = _line(compact)
+    assert len(line) <= budget, f"bench line {len(line)} > {budget}"
+    print(line, flush=True)
     spark.stop()
 
 

@@ -67,10 +67,19 @@ def scd2_history(
     keys = [F.col(c) for c in key_cols]
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tie_break))
     prev = F.lag(attr_col).over(w)
+    # null-SAFE change detection: `prev != attr` evaluates to NULL when
+    # either side is NULL, which would silently drop transitions TO a
+    # NULL state and open a spurious version on the row AFTER one
+    # (CDC streams carry NULL states routinely).  row_number()==1
+    # identifies the true first row — prev.isNull() cannot, since a
+    # NULL previous *value* looks identical to "no previous row".
+    # Both window expressions share w, so this is still one shuffle.
     changes = df.select(
         *key_cols, ts_col, tie_break, attr_col
     ).withColumn(
-        "_changed", prev.isNull() | (prev != F.col(attr_col))
+        "_changed",
+        (F.row_number().over(w) == 1)
+        | ~prev.eqNullSafe(F.col(attr_col)),
     ).filter(
         "_changed"
     )

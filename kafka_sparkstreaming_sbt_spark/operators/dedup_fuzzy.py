@@ -287,7 +287,13 @@ def incremental_near_dup(
             parallelize_for_compute(df), text_col, shingle_n
         ).select("doc_id", "shingles")
 
-    new = _prep(new_docs).persist()
+    # `new` is consumed twice (signatures + verify), but it is the
+    # SMALL side by contract (|new| << corpus) — re-shingling it costs
+    # one extra scan of the daily batch, while a persist() here can
+    # never be safely unpersisted from a lazily-returned DataFrame and
+    # leaks the cache entry in long-lived sessions (ADVICE r3; same
+    # reasoning that removed topk.py's persist).  Deliberate recompute.
+    new = _prep(new_docs)
     corpus = _prep(corpus_docs)
 
     def _sigs(docs: DataFrame) -> DataFrame:

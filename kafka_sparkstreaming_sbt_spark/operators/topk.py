@@ -53,9 +53,11 @@ def global_topk_with_rank(
     rank_col: str = "rank",
 ) -> DataFrame:
     """Top ``k`` rows of ``df`` under the lexicographic order
-    ``order_specs`` (which must be a TOTAL order over non-null columns
-    — include a unique tie-break — so both the k-row cut and the rank
-    are deterministic), with a 1-based ``rank_col``.
+    ``order_specs`` (which must be a TOTAL order — include a unique
+    tie-break — so both the k-row cut and the rank are deterministic;
+    nullable order columns are fine: ranks follow Spark's null
+    placement, first for asc and last for desc), with a 1-based
+    ``rank_col``.
 
     Plan shape: ``TakeOrderedAndProject`` (per-partition bounded
     top-k, tiny final merge), then rank(r) = 1 + |{rows strictly
@@ -91,7 +93,21 @@ def global_topk_with_rank(
             return
         pdf = pd.concat(parts, ignore_index=True)
         if len(pdf):
-            pdf = pdf.sort_values(by, ascending=asc, kind="mergesort")
+            # Spark places NULLs FIRST for ascending keys and LAST for
+            # descending; pandas sort_values takes ONE na_position for
+            # all keys, so a single multi-key sort can't reproduce a
+            # mixed-direction order over nullable columns.  Successive
+            # stable (mergesort) single-key sorts, applied from the
+            # least-significant key up, realize the lexicographic
+            # order with the per-direction null placement Spark used
+            # for the TakeOrderedAndProject cut.
+            for col, ascending in reversed(list(zip(by, asc))):
+                pdf = pdf.sort_values(
+                    col,
+                    ascending=ascending,
+                    kind="mergesort",
+                    na_position="first" if ascending else "last",
+                )
             pdf[rank_col] = range(1, len(pdf) + 1)
             pdf[rank_col] = pdf[rank_col].astype("int32")
             yield pdf

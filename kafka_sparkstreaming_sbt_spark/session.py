@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata parquet carries naive (isAdjustedToUTC=false)
+        # microsecond timestamps; with NTZ inference on, Spark 4 maps
+        # them to TIMESTAMP_NTZ, which breaks timestamp arithmetic
+        # against the UTC-session TimestampType the pipeline uses.
+        # Reading them as TimestampType directly (wall clock == UTC
+        # instant under the UTC session TZ) also keeps timestamp
+        # predicates pushable into the scan, which a cast-on-read
+        # normalization would forfeit.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # reference sets async state checkpointing
         # (CustomerSpendingAnalysis.scala:16); carry the intent.
         .config(

@@ -65,7 +65,17 @@ def with_confluent_frame(
     is_framed = (F.length(value) >= 5) & (
         F.substring(value, 1, 1) == F.lit(bytes([0]))
     )
-    schema_id = F.conv(F.hex(F.substring(value, 2, 4)), 16, 10).cast("int")
+    # The wire field is a SIGNED big-endian int32.  conv() yields the
+    # unsigned magnitude (0 .. 2^32-1); a direct .cast("int") on a
+    # high-bit value would throw CAST_OVERFLOW under Spark 4's ANSI
+    # default and kill the stream — the opposite of this function's
+    # dead-letter-routing purpose.  Decode as long and reinterpret
+    # the sign bit arithmetically instead, so every frame yields a
+    # value (negative ids = malformed/foreign frames, routable).
+    id_u32 = F.conv(F.hex(F.substring(value, 2, 4)), 16, 10).cast("long")
+    schema_id = F.when(
+        id_u32 >= F.lit(2**31), id_u32 - F.lit(2**32)
+    ).otherwise(id_u32).cast("int")
     return df.withColumns(
         {
             "schema_id": F.when(is_framed, schema_id),

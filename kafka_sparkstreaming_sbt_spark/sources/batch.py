@@ -31,20 +31,24 @@ TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table: ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is written as parquet INT64 TIMESTAMP(NANOS), which
-    Spark 4 refuses to map to its microsecond TimestampType; we read it
-    via the ``nanosAsLong`` legacy conf and convert with exact integer
-    division (``ts DIV 1000`` -> ``timestamp_micros``), keeping the
-    whole path JVM-side.  Trade-off: timestamp predicates don't push
-    into this one scan (the column is physically a long); every other
-    table gets full pushdown/pruning.
+    Timestamp physical types vary across testdata generations:
+    naive TIMESTAMP(MICROS) (current) is read as TimestampType
+    directly by disabling NTZ inference (session default, re-asserted
+    here for foreign sessions) — wall clock == UTC instant under the
+    UTC session TZ, and predicates stay pushable.  Legacy INT64
+    TIMESTAMP(NANOS) files surface as long via ``nanosAsLong`` and
+    are converted with exact integer division (``ts DIV 1000`` ->
+    ``timestamp_micros``), keeping the whole path JVM-side.
     """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn(
-            "ts", F.expr("timestamp_micros(ts DIV 1000)")
-        )
+        if dict(raw.dtypes).get("ts") == "bigint":  # nanos generation
+            return raw.withColumn(
+                "ts", F.expr("timestamp_micros(ts DIV 1000)")
+            )
+        return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

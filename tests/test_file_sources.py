@@ -128,16 +128,23 @@ def test_confluent_frame_split(spark):
     body = b"\x0cavrob"  # arbitrary avro-ish bytes
     framed = b"\x00" + struct.pack(">I", 4242) + body
     big_id = b"\x00" + struct.pack(">I", 2**31 - 1) + body
+    # high bit set: a corrupt/foreign frame whose unsigned magnitude
+    # (>= 2^31) would CAST_OVERFLOW under ANSI with a naive int cast
+    # (ADVICE r3); must decode as the signed reinterpretation instead
+    # of killing the stream
+    neg_id = b"\x00" + struct.pack(">I", 0x80000001) + body
     unframed = b"\x01junkpayload"
     short = b"\x00\x01"
     df = spark.createDataFrame(
-        [(1, framed), (2, unframed), (3, short), (4, big_id)],
+        [(1, framed), (2, unframed), (3, short), (4, big_id), (5, neg_id)],
         "k long, value binary",
     )
     rows = {r.k: r for r in with_confluent_frame(df).collect()}
     assert rows[1].schema_id == 4242
     assert bytes(rows[1].avro_payload) == body
     assert rows[4].schema_id == 2**31 - 1
+    assert rows[5].schema_id == -(2**31) + 1  # signed reinterpret
+    assert bytes(rows[5].avro_payload) == body
     assert rows[2].schema_id is None and rows[2].avro_payload is None
     assert rows[3].schema_id is None
 

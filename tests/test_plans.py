@@ -110,6 +110,41 @@ def test_global_topk_has_no_window_operator(spark, sf_small):
         assert "Window" not in plan  # no WindowExec of any kind
 
 
+def test_global_topk_rank_matches_spark_null_order(spark):
+    """ADVICE r3: the pandas re-rank of the k survivors must place
+    NULLs where Spark's orderBy did — FIRST for ascending keys, LAST
+    for descending — or the rank column contradicts the cut order on
+    nullable columns."""
+    from kafka_sparkstreaming_sbt_spark.operators.topk import (
+        global_topk_with_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "a"), (5.0, "b"), (1.0, "c"), (None, "d"), (3.0, "e")],
+        "score double, id string",
+    )
+    # desc score: nulls LAST in Spark; id asc tie-break
+    got = [
+        (r.id, r.rank)
+        for r in global_topk_with_rank(
+            df, [("score", "desc"), ("id", "asc")], 5
+        ).collect()
+    ]
+    assert sorted(got, key=lambda t: t[1]) == [
+        ("b", 1), ("e", 2), ("c", 3), ("a", 4), ("d", 5)
+    ]
+    # asc score: nulls FIRST in Spark
+    got = [
+        (r.id, r.rank)
+        for r in global_topk_with_rank(
+            df, [("score", "asc"), ("id", "asc")], 5
+        ).collect()
+    ]
+    assert sorted(got, key=lambda t: t[1]) == [
+        ("a", 1), ("d", 2), ("c", 3), ("e", 4), ("b", 5)
+    ]
+
+
 def test_grouped_topk_pruned_map_side(spark, sf_small):
     """grouped_topk (top-3 per nation) must get Catalyst's partial
     WindowGroupLimit below the rank exchange — map tasks pre-prune to

@@ -137,6 +137,38 @@ def test_scd2_history_contract(spark):
     assert sum(1 for g in got if g[4] == 1 and g[0] == "A") == 1
 
 
+def test_scd2_history_null_states(spark):
+    """Null-safe change detection (ADVICE r3): a transition TO NULL
+    opens a version, a NULL->NULL run stays ONE version, and the row
+    after a NULL run does not open a spurious version when the value
+    returns to the pre-NULL state via a real change."""
+    from kafka_sparkstreaming_sbt_spark.operators.cdc import scd2_history
+
+    rows = [
+        # a -> NULL -> NULL -> a : three runs (a | NULL | a)
+        ("A", 1, 1, "a"),
+        ("A", 2, 2, None),
+        ("A", 3, 3, None),
+        ("A", 4, 4, "a"),
+        # user starting at NULL: NULL is a real first state
+        ("B", 1, 5, None),
+        ("B", 2, 6, "x"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts int, event_id int, state0 string")
+    out = scd2_history(df, ["user_id"], "ts", "state0", tie_break="event_id")
+    got = {
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.is_current, r.version)
+        for r in out.collect()
+    }
+    assert got == {
+        ("A", "a", 1, 2, 0, 1),
+        ("A", None, 2, 4, 0, 2),
+        ("A", "a", 4, None, 1, 3),
+        ("B", None, 1, 2, 0, 1),
+        ("B", "x", 2, None, 1, 2),
+    }
+
+
 def test_stratified_sample_per_group_independent(spark, sf_small):
     from kafka_sparkstreaming_sbt_spark.operators.sampling import (
         stratified_sample,
