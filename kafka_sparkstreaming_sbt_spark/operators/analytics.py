@@ -376,3 +376,82 @@ def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .select("c_custkey", "c_mktsegment", "n_orders", "avg_order_value")
     )
+
+
+def cohort_retention(orders: DataFrame) -> DataFrame:
+    """Cohort retention matrix: customers grouped by FIRST-order month
+    (the cohort), then for each (cohort, months-since-first) the count
+    of cohort members who ordered that month and the retention rate.
+
+    Two partial->final aggregations and one join of the |customers|-row
+    first-order table back onto the distinct (customer, month)
+    activity — no windows, no self-join of the fact table.  At 100 TB
+    both aggregations shuffle keys bounded by |customers| x |months|,
+    not order rows; AQE picks the join strategy (the first-order side
+    is |customers| rows — small for dimension-like cardinalities,
+    shuffle-joined when not).
+
+    Months are month-TRUNCATED timestamps (not dates): a date-grain
+    column would round-trip as midnight datetimes through arrow/pandas
+    anyway, and the timestamp keeps the DuckDB oracle byte-identical.
+    """
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("_cohort_d")
+    )
+    active = orders.select(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("_active_d")
+    ).distinct()
+    joined = active.join(first, "o_custkey").select(
+        "o_custkey",
+        "_cohort_d",
+        F.round(
+            F.months_between(F.col("_active_d"), F.col("_cohort_d"))
+        ).cast("long").alias("months_since"),
+    )
+    sizes = first.groupBy("_cohort_d").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = joined.groupBy("_cohort_d", "months_since").agg(
+        F.count(F.lit(1)).alias("active_customers")
+    )
+    return (
+        ret.join(sizes, "_cohort_d")
+        .select(
+            F.col("_cohort_d").cast("timestamp").alias("cohort_month"),
+            "months_since",
+            "active_customers",
+            "cohort_size",
+            F.round(
+                F.col("active_customers") / F.col("cohort_size"), 6
+            ).alias("retention_rate"),
+        )
+    )
+
+
+def customer_spend_trend(orders: DataFrame, min_months: int = 3) -> DataFrame:
+    """Per-customer linear spend trend: least-squares slope and
+    intercept of monthly order totals against the month index
+    (months since 1992-01), for customers active in at least
+    ``min_months`` distinct months.
+
+    Uses the built-in ``regr_slope``/``regr_intercept`` aggregates —
+    JVM-side partial->final moment sums (count, Σx, Σy, Σxy, Σx²),
+    so the whole regression is one hash aggregation per customer, no
+    window, no Python.  The month index keeps x small (0..84 for the
+    TPC-H date range), which bounds the float cancellation in the
+    covariance so a 4-dp round is stable across engines.
+    """
+    monthly = orders.groupBy(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("_m")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("_spend"))
+    x = F.round(
+        F.months_between(F.col("_m"), F.lit("1992-01-01").cast("date"))
+    ).cast("double")
+    per_cust = monthly.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.round(F.regr_slope(F.col("_spend"), x), 4).alias("slope"),
+        F.round(F.regr_intercept(F.col("_spend"), x), 4).alias("intercept"),
+    )
+    return per_cust.filter(F.col("n_months") >= min_months).select(
+        "o_custkey", "n_months", "slope", "intercept"
+    )

@@ -68,6 +68,79 @@ def chunk_documents(
     )
 
 
+# doc-order key base for cross-corpus chunk dedup: chunk_index must
+# stay below this for (doc, chunk) order to linearize into one long
+# (2^24 chunks/doc at the default 8-token chunks = 134M tokens/doc)
+_CHUNK_ORD = 1 << 24
+
+
+def drop_duplicate_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document chunk-level dedup, the C4 "three-sentence span"
+    rule re-expressed over fixed-width token chunks (the corpus here
+    is a token stream with no sentence boundaries): every
+    ``chunk_tokens``-token span that occurs more than once in the
+    WHOLE corpus is kept only at its first occurrence (lowest
+    (doc_id, chunk_index)) and removed everywhere else, and each
+    document is reassembled from its surviving chunks in order.
+
+    Returns (doc_id, clean_text, n_chunks, n_dropped); a document
+    whose every chunk was seen earlier comes back with an empty
+    ``clean_text`` (drop or filter downstream).
+
+    Scale shape: one shuffle keyed by the chunk text to elect first
+    occurrences (partial->final ``min`` — boilerplate chunks combine
+    map-side, so a chunk repeated a million times contributes one row
+    per task to the shuffle, which is exactly the skew that matters),
+    one join back on the same key (co-partitioned; Catalyst reuses
+    the exchange), and one reassembly aggregation keyed by doc.
+    Nothing driver-side, no windows without partitions.
+    """
+    chunks = chunk_documents(
+        df, chunk_tokens, chunk_tokens, text_col, id_col
+    )
+    ordk = F.col(id_col) * _CHUNK_ORD + F.col("chunk_index")
+    keyed = chunks.select(
+        id_col, "chunk_index", "chunk_text", ordk.alias("_ord")
+    )
+    firsts = keyed.groupBy("chunk_text").agg(
+        F.min("_ord").alias("_first_ord")
+    )
+    kept = keyed.join(firsts, "chunk_text").filter(
+        F.col("_ord") == F.col("_first_ord")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_index", "chunk_text"))
+                ),
+                lambda s: s.chunk_text,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("_n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
 def _hex_val(h, pos: int):
     """0-15 value of hex char ``pos`` (1-based) of column ``h`` from
     its ascii code — engine-portable arithmetic (Spark and DuckDB

@@ -129,3 +129,49 @@ def near_dup_groups(
     representative to keep), singletons included."""
     nodes = documents.select(id_col)
     return connected_components(nodes, pairs, id_col=id_col)
+
+
+def select_canonical(
+    documents: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The keep/drop DECISION a dedup pipeline ends with: group the
+    corpus transitively (``near_dup_groups``) and elect one canonical
+    document per group — the one with the highest ``score_col``
+    (ties -> lowest id; "keep the longest/highest-quality copy", the
+    standard curation policy, rather than ``near_dup_groups``'s
+    positional min-id representative).
+
+    Returns every document as (id, group_id, canonical_id, keep) so
+    the caller can either filter ``keep`` or audit what was dropped
+    and why (``canonical_id`` points at the surviving copy).
+
+    Cost on top of the component labels: one broadcast-size join of
+    (id, score) onto the labels and one partial->final ``max_by`` per
+    group — the score ride-along never shuffles document text.
+    """
+    groups = near_dup_groups(documents, pairs, id_col=id_col)
+    scored = groups.join(
+        documents.select(id_col, score_col), id_col
+    )
+    # arg-max via max(struct(score, -id)): struct comparison is
+    # field-ordered, so the winner is highest score, then lowest id —
+    # one partial->final agg, no rank window
+    winners = scored.groupBy("group_id").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("_s"),
+                (-F.col(id_col)).alias("_neg_id"),
+            )
+        ).alias("_w")
+    ).select(
+        "group_id", (-F.col("_w._neg_id")).alias("canonical_id")
+    )
+    return groups.join(winners, "group_id").select(
+        id_col,
+        "group_id",
+        "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("keep"),
+    )

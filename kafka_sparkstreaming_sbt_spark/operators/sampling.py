@@ -107,3 +107,45 @@ def stratified_sample(
     v = F.ascii(ch)
     nib = F.when(v <= 57, v - 48).otherwise(v - 87)
     return df.filter(nib < sixteenths)
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """EXACTLY min(k, |group|) rows per group, chosen by md5 rank —
+    the deterministic replacement for per-group reservoir sampling
+    (fractional :func:`stratified_sample` can't promise a count;
+    training mixtures often need "at most k docs per source").
+
+    The rank key is md5 of the stratum-salted id — the same
+    independent-per-group draw as :func:`stratified_sample` — and the
+    cut reuses ``grouped_topk``'s bounded-heap plan: Catalyst's
+    ``InferWindowGroupLimit`` pre-prunes each map task to its local
+    per-group top-k BEFORE the exchange, so the shuffle carries at
+    most k rows per (group, input partition) — never the group.
+
+    Deterministic and engine-stable: rerunning, repartitioning, or
+    mirroring in another engine selects the SAME rows (md5 ties are
+    impossible for distinct salted ids only if ids are unique per
+    group — the contract; the id tie-break below keeps even violations
+    deterministic)."""
+    from kafka_sparkstreaming_sbt_spark.operators.topk import grouped_topk
+
+    key = F.md5(
+        F.concat(
+            F.col(group_col).cast("string"),
+            F.lit("|"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    ranked = grouped_topk(
+        df.withColumn("_draw", key),
+        [group_col],
+        [("_draw", "asc"), (id_col, "asc")],
+        k,
+        rank_col="draw_rank",
+    )
+    return ranked.drop("_draw")

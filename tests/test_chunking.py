@@ -107,3 +107,36 @@ def test_pack_windows_are_all_partitioned(spark):
             assert not node.partitionSpec().isEmpty()
         ch = node.children()
         stack.extend(ch.apply(i) for i in range(ch.size()))
+
+
+def test_drop_duplicate_chunks_keeps_first_occurrence(spark):
+    """The repeated 8-token span survives only in the earliest
+    (doc_id, chunk_index); unique text is untouched; a fully-duplicate
+    doc comes back empty."""
+    from pyspark.sql import functions as F
+
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        drop_duplicate_chunks,
+    )
+
+    span = " ".join(f"w{i}" for i in range(8))
+    uniq = " ".join(f"u{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, span + " " + uniq),  # first occurrence of span + unique
+            (2, span),               # exact chunk-dup of doc 1's span
+            (3, uniq.replace("u", "v")),  # untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in drop_duplicate_chunks(docs, chunk_tokens=8).collect()
+    }
+    assert out[1].clean_text == span + " " + uniq
+    assert out[1].n_dropped == 0
+    assert out[2].clean_text == ""
+    assert out[2].n_dropped == 1
+    assert out[3].n_dropped == 0
+    total_chunks = sum(r.n_chunks for r in out.values())
+    assert total_chunks == 4  # doc1: 2 chunks, doc2: 1, doc3: 1

@@ -69,3 +69,28 @@ def test_lapsed_customers_set_difference(spark):
     ).select("o_custkey", F.to_date("d").alias("o_orderdate"))
     out = lapsed_customers(orders, 1995, 1996)
     assert [r.o_custkey for r in out.collect()] == [2]
+
+
+def test_select_canonical_keeps_highest_score(spark):
+    """Canonical per component = highest score (ties -> lowest id);
+    every doc points at its group's survivor; singletons keep
+    themselves."""
+    from kafka_sparkstreaming_sbt_spark.operators.graph import (
+        select_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5)], ["doc_id", "n_chars"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["doc_a", "doc_b"]
+    )
+    out = {r.doc_id: r for r in
+           select_canonical(docs, pairs, "n_chars").collect()}
+    # component {1,2,3}: 2 and 3 tie on score, lower id (2) wins
+    assert out[1].canonical_id == 2 and not out[1].keep
+    assert out[2].canonical_id == 2 and out[2].keep
+    assert out[3].canonical_id == 2 and not out[3].keep
+    # singleton keeps itself
+    assert out[7].canonical_id == 7 and out[7].keep
+    assert out[7].group_id == 7

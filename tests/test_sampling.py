@@ -187,3 +187,28 @@ def test_stratified_sample_per_group_independent(spark, sf_small):
     # deterministic: identical on rerun
     again = {r.doc_id for r in stratified_sample(docs, "lang", "doc_id", 2).select("doc_id").collect()}
     assert {r.doc_id for r in picked.select("doc_id").collect()} == again
+
+
+def test_sample_k_per_group_exact_count_and_stable(spark):
+    """Every group yields min(k, |group|) rows; the selection is
+    invariant under repartitioning (no RNG, no order dependence)."""
+    from pyspark.sql import functions as F
+
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        sample_k_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(100)] + [(1000, "tiny")],
+        ["id", "grp"],
+    )
+    out = sample_k_per_group(df, "grp", "id", k=5)
+    counts = {r.grp: r.n for r in
+              out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5, "g2": 5, "tiny": 1}
+    picked = sorted((r.grp, r.id) for r in out.collect())
+    again = sorted(
+        (r.grp, r.id)
+        for r in sample_k_per_group(df.repartition(7), "grp", "id", 5).collect()
+    )
+    assert picked == again

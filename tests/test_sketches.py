@@ -57,3 +57,75 @@ def test_approx_distinct_users_within_rsd(spark, sf_small):
         a = approx[day]
         # rsd=0.02 requested; allow 3 sigma plus integer slack
         assert abs(a - e) <= max(3, 0.06 * e), (day, a, e)
+
+
+def test_cms_estimate_one_sided_and_exact_on_sparse(spark):
+    """Count-min estimates NEVER undercount, and with far fewer keys
+    than counters (no collisions forced) they equal the exact counts."""
+    from pyspark.sql import functions as F
+
+    from kafka_sparkstreaming_sbt_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows = [(k,) for k in ["a"] * 50 + ["b"] * 7 + ["c"] * 1]
+    df = spark.createDataFrame(rows, ["k"])
+    sketch = cms_sketch(df, "k", depth=4, width=256)
+    est = {
+        r.k: r.est_count
+        for r in cms_estimate(
+            sketch, df.select("k").distinct(), "k", depth=4, width=256
+        ).collect()
+    }
+    exact = {r.k: r.cnt for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    for k, e in exact.items():
+        assert est[k] >= e, (k, est[k], e)
+    # 3 keys in 256 buckets x 4 rows: some row is collision-free, so
+    # the min equals the true count
+    assert est == exact
+
+
+def test_cms_merge_equals_whole(spark):
+    """Counters are linear: sketch(A) + sketch(B) == sketch(A u B),
+    row for row — the mergeable-summary contract that lets per-batch
+    sketches roll up without touching history."""
+    from kafka_sparkstreaming_sbt_spark.operators.sketches import (
+        cms_merge,
+        cms_sketch,
+    )
+
+    rows = [(i, f"k{i % 17}") for i in range(300)]
+    df = spark.createDataFrame(rows, ["i", "k"])
+    a = df.filter("i < 120")
+    b = df.filter("i >= 120")
+    merged = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_merge(
+            cms_sketch(a, "k"), cms_sketch(b, "k")
+        ).collect()
+    }
+    whole = {
+        (r.row, r.bucket): r.cnt for r in cms_sketch(df, "k").collect()
+    }
+    assert merged == whole
+
+
+def test_cms_unseen_key_small_estimate(spark):
+    """A key the sketch never saw gets only collision mass — bounded
+    by the count-min error guarantee (2N/width per row, and the min
+    over rows is far smaller)."""
+    from kafka_sparkstreaming_sbt_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(500)], ["k"])
+    sketch = cms_sketch(df, "k", depth=4, width=256)
+    unseen = spark.createDataFrame([("never-seen",)], ["k"])
+    est = cms_estimate(sketch, unseen, "k", depth=4, width=256).collect()
+    assert len(est) == 1
+    # N=500, width=256 -> expected collision mass ~2/row; min over 4
+    # rows is almost surely <= a few
+    assert 0 <= est[0].est_count <= 10
