@@ -2,9 +2,9 @@
 of this engine's LLM-data operators over a documents parquet table:
 
     quality scoring -> language ID -> PII redaction -> exact dedup ->
-    MinHash near-dup groups (transitive) -> keep one doc per group ->
-    deterministic train/valid/test split -> partitioned parquet lake
-    write + one-line JSON report.
+    MinHash near-dup groups (transitive) -> keep the LONGEST doc per
+    group (canonical election) -> deterministic train/valid/test split
+    -> partitioned parquet lake write + one-line JSON report.
 
 Every stage is a DataFrame transform from the library (zero driver
 loops, zero Python row-UDFs); the whole pipeline is lazy until the
@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
     minhash_near_dup_pairs,
 )
-from kafka_sparkstreaming_sbt_spark.operators.graph import near_dup_groups
+from kafka_sparkstreaming_sbt_spark.operators.graph import select_canonical
 from kafka_sparkstreaming_sbt_spark.operators.sampling import with_split
 from kafka_sparkstreaming_sbt_spark.operators.text import (
     exact_dedup_groups,
@@ -65,13 +65,14 @@ def curate(
         F.col("keep_doc_id").alias("doc_id")
     )
 
-    # near-dup dedup: transitive MinHash groups, keep group minimum
+    # near-dup dedup: transitive MinHash groups, then elect the
+    # LONGEST doc per group as the canonical survivor (ties -> lowest
+    # id) — the curation policy, not the positional group minimum
     pairs = minhash_near_dup_pairs(
         docs, shingle_n=3, n_bands=8, threshold=jaccard_threshold
     ).select("doc_a", "doc_b")
-    groups = near_dup_groups(docs, pairs)
-    near_keep = groups.filter(
-        F.col("doc_id") == F.col("group_id")
+    near_keep = select_canonical(docs, pairs, score_col="n_chars").filter(
+        F.col("keep")
     ).select("doc_id")
 
     kept = (

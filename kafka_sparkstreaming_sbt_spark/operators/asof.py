@@ -36,14 +36,27 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each ``left`` row, attach the ``right`` row with the
-    greatest ``right_ts`` <= ``left_ts`` for the same ``on`` key
-    (left-join semantics: unmatched left rows keep NULLs).
+    greatest ``right_ts`` <= ``left_ts`` (``direction="backward"``,
+    the default) or the smallest ``right_ts`` >= ``left_ts``
+    (``"forward"``) for the same ``on`` key — left-join semantics:
+    unmatched left rows keep NULLs.  The pandas ``merge_asof``
+    surface, re-expressed as ONE shuffle.
 
     ``right_cols`` are the right-side payload columns to carry
     (default: all except the key), emitted as ``<col><suffix>``.
+
+    ``tolerance_seconds`` bounds the staleness (timestamp columns
+    required): a match further than the tolerance from the left row
+    is nulled out, NOT replaced by an older/newer one — the same
+    contract as pandas, and it costs a post-filter, not a second
+    window.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on]
     payload = [f"{c}{suffix}" for c in right_cols]
@@ -55,6 +68,7 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(p)
           for c, p in zip(right_cols, payload)],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
     )
     r_tagged = right.select(
         F.col(on),
@@ -64,18 +78,34 @@ def asof_join(
         .cast(l_tagged.schema["_left"].dataType)
         .alias("_left"),
         *[F.col(c).alias(p) for c, p in zip(right_cols, payload)],
+        F.col(right_ts).alias("_r_ts"),
     )
+    # forward = the same carry pass over the REVERSED time order;
+    # _side still breaks ts ties with the reference row first, so
+    # "at or after" stays inclusive
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy(ts_order, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
         "_side",
+        "_ts",
         "_left",
         *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_m_ts"),
     )
-    return carried.filter(F.col("_side") == 1).select("_left.*", *payload)
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        gap = F.abs(F.unix_micros("_ts") - F.unix_micros("_m_ts"))
+        in_tol = gap <= int(tolerance_seconds * 1_000_000)
+        out = out.select(
+            "_side",
+            "_left",
+            *[F.when(in_tol, F.col(p)).alias(p) for p in payload],
+        )
+    return out.select("_left.*", *payload)
 
 
 def purchases_with_last_click(events: DataFrame) -> DataFrame:

@@ -208,3 +208,47 @@ def test_ngram_jaccard_prefix_filter_is_complete(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = ngram_jaccard_pairs(df, n=3, threshold=0.6)
     assert {(r.doc_a, r.doc_b) for r in out.collect()} == {(1, 2)}
+
+
+def test_asof_tolerance_and_forward(spark):
+    """merge_asof semantics: tolerance nulls stale matches (never
+    falls back to an older row); forward picks the next at-or-after
+    reference row."""
+    import datetime as dt
+
+    from kafka_sparkstreaming_sbt_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [(1, ts(100), "a"), (1, ts(500), "b"), (2, ts(50), "c")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts(90), "r90"), (1, ts(480), "r480"), (2, ts(60), "r60")],
+        ["k", "ts", "ref"],
+    )
+    back = {
+        r.tag: r.ref_asof
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert back == {"a": "r90", "b": "r480", "c": None}
+    # tolerance 15 s: b's match at 480 (gap 20 s) is nulled, NOT
+    # replaced by r90
+    tol = {
+        r.tag: r.ref_asof
+        for r in asof_join(
+            left, right, on="k", tolerance_seconds=15
+        ).collect()
+    }
+    assert tol == {"a": "r90", "b": None, "c": None}
+    fwd = {
+        r.tag: r.ref_asof
+        for r in asof_join(
+            left, right, on="k", direction="forward"
+        ).collect()
+    }
+    assert fwd == {"a": "r480", "b": None, "c": "r60"}
