@@ -1196,6 +1196,48 @@ def q_customer_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_spend_trend(read_table(spark, sf_dir, "orders"))
 
 
+def q_purchase_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) enrichment — the standard CDC consumption
+    pattern: each purchase joined to the SCD2 state version valid AT
+    its event time, composed as scd2_history -> asof_join on
+    valid_from (one shuffle each; versions are non-overlapping, so
+    the as-of backward match IS the containing interval — no range
+    join, no BroadcastNestedLoopJoin).  Zero-length versions (two
+    state changes at one timestamp) are filtered so the match is
+    deterministic; the oracle applies the same guard."""
+    from kafka_sparkstreaming_sbt_spark.operators.asof import asof_join
+    from kafka_sparkstreaming_sbt_spark.operators.cdc import scd2_history
+
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    # history over NON-purchase activity: the purchase then looks up
+    # what the user was doing at the time (a purchase's own event_type
+    # would trivially be its state otherwise); purchases before any
+    # other activity keep NULL state — left-join semantics
+    hist = scd2_history(
+        events.filter(F.col("event_type") != "purchase"),
+        ["user_id"],
+        "ts",
+        "event_type",
+        tie_break="event_id",
+    ).filter(
+        F.col("valid_to").isNull()
+        | (F.col("valid_to") > F.col("valid_from"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        hist.select("user_id", "valid_from", "state", "version"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_cols=["state", "version"],
+        suffix="",
+    ).select("event_id", "user_id", "ts", "state", "version")
+
+
 def q_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-group deterministic sampling: 20 docs per source,
     elected by md5 rank (stratum-salted draw), cut with the
@@ -1334,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "deterministic_sample": q_deterministic_sample,
         "sample_k_per_source": q_sample_k_per_source,
+        "purchase_state_pit": q_purchase_state_pit,
         "unigram_lm_score": q_unigram_lm_score,
         "weighted_sample": q_weighted_sample,
         "value_outliers": q_value_outliers,
@@ -2299,6 +2342,38 @@ def oracle_sql() -> dict[str, str]:
         FROM events JOIN s USING (event_type)
         WHERE abs((value - sv / n)
                   / sqrt(sv2 / n - (sv / n) * (sv / n))) > 2
+        """,
+        "purchase_state_pit": """
+        WITH ordered AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events WHERE event_type <> 'purchase'
+        ),
+        changes AS (
+          SELECT user_id, ts, event_id, event_type
+          FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS rn
+                FROM ordered)
+          WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        ),
+        hist AS (
+          SELECT user_id, event_type AS state, ts AS valid_from,
+                 lead(ts) OVER w AS valid_to,
+                 row_number() OVER w AS version
+          FROM changes
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        h AS (SELECT * FROM hist
+              WHERE valid_to IS NULL OR valid_to > valid_from),
+        p AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.ts, h.state,
+               CAST(h.version AS BIGINT) AS version
+        FROM p LEFT JOIN h
+          ON p.user_id = h.user_id
+         AND h.valid_from <= p.ts
+         AND (h.valid_to IS NULL OR h.valid_to > p.ts)
         """,
         "sample_k_per_source": """
         WITH d AS (
