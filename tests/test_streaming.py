@@ -549,3 +549,53 @@ def test_streaming_dlq_split_routes_dead_letters(spark, stream_dir):
     dead = {r.payload for r in spark.read.parquet(dlq_dir).collect()}
     assert dead == {bad, keyless}
     shutil.rmtree(dlq_dir, ignore_errors=True)
+
+
+def test_streaming_cms_merge_equals_batch(spark, stream_dir):
+    """Mergeable-sketch streaming: per-micro-batch count-min sketches
+    merged in the foreachBatch sink (counter addition — the sketch is
+    <= depth*width entries, the realistic driver/state-store-held
+    summary) reproduce EXACTLY the sketch a single batch pass over all
+    rows builds — the property that lets per-ingest sketches roll up
+    at 100 TB without re-reading history."""
+    from collections import Counter
+
+    from kafka_sparkstreaming_sbt_spark.operators.sketches import (
+        cms_sketch,
+    )
+
+    batches = [
+        [f"k{i % 7}" for i in range(20)],
+        [f"k{i % 5}" for i in range(15)],
+        ["k0"] * 4,
+    ]
+    for bi, lines in enumerate(batches):
+        _write_batch(stream_dir, f"b{bi}", lines)
+
+    merged: Counter = Counter()
+
+    def sink(batch_df, _batch_id):
+        keyed = batch_df.withColumnRenamed("value", "key")
+        for r in cms_sketch(keyed, "key").collect():
+            merged[(r.row, r.bucket)] += r.cnt
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(stream_dir)
+    )
+    q = start_foreach_batch_sink(
+        raw, sink, output_mode="append", swallow_errors=False
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    whole = spark.createDataFrame(
+        [(k,) for lines in batches for k in lines], ["key"]
+    )
+    batch_sketch = {
+        (r.row, r.bucket): r.cnt for r in cms_sketch(whole, "key").collect()
+    }
+    assert dict(merged) == batch_sketch
