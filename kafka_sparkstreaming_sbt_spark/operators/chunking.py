@@ -97,8 +97,11 @@ def drop_duplicate_chunks(
     map-side, so a chunk repeated a million times contributes one row
     per task to the shuffle, which is exactly the skew that matters),
     one join back on the same key (co-partitioned; Catalyst reuses
-    the exchange), and one reassembly aggregation keyed by doc.
-    Nothing driver-side, no windows without partitions.
+    the exchange), and ONE reassembly aggregation keyed by doc: every
+    chunk row carries a keep flag into the agg, so kept text, total
+    and dropped counts come out of the same pass — no separate
+    per-doc totals branch, no extra scan, no final join.  Nothing
+    driver-side, no windows without partitions.
     """
     chunks = chunk_documents(
         df, chunk_tokens, chunk_tokens, text_col, id_col
@@ -110,34 +113,27 @@ def drop_duplicate_chunks(
     firsts = keyed.groupBy("chunk_text").agg(
         F.min("_ord").alias("_first_ord")
     )
-    kept = keyed.join(firsts, "chunk_text").filter(
-        F.col("_ord") == F.col("_first_ord")
+    flagged = keyed.join(firsts, "chunk_text").select(
+        id_col,
+        "chunk_index",
+        "chunk_text",
+        (F.col("_ord") == F.col("_first_ord")).alias("_keep"),
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("chunk_index", "chunk_text"))
-                ),
-                lambda s: s.chunk_text,
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("_n_kept"),
+    cells = F.array_sort(
+        F.collect_list(F.struct("chunk_index", "_keep", "chunk_text"))
     )
-    totals = chunks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_chunks")
+    clean = F.array_join(
+        F.transform(
+            F.filter(cells, lambda s: s._keep), lambda s: s.chunk_text
+        ),
+        " ",
     )
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_chunks",
-            (F.col("n_chunks") - F.coalesce("_n_kept", F.lit(0))).alias(
-                "n_dropped"
-            ),
-        )
+    return flagged.groupBy(id_col).agg(
+        clean.alias("clean_text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        (
+            F.count(F.lit(1)) - F.sum(F.col("_keep").cast("long"))
+        ).alias("n_dropped"),
     )
 
 
