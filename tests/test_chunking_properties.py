@@ -93,3 +93,45 @@ def test_packing_tiles_each_shard_exactly(spark, corpus, seq_len, seed):
         sorted(corpus), sorted(rows, key=lambda r: r.doc_id)
     ):
         assert r.n_tokens == len(text.split())
+
+
+# corpora WITH duplicate spans: tokens drawn from a tiny alphabet so
+# 4-token chunks repeat across docs often
+_dup_corpora = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=20),
+    min_size=1,
+    max_size=6,
+).map(
+    lambda docs: [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+)
+
+
+@given(corpus=_dup_corpora)
+@settings(**_SETTINGS)
+def test_drop_duplicate_chunks_matches_reference_model(spark, corpus):
+    """Checked against a sequential python model of the C4 span rule:
+    scanning docs in (doc_id, chunk_index) order and keeping only
+    first-seen chunks reproduces clean_text, n_chunks and n_dropped
+    exactly — i.e. the distributed first-occurrence election equals
+    the sequential-scan semantics."""
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        drop_duplicate_chunks,
+    )
+
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           drop_duplicate_chunks(df, chunk_tokens=4).collect()}
+
+    seen: set[str] = set()
+    for doc_id, text in sorted(corpus):
+        toks = text.split(" ")
+        chunks = [" ".join(toks[s:s + 4]) for s in range(0, len(toks), 4)]
+        kept = []
+        for ch in chunks:
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(ch)
+        r = out[doc_id]
+        assert r.n_chunks == len(chunks)
+        assert r.n_dropped == len(chunks) - len(kept)
+        assert r.clean_text == " ".join(kept)
