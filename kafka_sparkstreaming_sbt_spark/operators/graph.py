@@ -70,11 +70,15 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     # iterate ONLY over edge endpoints: isolated nodes can never change
     # label, so keeping them out of the loop makes each round
-    # proportional to the (small) near-dup subgraph, not the corpus
+    # proportional to the (small) near-dup subgraph, not the corpus.
+    # The identity initialization (label = node) makes round 1 of the
+    # generic loop compute exactly min(node, min(neighbors)) — so fuse
+    # that round into the init as ONE aggregation over the edge list,
+    # saving a full join+agg+join+checkpoint cycle per call
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("node"), "label")
         .localCheckpoint(eager=True)
     )
     converged = False
