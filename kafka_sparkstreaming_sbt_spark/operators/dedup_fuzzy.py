@@ -316,6 +316,13 @@ def incremental_near_dup(
         )
         .distinct()
     )
+    # the candidate pair set feeds BOTH the verify join and the corpus
+    # semi-prune below; left lazy, each consumer re-executes the whole
+    # signature build (shingle+minhash of corpus AND batch — measured
+    # ~40% of query wall).  It is id pairs only, so materialize it
+    # once; localCheckpoint is eager and its blocks die with the RDD,
+    # so no cache-entry leak (the ADVICE r3 persist() concern).
+    cand = cand.localCheckpoint(eager=True)
     # verify: only candidate corpus docs are re-shingled (semi prune)
     corpus_cand = corpus.join(
         cand.select(F.col("dup_of").alias("doc_id")).distinct(),
