@@ -19,10 +19,17 @@ from pyspark.sql import functions as F
 
 
 def _id_nibble(id_col: str) -> Column:
-    """First hex nibble (0..15) of md5(id) — the sampling key."""
-    ch = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
-    v = F.ascii(ch)
-    return F.when(v <= 57, v - 48).otherwise(v - 87)
+    """First hex nibble (0..15) of md5(id) — the sampling key.
+
+    Decoded with ``conv`` (ANSI-safe for <= 8 hex chars): one
+    expression instead of substring+ascii+CASE chains, which the
+    codegen does not common-subexpression-eliminate (the old two-nib
+    byte decode duplicated the md5 in the filter tree — measured ~3x
+    slower).  The VALUE is unchanged, so the DuckDB oracles keep their
+    ascii-arithmetic mirror."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10
+    ).cast("int")
 
 
 def deterministic_sample(
@@ -53,15 +60,10 @@ def with_split(
 
 def _key_byte(key: Column) -> Column:
     """First md5 byte (0..255) of an arbitrary key expression — the
-    256-level uniform draw for weighted sampling (same ascii
-    arithmetic as :func:`_id_nibble`, two nibbles)."""
-    h = F.md5(key)
-
-    def nib(i: int) -> Column:
-        v = F.ascii(F.substring(h, i, 1))
-        return F.when(v <= 57, v - 48).otherwise(v - 87)
-
-    return nib(1) * 16 + nib(2)
+    256-level uniform draw for weighted sampling (same conv decode
+    rationale as :func:`_id_nibble`; value identical to the two-nibble
+    arithmetic the oracles mirror)."""
+    return F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("int")
 
 
 def weighted_sample(
@@ -103,9 +105,7 @@ def stratified_sample(
         F.lit("|"),
         F.col(id_col).cast("string"),
     )
-    ch = F.substring(F.md5(key), 1, 1)
-    v = F.ascii(ch)
-    nib = F.when(v <= 57, v - 48).otherwise(v - 87)
+    nib = F.conv(F.substring(F.md5(key), 1, 1), 16, 10).cast("int")
     return df.filter(nib < sixteenths)
 
 
