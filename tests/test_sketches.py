@@ -129,3 +129,24 @@ def test_cms_unseen_key_small_estimate(spark):
     # N=500, width=256 -> expected collision mass ~2/row; min over 4
     # rows is almost surely <= a few
     assert 0 <= est[0].est_count <= 10
+
+
+def test_cms_weighted_sums(spark):
+    """weight_col switches the sketch to weighted sums (bytes per
+    key): estimates are min-of-counters over SUMS, still one-sided
+    and exact when collision-free."""
+    from kafka_sparkstreaming_sbt_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows = [("a", 10), ("a", 5), ("b", 100), ("c", 1)]
+    df = spark.createDataFrame(rows, ["k", "bytes"])
+    sketch = cms_sketch(df, "k", depth=4, width=256, weight_col="bytes")
+    est = {
+        r.k: r.est_count
+        for r in cms_estimate(
+            sketch, df.select("k").distinct(), "k", depth=4, width=256
+        ).collect()
+    }
+    assert est == {"a": 15, "b": 100, "c": 1}
