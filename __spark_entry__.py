@@ -1332,7 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewed_event_totals": q_skewed_event_totals,
         "latest_event_per_user": q_latest_event_per_user,
         "scd2_user_state": q_scd2_user_state,
-        "gap_filled_daily": q_gap_filled_daily,
+        "purchase_state_pit": q_purchase_state_pit,
         # -- sampling / stats --
         "stratified_sample": q_stratified_sample,
         "split_assignment": q_split_assignment,
@@ -1381,7 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "deterministic_sample": q_deterministic_sample,
         "sample_k_per_source": q_sample_k_per_source,
-        "purchase_state_pit": q_purchase_state_pit,
+        "gap_filled_daily": q_gap_filled_daily,
         "unigram_lm_score": q_unigram_lm_score,
         "weighted_sample": q_weighted_sample,
         "value_outliers": q_value_outliers,
