@@ -49,6 +49,7 @@ def run_spending_pipeline(
     checkpoint_location: str | None = None,
     watermark: str | None = "5 seconds",
     swallow_errors: bool = True,
+    observe_metrics: bool = False,
 ) -> StreamingQuery:
     """Start the streaming query (CSA:141-180 ``writeToPostgres``).
 
@@ -56,7 +57,23 @@ def run_spending_pipeline(
     (customer_id, transaction_date, total_spent) frame) — pass a JDBC
     appender (sources.jdbc.write_jdbc_append) for the reference
     topology or any collector in tests.
+
+    ``observe_metrics=True`` attaches Spark's Observation metrics to
+    the decoded input: every micro-batch's StreamingQueryProgress
+    then carries ``observedMetrics["ingest"]`` with the batch's row
+    count, total amount, and null-timestamp (decode-failure) count —
+    the engine-native replacement for the reference's per-batch
+    ``count()`` log line (CSA:170), which re-executed the batch plan
+    just to log its size; ``observe`` rides the existing pass for
+    free.
     """
+    if observe_metrics:
+        transactions = transactions.observe(
+            "ingest",
+            F.count(F.lit(1)).alias("rows"),
+            F.round(F.sum("amount"), 2).alias("total_amount"),
+            F.count_if(F.col("timestamp").isNull()).alias("null_ts_rows"),
+        )
     windowed = aggregate_transactions(transactions, watermark=watermark)
 
     def _per_batch(batch_df: DataFrame, batch_id: int) -> None:

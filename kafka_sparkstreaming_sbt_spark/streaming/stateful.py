@@ -79,3 +79,76 @@ def running_totals(transactions: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ensure_tws_support() -> None:
+    """Raise with the missing dependency if Spark 4's
+    transformWithState Python runner can't start here (it imports
+    ``google.protobuf`` in the state-server handshake)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "for Spark's Python state server — pip install protobuf "
+            "(applyInPandasWithState's running_totals has no such "
+            "dependency and is the drop-in alternative)"
+        ) from e
+
+
+def running_totals_tws(transactions: DataFrame) -> DataFrame:
+    """Per-customer running spend via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful-processing API (StatefulProcessor +
+    typed state handles), the successor to ``applyInPandasWithState``
+    used by :func:`running_totals`.
+
+    Semantics are identical to :func:`running_totals` (one
+    (total, n) ValueState per customer, updated per micro-batch and
+    emitted in update mode); what changes is the state surface: the
+    processor declares a NAMED, schema'd ValueState through the
+    handle, which is what unlocks Spark 4 state features (TTL, state
+    v2 readers, per-state schemas) without custom tuple packing.
+
+    ENVIRONMENT-GATED like the Kafka/Avro connectors: Spark's
+    transformWithState Python runner speaks protobuf to the JVM, so
+    the ``protobuf`` package must be installed; without it the
+    streaming runner crashes at init, so fail fast with the
+    actionable dependency instead.
+    """
+    ensure_tws_support()
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", RUNNING_TOTAL_STATE
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, n = (
+                self._totals.get() if self._totals.exists() else (0.0, 0)
+            )
+            for pdf in rows:
+                total += float(pdf["amount"].sum())
+                n += len(pdf)
+            self._totals.update((total, n))
+            yield pd.DataFrame(
+                {
+                    "customer_id": [key[0]],
+                    "running_total": [round(total, 2)],
+                    "n_transactions": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return transactions.groupBy("customer_id").transformWithStateInPandas(
+        statefulProcessor=Processor(),
+        outputStructType=RUNNING_TOTAL_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

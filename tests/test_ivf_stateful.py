@@ -179,3 +179,56 @@ def test_kmeans_sizing_uses_metadata_not_a_scan(spark, sf_small):
         sc.setJobGroup(None, None)
     assert jobs == []          # metadata only — zero jobs
     assert n == emb.count()    # and exact for an unfiltered scan
+
+
+def test_running_totals_tws_accumulates_across_batches(spark, stream_dir):
+    """Same state machine through Spark 4's transformWithStateInPandas
+    (StatefulProcessor + named ValueState) — totals must carry across
+    micro-batches exactly like the applyInPandasWithState variant."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs protobuf (gated like Kafka/Avro)",
+    )
+    from kafka_sparkstreaming_sbt_spark.streaming.stateful import (
+        running_totals_tws,
+    )
+
+    _write_batch(
+        stream_dir,
+        "b0",
+        [
+            _txn_json("t1", "7", "2025-03-10T12:01:00Z", 100.0),
+            _txn_json("t2", "7", "2025-03-10T12:02:00Z", 50.0),
+            _txn_json("t3", "8", "2025-03-10T12:03:00Z", 10.0),
+        ],
+    )
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(stream_dir)
+        .select(F.col("value").cast("binary").alias("value"))
+    )
+    out = running_totals_tws(parse_transactions(raw))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals_tws")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(
+            stream_dir, "b1", [_txn_json("t4", "7", "2025-03-10T12:10:00Z", 25.5)]
+        )
+        q.processAllAvailable()
+        latest = {}
+        for r in spark.sql(
+            "SELECT * FROM running_totals_tws ORDER BY n_transactions"
+        ).collect():
+            latest[r.customer_id] = (r.running_total, r.n_transactions)
+        assert latest["7"] == (175.5, 3)
+        assert latest["8"] == (10.0, 1)
+    finally:
+        q.stop()

@@ -599,3 +599,35 @@ def test_streaming_cms_merge_equals_batch(spark, stream_dir):
         (r.row, r.bucket): r.cnt for r in cms_sketch(whole, "key").collect()
     }
     assert dict(merged) == batch_sketch
+
+
+def test_pipeline_observed_metrics(spark, stream_dir):
+    """observe() metrics ride the decode pass: per-batch progress
+    reports rows / total_amount / decode-failure counts without the
+    reference's extra count() job (CSA:170)."""
+    _write_batch(
+        stream_dir,
+        "b0",
+        [
+            _txn_json("o1", "1", "2025-03-10T12:01:00Z", 100.0),
+            _txn_json("o2", "2", "2025-03-10T12:02:00Z", 50.5),
+        ],
+    )
+    txns = parse_transactions(_read_value_stream(spark, stream_dir))
+    seen = []
+    q = run_spending_pipeline(
+        txns,
+        lambda df: df.count(),
+        checkpoint_location=f"{stream_dir}/_ckpt",
+        swallow_errors=False,
+        observe_metrics=True,
+    )
+    try:
+        q.processAllAvailable()
+        for p in q.recentProgress:
+            m = p["observedMetrics"].get("ingest")
+            if m:
+                seen.append((m["rows"], m["total_amount"], m["null_ts_rows"]))
+    finally:
+        q.stop()
+    assert (2, 150.5, 0) in seen
