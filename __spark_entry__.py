@@ -1243,6 +1243,66 @@ def q_purchase_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "state", "version")
 
 
+def q_attribution_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of attribution: the last click counts only
+    within a 6-hour window before the purchase — stale matches null
+    out rather than falling back to an older click (pandas merge_asof
+    tolerance semantics, one shuffle)."""
+    from kafka_sparkstreaming_sbt_spark.operators.asof import asof_join
+
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_ts="click_ts",
+        right_cols=["click_ts"],
+        suffix="",
+        tolerance_seconds=6 * 3600,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("click_ts").alias("recent_click_ts"),
+    )
+
+
+def q_next_event_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase joined to the user's NEXT click at
+    or after it (direction='forward' — the same single-shuffle carry
+    pass over reversed time order)."""
+    from kafka_sparkstreaming_sbt_spark.operators.asof import asof_join
+
+    _utc(spark)
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_ts="click_ts",
+        right_cols=["click_ts"],
+        suffix="",
+        direction="forward",
+    )
+    return j.select(
+        "event_id", "user_id", "ts", F.col("click_ts").alias("next_click_ts")
+    )
+
+
 def q_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-group deterministic sampling: 20 docs per source,
     elected by md5 rank (stratum-salted draw), cut with the
@@ -1382,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q_deterministic_sample,
         "sample_k_per_source": q_sample_k_per_source,
         "gap_filled_daily": q_gap_filled_daily,
+        "attribution_windowed": q_attribution_windowed,
+        "next_event_after_purchase": q_next_event_after_purchase,
         "unigram_lm_score": q_unigram_lm_score,
         "weighted_sample": q_weighted_sample,
         "value_outliers": q_value_outliers,
@@ -1919,6 +1981,39 @@ def oracle_sql() -> dict[str, str]:
                ROUND(p.value, 2) AS value
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        """,
+        "attribution_windowed": """
+        WITH p AS (
+          SELECT user_id, event_id, ts
+          FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+          SELECT user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               CASE WHEN epoch_us(p.ts) - epoch_us(c.click_ts)
+                         <= CAST(21600 AS BIGINT) * 1000000
+                    THEN c.click_ts END AS recent_click_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        """,
+        # DuckDB ASOF is backward-only; the forward oracle is a
+        # per-purchase MIN over qualifying clicks (fine at sf0.01)
+        "next_event_after_purchase": """
+        WITH p AS (
+          SELECT user_id, event_id, ts
+          FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+          SELECT user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT MIN(c.click_ts) FROM c
+                WHERE c.user_id = p.user_id AND c.click_ts >= p.ts)
+                 AS next_click_ts
+        FROM p
         """,
         "repetition_stats": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
