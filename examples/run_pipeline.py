@@ -205,7 +205,10 @@ def main() -> None:
         swallow_errors=not args.strict,
     )
     if args.demo:
-        query.awaitTermination(args.demo_seconds * 1000)
+        # PySpark's awaitTermination takes SECONDS (the Scala API's
+        # variant takes milliseconds — passing seconds*1000 here made
+        # the demo run 1000x longer than asked)
+        query.awaitTermination(args.demo_seconds)
         query.stop()
         spark.stop()
     else:
