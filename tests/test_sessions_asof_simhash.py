@@ -252,3 +252,82 @@ def test_asof_tolerance_and_forward(spark):
         ).collect()
     }
     assert fwd == {"a": "r480", "b": None, "c": "r60"}
+
+
+def test_asof_match_is_atomic_null_payload_stays_null(spark):
+    """merge_asof contract: all payload columns come from the SAME
+    best-matching right row.  A NULL field in the newest match is
+    carried as NULL — never back-filled from an older right row —
+    and with a tolerance the gap is judged against that same row."""
+    import datetime as dt
+
+    from kafka_sparkstreaming_sbt_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame([(1, ts(100), "p")], ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, ts(10), "old", 1.0), (1, ts(95), None, None)],
+        "k long, ts timestamp, label string, score double",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    # newest match (ts=95) has NULL label+score: both stay NULL
+    assert row.label_asof is None and row.score_asof is None
+    # tolerance 10 s: the 95 s match (gap 5 s) is in tolerance even
+    # though its payload is NULL; the old in-tolerance-looking row
+    # (gap 90 s) must NOT leak through
+    row = asof_join(left, right, on="k", tolerance_seconds=10).collect()[0]
+    assert row.label_asof is None and row.score_asof is None
+    # forward direction: no right row at-or-after 100 s — left-join
+    # semantics keep the row with a NULL match
+    row = asof_join(left, right, on="k", direction="forward").collect()[0]
+    assert row.tag == "p" and row.label_asof is None and row.score_asof is None
+
+
+def test_asof_salt_buckets_output_invariant(spark):
+    """salt_buckets must be a pure physical-plan knob: identical
+    output to the unsalted join on a hot key, for both directions
+    and with tolerance."""
+    import datetime as dt
+
+    from kafka_sparkstreaming_sbt_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2025, 3, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=int(sec))
+
+    # one hot key (most rows) + two normal keys; unique ts per key so
+    # the match is deterministic
+    left_rows = [(1, ts(7 * i + 3), f"h{i}") for i in range(200)]
+    left_rows += [(2, ts(50), "a"), (2, ts(9000), "b"), (3, ts(5), "c")]
+    right_rows = [(1, ts(11 * i), float(i)) for i in range(130)]
+    right_rows += [(2, ts(40), 900.0), (3, ts(9999), 901.0)]
+    left = spark.createDataFrame(left_rows, "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, ref double")
+
+    for kwargs in (
+        {},
+        {"direction": "forward"},
+        {"tolerance_seconds": 25},
+        {"direction": "forward", "tolerance_seconds": 25},
+    ):
+        base = {
+            (r.k, r.tag): r.ref_asof
+            for r in asof_join(left, right, on="k", **kwargs).collect()
+        }
+        for n in (2, 8, 64):
+            salted = {
+                (r.k, r.tag): r.ref_asof
+                for r in asof_join(
+                    left, right, on="k", salt_buckets=n, **kwargs
+                ).collect()
+            }
+            assert salted == base, f"salt_buckets={n} kwargs={kwargs}"
+    # degenerate right range (single ts) falls back to unsalted
+    tiny = spark.createDataFrame([(1, ts(3), 7.0)], "k long, ts timestamp, ref double")
+    out = asof_join(left, tiny, on="k", salt_buckets=16).collect()
+    assert all(r.ref_asof == (7.0 if r.k == 1 else None) for r in out)
