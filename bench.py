@@ -94,6 +94,85 @@ def stream_throughput(spark, n_rows: int, n_files: int = 16) -> dict:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def stream_stateful_probe(spark, n_rows: int, n_files: int = 8) -> dict:
+    """Stateful-operator probe + checkpoint recovery (VERDICT r4 #6):
+
+    - wave 1 streams ``n_rows`` transactions through the
+      ``applyInPandasWithState`` running-totals operator (per-customer
+      cross-batch state, Arrow-batched) and reports rows/s — the
+      custom-state analog of the reference pipeline probe above.
+    - wave 2 writes the same volume again and RESTARTS the query on
+      the SAME checkpoint: the reported ``stream_recovery_sec`` is
+      cold-start state-store restore + offset replay + draining the
+      new wave, the latency a real deployment eats on every failover
+      (reference analog: the timed consume loop, IT:119-152).
+    """
+    from kafka_sparkstreaming_sbt_spark.sources.synthetic import (
+        synthetic_transactions_batch,
+    )
+    from kafka_sparkstreaming_sbt_spark.streaming.stateful import (
+        running_totals,
+    )
+
+    src = tempfile.mkdtemp(prefix="bench_state_src_")
+    ckpt = tempfile.mkdtemp(prefix="bench_state_ckpt_")
+    batch = synthetic_transactions_batch(spark, n_rows)
+    out_counts: list[int] = []
+    try:
+        batch.repartition(n_files).write.mode("overwrite").parquet(src)
+
+        def run_wave() -> float:
+            stream = (
+                spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", str(max(1, n_files // 4)))
+                .parquet(src)
+                .select("customer_id", "amount")
+            )
+            q = (
+                running_totals(stream)
+                .writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(
+                    lambda df, _bid: out_counts.append(df.count())
+                )
+                .start()
+            )
+            t0 = time.perf_counter()
+            try:
+                q.processAllAvailable()
+                return time.perf_counter() - t0
+            finally:
+                q.stop()
+
+        wall1 = run_wave()
+        # wave 2: new files + cold restart on the same checkpoint
+        batch.repartition(n_files).write.mode("append").parquet(src)
+        wall2 = run_wave()
+        return {
+            "stream_stateful_rows_per_sec": round(n_rows / wall1, 1),
+            "stream_recovery_sec": round(wall2, 3),
+        }
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def tws_gate_report() -> str:
+    """Machine-visible record of WHY the transformWithStateInPandas
+    path did or didn't execute this round (VERDICT r4 #3): the sandbox
+    lacks protobuf and installs are off-limits, so the per-round bench
+    artifact carries the gate state instead of silently skipping."""
+    from kafka_sparkstreaming_sbt_spark.streaming.stateful import (
+        ensure_tws_support,
+    )
+
+    try:
+        ensure_tws_support()
+    except ImportError:
+        return "gated: protobuf absent"
+    return "available"
+
+
 def ivf_kmeans_recall(spark, sf_dir: str) -> float:
     """Measured recall@10 of the k-means IVF path vs the exact
     brute-force neighbors at this scale factor (VERDICT r2 #7) — the
@@ -146,6 +225,12 @@ def main() -> None:
     stream = stream_throughput(
         spark, int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "200000"))
     )
+    stream.update(
+        stream_stateful_probe(
+            spark, int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "200000"))
+        )
+    )
+    stream["tws_state_api"] = tws_gate_report()
 
     full = {
         "metric": "total_headline_query_wall_sec",
@@ -184,14 +269,23 @@ def main() -> None:
             trial = dict(compact)
             trial["queries"] = {**kept, name: round(sec, 2)}
             trial["queries_omitted"] = len(timings) - len(kept) - 1
-            trial["queries_omitted_sec"] = 999.99
+            # max-width placeholder: the real rolled-up value can be
+            # wider than a 6-char guess once >=1000 s is omitted, and
+            # an oversized final line would lose the round's record
+            trial["queries_omitted_sec"] = 99999999.99
             if len(_line(trial)) > budget:
                 break
             kept[name] = round(sec, 2)
-        omitted = [v for k, v in timings.items() if k not in kept]
-        compact["queries"] = kept
-        compact["queries_omitted"] = len(omitted)
-        compact["queries_omitted_sec"] = round(sum(omitted), 2)
+        # substitute real values, then re-shrink (drop fastest kept
+        # first) in case rounding still nudged the line over budget
+        while True:
+            omitted = [v for k, v in timings.items() if k not in kept]
+            compact["queries"] = kept
+            compact["queries_omitted"] = len(omitted)
+            compact["queries_omitted_sec"] = round(sum(omitted), 2)
+            if len(_line(compact)) <= budget or not kept:
+                break
+            kept.pop(min(kept, key=kept.get))
     line = _line(compact)
     assert len(line) <= budget, f"bench line {len(line)} > {budget}"
     print(line, flush=True)
