@@ -2500,7 +2500,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         hx AS (
           SELECT token, d,
-                 md5(concat(CAST(d AS VARCHAR), '|', token)) AS h
+                 md5(concat(CAST(d AS VARCHAR), '|', COALESCE(token, chr(0)))) AS h
           FROM toks CROSS JOIN range(0, 4) r(d)
         ),
         bk AS (SELECT token, d, ({_sql_hex8('h')}) % 256 AS bucket FROM hx),
@@ -2510,7 +2510,7 @@ def oracle_sql() -> dict[str, str]:
         keys AS (SELECT DISTINCT token FROM toks),
         kh AS (
           SELECT token, d,
-                 md5(concat(CAST(d AS VARCHAR), '|', token)) AS h
+                 md5(concat(CAST(d AS VARCHAR), '|', COALESCE(token, chr(0)))) AS h
           FROM keys CROSS JOIN range(0, 4) r(d)
         ),
         kb AS (SELECT token, d, ({_sql_hex8('h')}) % 256 AS bucket FROM kh),
@@ -2523,8 +2523,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, CAST(est_count AS BIGINT) AS est_count
         FROM est WHERE est_count >= 500
         """,
-        # first-occurrence election on the linearized (doc, chunk)
-        # order key — 16777216 mirrors chunking._CHUNK_ORD
+        # first-occurrence election = lexicographic min over
+        # (doc_id, chunk_index), mirroring the engine's struct-min
+        # (no packed-long range limit)
         "chunk_dedup_docs": """
         WITH t AS (
           SELECT doc_id, string_split_regex(text, '\\s+') AS toks
@@ -2543,13 +2544,12 @@ def oracle_sql() -> dict[str, str]:
           FROM e
         ),
         k AS (SELECT doc_id, chunk_index, chunk_text,
-                     doc_id * 16777216 + chunk_index AS ord FROM c),
-        f AS (SELECT chunk_text, MIN(ord) AS first_ord
-              FROM k GROUP BY chunk_text),
+                     ROW_NUMBER() OVER (
+                       PARTITION BY chunk_text
+                       ORDER BY doc_id, chunk_index
+                     ) AS rn FROM c),
         kept AS (
-          SELECT k.doc_id, k.chunk_index, k.chunk_text
-          FROM k JOIN f
-            ON k.chunk_text = f.chunk_text AND k.ord = f.first_ord
+          SELECT doc_id, chunk_index, chunk_text FROM k WHERE rn = 1
         ),
         reb AS (
           SELECT doc_id,

@@ -68,12 +68,6 @@ def chunk_documents(
     )
 
 
-# doc-order key base for cross-corpus chunk dedup: chunk_index must
-# stay below this for (doc, chunk) order to linearize into one long
-# (2^24 chunks/doc at the default 8-token chunks = 134M tokens/doc)
-_CHUNK_ORD = 1 << 24
-
-
 def drop_duplicate_chunks(
     df: DataFrame,
     chunk_tokens: int = 8,
@@ -106,7 +100,12 @@ def drop_duplicate_chunks(
     chunks = chunk_documents(
         df, chunk_tokens, chunk_tokens, text_col, id_col
     )
-    ordk = F.col(id_col) * _CHUNK_ORD + F.col("chunk_index")
+    # first occurrence = lexicographic struct-min over (doc, chunk):
+    # same partial->final agg shape as a packed long, but with no
+    # range constraint (a packed id*2^24+index key silently corrupts
+    # the election for >=2^24 chunks or negative ids, and overflows
+    # ANSI arithmetic near 2^39 ids)
+    ordk = F.struct(F.col(id_col), F.col("chunk_index"))
     keyed = chunks.select(
         id_col, "chunk_index", "chunk_text", ordk.alias("_ord")
     )

@@ -43,8 +43,13 @@ def _bucket(key: F.Column, row: int, width: int) -> F.Column:
     """Row ``row``'s counter index for ``key``: the first 8 hex chars
     of ``md5(row || '|' || key)`` as an unsigned 32-bit int, mod
     ``width``.  ``conv`` parses <= 8 hex chars into [0, 2^32) so the
-    long cast is ANSI-safe."""
-    h = F.md5(F.concat_ws("|", F.lit(str(row)), key.cast("string")))
+    long cast is ANSI-safe.  A NULL key is coalesced to an explicit
+    NUL-char sentinel BEFORE hashing — ``concat_ws`` would otherwise
+    silently skip the NULL argument and hash the row salt alone,
+    bucketing NULLs differently from any engine whose concat keeps a
+    placeholder (the DuckDB oracle mirrors the same COALESCE)."""
+    k = F.coalesce(key.cast("string"), F.lit("\x00"))
+    h = F.md5(F.concat_ws("|", F.lit(str(row)), k))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
 
 
@@ -119,11 +124,10 @@ def cms_estimate(
     # join where forcing the broadcast is always safe (cf. the
     # data-dependent candidate sets in dedup_fuzzy, where it is not)
     joined = kb.join(F.broadcast(sketch), ["row", "bucket"], "left")
-    return kb.select(key_col).distinct().join(
-        joined.groupBy(key_col).agg(
-            F.min(F.coalesce("cnt", F.lit(0))).alias("est_count")
-        ),
-        key_col,
+    # groupBy alone yields exactly one row per distinct key — and,
+    # unlike a join back on the key, it keeps a NULL key's group
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).alias("est_count")
     )
 
 

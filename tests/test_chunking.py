@@ -140,3 +140,24 @@ def test_drop_duplicate_chunks_keeps_first_occurrence(spark):
     assert out[3].n_dropped == 0
     total_chunks = sum(r.n_chunks for r in out.values())
     assert total_chunks == 4  # doc1: 2 chunks, doc2: 1, doc3: 1
+
+
+def test_drop_duplicate_chunks_negative_ids(spark):
+    """First-occurrence election is a struct-min over (doc_id,
+    chunk_index) — negative ids order correctly and there is no
+    packed-long range limit to overflow."""
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        drop_duplicate_chunks,
+    )
+
+    span = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(-5, span), (7, span), (1 << 40, span)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in drop_duplicate_chunks(docs, chunk_tokens=8).collect()
+    }
+    assert out[-5].clean_text == span and out[-5].n_dropped == 0
+    assert out[7].clean_text == "" and out[7].n_dropped == 1
+    assert out[1 << 40].clean_text == "" and out[1 << 40].n_dropped == 1

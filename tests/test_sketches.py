@@ -150,3 +150,31 @@ def test_cms_weighted_sums(spark):
         ).collect()
     }
     assert est == {"a": 15, "b": 100, "c": 1}
+
+
+def test_cms_null_keys_survive_and_bucket_deterministically(spark):
+    """NULL keys hash through an explicit sentinel (concat_ws would
+    silently drop the NULL and hash the row salt alone) and are NOT
+    dropped by cms_estimate's key aggregation."""
+    from kafka_sparkstreaming_sbt_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows = [("a",)] * 5 + [(None,)] * 3
+    df = spark.createDataFrame(rows, "k string")
+    sketch = cms_sketch(df, "k", depth=4, width=256)
+    est = {
+        r.k: r.est_count
+        for r in cms_estimate(sketch, df.select("k").distinct(), "k").collect()
+    }
+    assert est["a"] >= 5
+    assert None in est and est[None] >= 3
+    # sentinel != the empty string's buckets: '' and NULL may not share
+    # all depth buckets by construction of distinct hash inputs
+    df2 = spark.createDataFrame([("",)] * 3, "k string")
+    s2 = cms_sketch(df2, "k", depth=4, width=256)
+    b_null = {(r.row, r.bucket) for r in cms_sketch(
+        spark.createDataFrame([(None,)], "k string"), "k").collect()}
+    b_empty = {(r.row, r.bucket) for r in s2.collect()}
+    assert b_null != b_empty
