@@ -193,6 +193,13 @@ def lsh_near_pairs(
         parallelize_for_compute(df), dim, n_bits, seed, vec_col
     ).withColumn("norm", _norm(F.col(vec_col)))
     b = cap_hot_buckets(b, "bucket", max_bucket_size)
+    # b feeds BOTH sides of the self-join below, and Catalyst does
+    # NOT canonicalize the two differently-aliased projections into
+    # one ReusedExchange (verified on the executed plan) — without a
+    # materialization the n_bits-dot-products-per-row bucket
+    # computation would execute twice.  Same dual-consumer policy as
+    # incremental_near_dup's candidate checkpoint.
+    b = b.localCheckpoint(eager=True)
     left = b.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
@@ -265,10 +272,15 @@ def _metadata_row_count(df: DataFrame) -> int | None:
     For a FILTERED parquet scan the footer total is the pre-filter
     count (an upper bound) — fine for sizing decisions like
     ``n_cells ~ sqrt(N)``, wrong for exact cardinality needs."""
-    stats = df._jdf.queryExecution().optimizedPlan().stats()
-    rc = stats.rowCount()
-    if rc.isDefined():
-        return int(str(rc.get()))
+    try:
+        # private JVM API — a Spark minor-version change must degrade
+        # to the footer path / scan fallback, not error opaquely
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:  # noqa: BLE001 — fall through to parquet footers
+        pass
     try:
         files = df.inputFiles()  # driver-side listing, no job
     except Exception:  # noqa: BLE001 — e.g. plans with no file relation

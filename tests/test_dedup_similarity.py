@@ -228,3 +228,19 @@ def test_lsh_near_pairs_hot_bucket_cap(spark, sf_small):
         ).collect()
     }
     assert capped <= uncapped
+
+
+def test_metadata_row_count_survives_private_api_breakage(spark, monkeypatch):
+    """_metadata_row_count reaches into the private _jdf stats API;
+    if a Spark upgrade breaks it, sizing must degrade to the footer
+    path / None fallback instead of raising an opaque Py4J error."""
+    from kafka_sparkstreaming_sbt_spark.operators import similarity as sim
+
+    df = spark.createDataFrame([(1,)], "x long")
+
+    class Boom:
+        def __getattr__(self, name):
+            raise RuntimeError("private API gone")
+
+    monkeypatch.setattr(df, "_jdf", Boom(), raising=False)
+    assert sim._metadata_row_count(df) is None

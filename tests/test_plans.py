@@ -269,3 +269,20 @@ def test_session_window_partial_agg_and_pruning(spark, sf_small):
     assert "props" not in scan and "event_type" not in scan
     # session windows shuffle once on the grouping key
     assert plan.count("Exchange") == 1
+
+
+def test_lsh_near_pairs_bucket_table_computed_once(spark, sf_small):
+    """The bucketed table feeds both sides of the self-join; Catalyst
+    does NOT fold the two aliased projections into a ReusedExchange
+    (verified empirically), so lsh_near_pairs materializes it — both
+    join sides must read the checkpointed RDD, not recompute the
+    n_bits dot products."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        lsh_near_pairs,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    out = lsh_near_pairs(emb, dim=8, threshold=0.8, n_bits=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ExistingRDD") >= 2, plan
