@@ -260,3 +260,31 @@ def test_metadata_stats_prune_payload(spark, tmp_path):
     rows = {r.kind: r for r in stats.collect()}
     assert set(rows) == {"image", "video"}
     assert rows["video"].total_frames == rows["video"].n_items * 3
+
+
+def test_decode_paletted_bmp_clrused_zero_defaults_256():
+    """biClrUsed=0 means a FULL 256-entry palette per the BMP spec —
+    the decoder must skip all 1024 palette bytes to find the raster,
+    and high indices (>=128) must resolve; closed-form BT.601 luma."""
+    import struct as _s
+
+    # 256 entries: entry i is BGR=(i, 255-i, i//2) -> luma per _luma()
+    palette = b"".join(bytes((i, 255 - i, i // 2, 0)) for i in range(256))
+    # 3x1 image, indices 0 / 200 / 255; 3px row pads to 4 bytes
+    raster = bytes((0, 200, 255, 0))
+    pixel_offset = 14 + 40 + len(palette)
+    payload = (
+        b"BM"
+        + _s.pack("<IHHI", pixel_offset + len(raster), 0, 0, pixel_offset)
+        + _s.pack("<IiiHHIIiiII", 40, 3, 1, 1, 8, 0, len(raster), 0, 0, 0, 0)
+        + palette
+        + raster
+    )
+
+    def luma(i):
+        r, g, b = i // 2, 255 - i, i
+        return (299 * r + 587 * g + 114 * b) // 1000
+
+    w, h, nf, body = _decode_payload(payload)
+    assert (w, h, nf) == (3, 1, 1)
+    assert list(body) == [luma(0), luma(200), luma(255)]
