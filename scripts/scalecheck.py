@@ -1,0 +1,747 @@
+"""Scale-stress harness (VERDICT r4 #1): run the dedup chain and the
+skewed aggregation on an ADVERSARIAL corpus 10x and 100x the size of
+sf0.1, and turn "survives 100 TB" from plan-reading into measured
+evidence:
+
+- near-linear wall-time: each audited pipeline's wall at 100x must be
+  <= LINEAR_HEADROOM x (10x wall x 10),
+- no stragglers: in every heavy stage (>= MIN_TASKS tasks, median
+  task >= MIN_MEDIAN_MS), max task time <= STRAGGLER_RATIO x median
+  (read from the Spark UI REST task summaries),
+- the hot-bucket cap holds: the boilerplate cluster's uncapped LSH
+  candidate count grows ~quadratically while the capped pipeline's
+  candidate count and wall stay ~linear, and (checked once) capping
+  drops NO true near-dup pair on this corpus,
+- salting is result-invariant: ``salted_sum`` totals equal the plain
+  groupBy totals on a 30%-hot-key event table.
+
+Adversarial corpus (deterministic — every token is a Catalyst
+``xxhash64`` of (seed, id, position), so any run regenerates the same
+bytes; no Python in the data path):
+
+- 25% CLONE docs: clusters of 3 sharing a 30-token body with one
+  mutated token per variant (pairwise 3-shingle Jaccard ~ 0.65, above
+  the 0.5 threshold) — the true near-dup load for MinHash -> CC ->
+  canonical election;
+- 20% BOILERPLATE docs: a shared 20-token header + a unique 30-token
+  body (pairwise Jaccard ~ 0.24, below threshold) — the classic
+  shared-template shape that makes one LSH bucket per band collect
+  ~20% of the header docs and degenerate the candidate join to N^2
+  unless ``cap_hot_buckets`` drops it;
+- 55% UNIQUE docs: 30 unique tokens each (the bulk that must flow
+  through un-paired);
+- events: 30% of rows on ONE hot key, the rest spread over 100K keys
+  (the final-reducer-straggler shape ``salted_sum`` exists for).
+
+Usage:
+    python scripts/scalecheck.py [--doc-scales 50000,500000]
+        [--event-scales 1000000,10000000] [--out SCALECHECK.md]
+        [--skip-uncapped]
+
+Writes the markdown report (tables + pass/fail per assertion) to
+--out and exits non-zero if any assertion fails.  Scratch parquet
+lives under a tempdir and is removed on exit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (  # noqa: E402
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    with_shingles,
+)
+from kafka_sparkstreaming_sbt_spark.operators.graph import (  # noqa: E402
+    select_canonical,
+)
+from kafka_sparkstreaming_sbt_spark.operators.skew import (  # noqa: E402
+    salted_sum,
+)
+from kafka_sparkstreaming_sbt_spark.plans import (  # noqa: E402
+    parallelize_for_compute,
+)
+from kafka_sparkstreaming_sbt_spark.session import get_spark  # noqa: E402
+
+LINEAR_HEADROOM = 2.0  # allowed superlinear factor over perfect 10x
+STRAGGLER_RATIO = 10.0  # max task <= this x median task
+MIN_TASKS = 8  # only audit stages with real parallelism
+MIN_MEDIAN_MS = 200  # ignore trivial stages (scheduling noise)
+VOCAB = 1_000_000  # token vocabulary size
+
+CLONE_FRAC_NUM, CLONE_FRAC_DEN = 1, 4  # 25% clone docs (clusters of 3)
+BOILER_FRAC_NUM, BOILER_FRAC_DEN = 1, 5  # 20% boilerplate docs
+BODY_TOKENS = 30
+HEADER_TOKENS = 20
+
+
+def _tok(*hash_args) -> F.Column:
+    """Deterministic pseudo-random vocabulary token."""
+    return F.concat(
+        F.lit("w"), F.pmod(F.xxhash64(*hash_args), F.lit(VOCAB))
+    )
+
+
+def synth_documents(spark: SparkSession, n_docs: int) -> DataFrame:
+    """Adversarial document table (doc_id, text, n_chars); see module
+    docstring for the clone/boilerplate/unique layout."""
+    n_clone = n_docs * CLONE_FRAC_NUM // CLONE_FRAC_DEN
+    n_boiler = n_docs * BOILER_FRAC_NUM // BOILER_FRAC_DEN
+    df = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    doc_id = F.col("doc_id")
+    is_clone = doc_id < n_clone
+    is_boiler = (doc_id >= n_clone) & (doc_id < n_clone + n_boiler)
+    cluster_id = (doc_id / 3).cast("long")
+    variant = doc_id % 3
+    # one mutated token per clone variant, at a variant-specific
+    # position, so any two variants differ at exactly 2 of 30 tokens
+    mut_pos = variant * 7
+    body = F.transform(
+        F.sequence(F.lit(0), F.lit(BODY_TOKENS - 1)),
+        lambda j: F.when(
+            is_clone,
+            F.when(j == mut_pos, _tok(F.lit("mut"), doc_id)).otherwise(
+                _tok(F.lit("c"), cluster_id, j)
+            ),
+        )
+        .when(is_boiler, _tok(F.lit("b"), doc_id, j))
+        .otherwise(_tok(F.lit("u"), doc_id, j)),
+    )
+    header = F.array(
+        *[F.lit(f"hdr{i}") for i in range(HEADER_TOKENS)]
+    )
+    text = F.when(
+        is_boiler, F.concat_ws(" ", F.concat(header, body))
+    ).otherwise(F.concat_ws(" ", body))
+    return df.select(
+        "doc_id",
+        text.alias("text"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def synth_events(spark: SparkSession, n_events: int) -> DataFrame:
+    """Skewed event table: user 0 owns 30% of all rows."""
+    df = spark.range(n_events).withColumnRenamed("id", "event_id")
+    eid = F.col("event_id")
+    user = F.when(eid % 10 < 3, F.lit(0)).otherwise(
+        F.pmod(F.xxhash64(F.lit("usr"), eid), F.lit(100_000)) + 1
+    )
+    return df.select(
+        "event_id",
+        user.alias("user_id"),
+        (F.pmod(F.xxhash64(F.lit("val"), eid), F.lit(1000)) / 100.0).alias(
+            "value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- metrics
+
+
+def _api(spark: SparkSession, path: str):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}{path}"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.load(r)
+
+
+def _max_stage_id(spark: SparkSession) -> int:
+    try:
+        stages = _api(spark, "/stages")
+        return max((s["stageId"] for s in stages), default=-1)
+    except Exception:
+        return -1
+
+
+def straggler_audit(spark: SparkSession, since_stage: int) -> list[dict]:
+    """max/median task-duration ratio for the heaviest completed
+    stages after ``since_stage`` (Spark UI REST taskSummary)."""
+    try:
+        stages = _api(spark, "/stages?status=complete")
+    except Exception as e:  # UI off or API shape drift: report, don't die
+        return [{"error": f"stage API unavailable: {e}"}]
+    heavy = [
+        s
+        for s in stages
+        if s["stageId"] > since_stage
+        and s.get("numCompleteTasks", 0) >= MIN_TASKS
+    ]
+    heavy.sort(key=lambda s: -s.get("executorRunTime", 0))
+    out = []
+    for s in heavy[:8]:
+        try:
+            ts = _api(
+                spark,
+                f"/stages/{s['stageId']}/{s['attemptId']}/taskSummary"
+                "?quantiles=0.0,0.5,1.0",
+            )
+        except Exception:
+            continue
+        dur = ts.get("executorRunTime") or ts.get("duration")
+        if not dur or len(dur) != 3:
+            continue
+        _mn, med, mx = dur
+        if med < MIN_MEDIAN_MS:
+            continue
+        out.append(
+            {
+                "stage": s["stageId"],
+                "tasks": s["numCompleteTasks"],
+                "median_ms": round(med, 1),
+                "max_ms": round(mx, 1),
+                "ratio": round(mx / max(med, 1e-9), 2),
+                "name": (s.get("name") or "")[:60],
+            }
+        )
+    return out
+
+
+def timed_noop(df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def timed_parquet(df: DataFrame, path: str) -> float:
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").parquet(path)
+    return time.perf_counter() - t0
+
+
+def bucket_profile(spark: SparkSession, docs: DataFrame) -> dict:
+    """LSH bucket-size distribution BEFORE capping: the uncapped
+    candidate-pair count sum(n*(n-1)/2) is computed from bucket sizes
+    alone (one agg — no quadratic join is ever executed)."""
+    sh = with_shingles(parallelize_for_compute(docs), "text", 3).select(
+        "doc_id", "shingles"
+    )
+    sigs = minhash_signatures(sh, 8).select(
+        F.xxhash64("band", "sig").alias("bs")
+    )
+    row = (
+        sigs.groupBy("bs")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.max("n").alias("max_bucket"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias(
+                "uncapped_candidates"
+            ),
+            F.sum(
+                F.when(
+                    F.col("n") > 50, F.col("n") * (F.col("n") - 1) / 2
+                ).otherwise(0)
+            ).alias("candidates_in_hot_buckets"),
+        )
+        .collect()[0]
+    )
+    return {
+        "max_bucket": row["max_bucket"],
+        "uncapped_candidates": int(row["uncapped_candidates"]),
+        "candidates_in_hot_buckets": int(row["candidates_in_hot_buckets"]),
+    }
+
+
+# ---------------------------------------------------------------- phases
+
+
+def run_doc_scale(
+    spark: SparkSession, n_docs: int, scratch: str, audits: list
+) -> dict:
+    d = {"n_docs": n_docs}
+    doc_path = f"{scratch}/docs_{n_docs}"
+    pair_path = f"{scratch}/pairs_{n_docs}"
+    synth_documents(spark, n_docs).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(doc_path)
+    docs = spark.read.parquet(doc_path)
+    d["profile"] = bucket_profile(spark, docs)
+
+    since = _max_stage_id(spark)
+    t0 = time.perf_counter()
+    pairs = minhash_near_dup_pairs(
+        docs, shingle_n=3, n_bands=8, threshold=0.5, max_bucket_size=50
+    )
+    pairs.write.mode("overwrite").parquet(pair_path)
+    d["pairs_wall_s"] = round(time.perf_counter() - t0, 2)
+    audits.append(
+        (f"minhash pairs @ {n_docs}", straggler_audit(spark, since))
+    )
+    pairs_pq = spark.read.parquet(pair_path)
+    d["n_pairs"] = pairs_pq.count()
+
+    since = _max_stage_id(spark)
+    t0 = time.perf_counter()
+    canon = select_canonical(
+        docs, pairs_pq.select("doc_a", "doc_b"), score_col="n_chars"
+    )
+    canon.write.format("noop").mode("overwrite").save()
+    d["canonical_wall_s"] = round(time.perf_counter() - t0, 2)
+    audits.append(
+        (f"CC + canonical @ {n_docs}", straggler_audit(spark, since))
+    )
+
+    # recall on the KNOWN clone clusters: every cluster of 3 should
+    # contribute its 3 intra-cluster pairs (J ~ 0.65 >= 0.5), and the
+    # hot-bucket cap must not have eaten them
+    n_clone = n_docs * CLONE_FRAC_NUM // CLONE_FRAC_DEN
+    expected = (
+        # full clusters of 3 contribute 3 pairs; a trailing partial
+        # cluster of 2 contributes 1
+        (n_clone // 3) * 3
+        + (1 if n_clone % 3 == 2 else 0)
+    )
+    found = pairs_pq.filter(
+        (F.col("doc_a") < n_clone)
+        & (F.col("doc_b") < n_clone)
+        & ((F.col("doc_a") / 3).cast("long") == (F.col("doc_b") / 3).cast("long"))
+    ).count()
+    d["clone_pairs_expected"] = expected
+    d["clone_pairs_found"] = found
+    d["clone_recall"] = round(found / max(expected, 1), 4)
+    # false positives: pairs not inside a clone cluster (boilerplate
+    # docs share only the header, J ~ 0.24 — none should pass 0.5)
+    d["non_clone_pairs"] = d["n_pairs"] - found
+    return d
+
+
+def run_uncapped_equivalence(
+    spark: SparkSession, n_docs: int, scratch: str
+) -> dict:
+    """Run the SAME corpus uncapped once (small scale only) and check
+    the capped result is identical — on this corpus the hot buckets
+    hold only false candidates, so capping must cost zero recall."""
+    docs = spark.read.parquet(f"{scratch}/docs_{n_docs}")
+    t0 = time.perf_counter()
+    uncapped = minhash_near_dup_pairs(
+        docs, shingle_n=3, n_bands=8, threshold=0.5, max_bucket_size=None
+    )
+    n_uncapped = uncapped.count()
+    wall = time.perf_counter() - t0
+    capped = spark.read.parquet(f"{scratch}/pairs_{n_docs}")
+    diff = (
+        uncapped.select("doc_a", "doc_b")
+        .exceptAll(capped.select("doc_a", "doc_b"))
+        .count()
+    )
+    return {
+        "n_docs": n_docs,
+        "uncapped_wall_s": round(wall, 2),
+        "uncapped_pairs": n_uncapped,
+        "capped_pairs": capped.count(),
+        "pairs_lost_by_cap": diff,
+    }
+
+
+def run_asof_hot_key(
+    spark: SparkSession, n_rows: int, scratch: str
+) -> dict:
+    """As-of join under extreme key skew: ONE key owns 50% of both
+    sides, so the unsalted per-key window sort runs in a single task.
+    Measures unsalted vs ``salt_buckets=32`` wall and per-run
+    straggler ratio, and checks the outputs are identical — the
+    evidence behind asof.py's salting claim."""
+    from kafka_sparkstreaming_sbt_spark.operators.asof import asof_join
+
+    def gen(side: str) -> DataFrame:
+        df = spark.range(n_rows).withColumnRenamed("id", "rid")
+        rid = F.col("rid")
+        user = F.when(rid % 2 == 0, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.lit(side), rid), F.lit(10_000)) + 1
+        )
+        # RIGHT timestamps must be UNIQUE per key: two right rows at
+        # the same (key, ts) would let the window's last() tie-break
+        # differently between the salted and unsalted plans and fake
+        # a mismatch.  A full-day stride keeps them unique AND spread
+        # over the same day the left side's hash jitter covers (so
+        # the salt's time buckets stay balanced); the left side keeps
+        # jitter (left ties are independent per row).
+        if side == "r":
+            off = rid * (86_400_000_000 // n_rows)
+        else:
+            off = F.pmod(
+                F.xxhash64(F.lit("t" + side), rid), F.lit(86_400_000_000)
+            )
+        ts = F.timestamp_micros(F.lit(1_700_000_000_000_000) + off)
+        return df.select(
+            rid.alias(f"{side}_id"),
+            user.alias("user_id"),
+            ts.alias("ts"),
+            (F.pmod(F.xxhash64(F.lit("v"), rid), F.lit(1000)) / 100.0).alias(
+                "val"
+            ),
+        )
+
+    lp, rp = f"{scratch}/asof_l", f"{scratch}/asof_r"
+    gen("l").repartition(32).write.mode("overwrite").parquet(lp)
+    gen("r").drop("r_id").repartition(32).write.mode("overwrite").parquet(rp)
+    left, right = spark.read.parquet(lp), spark.read.parquet(rp)
+
+    d = {"n_rows_per_side": n_rows}
+    runs = {}
+    for label, salt in (("unsalted", None), ("salted", 32)):
+        since = _max_stage_id(spark)
+        out = asof_join(
+            left, right, on="user_id", right_cols=["val"],
+            salt_buckets=salt,
+        )
+        d[f"{label}_wall_s"] = round(timed_noop(out), 2)
+        audit = straggler_audit(spark, since)
+        d[f"{label}_worst_ratio"] = max(
+            (s["ratio"] for s in audit if "ratio" in s), default=None
+        )
+        runs[label] = out
+    mism = (
+        runs["unsalted"]
+        .select("l_id", "val_asof")
+        .exceptAll(runs["salted"].select("l_id", "val_asof"))
+        .count()
+    )
+    d["mismatches"] = mism
+    return d
+
+
+def run_event_scale(
+    spark: SparkSession, n_events: int, scratch: str, audits: list
+) -> dict:
+    d = {"n_events": n_events}
+    path = f"{scratch}/events_{n_events}"
+    synth_events(spark, n_events).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(path)
+    events = spark.read.parquet(path)
+
+    since = _max_stage_id(spark)
+    salted = salted_sum(
+        events, ["user_id"], "value", buckets=32, salt_on="event_id"
+    )
+    d["salted_wall_s"] = round(timed_noop(salted), 2)
+    audits.append(
+        (f"salted_sum @ {n_events}", straggler_audit(spark, since))
+    )
+    plain = events.groupBy("user_id").agg(
+        F.sum("value").alias("sum_value")
+    )
+    d["plain_wall_s"] = round(timed_noop(plain), 2)
+    # result invariance: identical keys, totals within float tolerance
+    joined = salted.alias("s").join(plain.alias("p"), "user_id", "full")
+    bad = joined.filter(
+        F.col("s.sum_value").isNull()
+        | F.col("p.sum_value").isNull()
+        | (
+            F.abs(F.col("s.sum_value") - F.col("p.sum_value"))
+            > 1e-6 * F.abs(F.col("p.sum_value"))
+        )
+    ).count()
+    d["salt_mismatches"] = bad
+    return d
+
+
+# ---------------------------------------------------------------- report
+
+
+def scaling_row(name: str, small: float, big: float, factor: int) -> dict:
+    ratio = big / max(small, 1e-9)
+    limit = factor * LINEAR_HEADROOM
+    return {
+        "pipeline": name,
+        "wall_small_s": small,
+        "wall_big_s": big,
+        "ratio": round(ratio, 2),
+        "limit": limit,
+        "ok": ratio <= limit,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--doc-scales", default="50000,500000")
+    ap.add_argument("--event-scales", default="1000000,10000000")
+    ap.add_argument("--asof-rows", type=int, default=3_000_000)
+    ap.add_argument("--out", default=str(REPO / "SCALECHECK.md"))
+    ap.add_argument("--skip-uncapped", action="store_true")
+    args = ap.parse_args()
+    doc_scales = [int(x) for x in args.doc_scales.split(",")]
+    event_scales = [int(x) for x in args.event_scales.split(",")]
+
+    scratch = tempfile.mkdtemp(prefix="scalecheck_")
+    spark = get_spark(
+        "scalecheck", extra_conf={"spark.ui.enabled": "true"}
+    )
+    audits: list = []
+    try:
+        t_total = time.perf_counter()
+        doc_results = [
+            run_doc_scale(spark, n, scratch, audits) for n in doc_scales
+        ]
+        uncapped = (
+            None
+            if args.skip_uncapped
+            else run_uncapped_equivalence(spark, doc_scales[0], scratch)
+        )
+        event_results = [
+            run_event_scale(spark, n, scratch, audits)
+            for n in event_scales
+        ]
+        asof_result = (
+            run_asof_hot_key(spark, args.asof_rows, scratch)
+            if args.asof_rows
+            else None
+        )
+        total_wall = round(time.perf_counter() - t_total, 1)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    doc_factor = doc_scales[-1] // doc_scales[0]
+    ev_factor = event_scales[-1] // event_scales[0]
+    small, big = doc_results[0], doc_results[-1]
+    ev_small, ev_big = event_results[0], event_results[-1]
+    scaling = [
+        scaling_row(
+            "minhash_near_dup (capped)",
+            small["pairs_wall_s"],
+            big["pairs_wall_s"],
+            doc_factor,
+        ),
+        scaling_row(
+            "CC + select_canonical",
+            small["canonical_wall_s"],
+            big["canonical_wall_s"],
+            doc_factor,
+        ),
+        scaling_row(
+            "salted_sum",
+            ev_small["salted_wall_s"],
+            ev_big["salted_wall_s"],
+            ev_factor,
+        ),
+    ]
+
+    checks = [
+        *[
+            (
+                f"near-linear: {s['pipeline']} {s['ratio']}x at "
+                f"{doc_factor if 'salted' not in s['pipeline'] else ev_factor}"
+                f"x data (limit {s['limit']}x)",
+                s["ok"],
+            )
+            for s in scaling
+        ],
+        *[
+            (
+                f"clone recall @ {d['n_docs']}: {d['clone_recall']}",
+                d["clone_recall"] >= 0.95,
+            )
+            for d in doc_results
+        ],
+        *[
+            (
+                f"no false-positive pairs @ {d['n_docs']} "
+                f"({d['non_clone_pairs']})",
+                d["non_clone_pairs"] == 0,
+            )
+            for d in doc_results
+        ],
+        (
+            "salt invariance: 0 mismatching totals",
+            all(e["salt_mismatches"] == 0 for e in event_results),
+        ),
+    ]
+    if uncapped is not None:
+        checks.append(
+            (
+                f"cap loses no true pair (uncapped diff = "
+                f"{uncapped['pairs_lost_by_cap']})",
+                uncapped["pairs_lost_by_cap"] == 0,
+            )
+        )
+    if asof_result is not None:
+        checks.append(
+            (
+                "asof salting: salted == unsalted "
+                f"({asof_result['mismatches']} mismatches)",
+                asof_result["mismatches"] == 0,
+            )
+        )
+        sr = asof_result.get("salted_worst_ratio")
+        checks.append(
+            (
+                f"asof salting kills the hot-key straggler (salted "
+                f"worst max/median {sr}x vs unsalted "
+                f"{asof_result.get('unsalted_worst_ratio')}x)",
+                sr is not None and sr <= STRAGGLER_RATIO,
+            )
+        )
+    straggler_rows = []
+    for label, stages in audits:
+        for s in stages:
+            if "error" in s:
+                straggler_rows.append((label, s, None))
+            else:
+                straggler_rows.append(
+                    (label, s, s["ratio"] <= STRAGGLER_RATIO)
+                )
+    audited = [ok for _, _, ok in straggler_rows if ok is not None]
+    checks.append(
+        (
+            f"no straggler task >{STRAGGLER_RATIO:.0f}x median in "
+            f"{len(audited)} audited heavy stages",
+            bool(audited) and all(audited),
+        )
+    )
+
+    ok_all = all(ok for _, ok in checks)
+    lines = [
+        "# SCALECHECK — adversarial scale-stress (VERDICT r4 #1)",
+        "",
+        f"Generated by `scripts/scalecheck.py` on local[32]; total "
+        f"harness wall {total_wall}s.  Corpus: deterministic "
+        f"adversarial documents (25% true-clone clusters of 3 at "
+        f"J~0.65, 20% boilerplate sharing a {HEADER_TOKENS}-token "
+        f"header at J~0.24, 55% unique) and events with one key "
+        f"holding 30% of rows.  Scales: {doc_scales[0]:,} -> "
+        f"{doc_scales[-1]:,} docs ({doc_scales[0]//5000}x / "
+        f"{doc_scales[-1]//5000}x sf0.1) and {event_scales[0]:,} -> "
+        f"{event_scales[-1]:,} events.",
+        "",
+        f"**Overall: {'PASS' if ok_all else 'FAIL'}**",
+        "",
+        "## Assertions",
+        "",
+        "| check | result |",
+        "| --- | --- |",
+        *[
+            f"| {name} | {'PASS' if ok else 'FAIL'} |"
+            for name, ok in checks
+        ],
+        "",
+        "## Wall-time scaling",
+        "",
+        "| pipeline | wall @ small (s) | wall @ big (s) | measured "
+        "ratio | linear x headroom limit |",
+        "| --- | --- | --- | --- | --- |",
+        *[
+            f"| {s['pipeline']} | {s['wall_small_s']} | "
+            f"{s['wall_big_s']} | {s['ratio']}x | {s['limit']}x |"
+            for s in scaling
+        ],
+        "",
+        "## Hot-bucket adversary",
+        "",
+        "Uncapped LSH candidate counts are computed from bucket sizes"
+        " (sum n*(n-1)/2) — the quadratic join is never executed:",
+        "",
+        "| n_docs | max bucket | uncapped candidates | in hot (>50) "
+        "buckets | pairs found | clone recall |",
+        "| --- | --- | --- | --- | --- | --- |",
+        *[
+            f"| {d['n_docs']:,} | {d['profile']['max_bucket']:,} | "
+            f"{d['profile']['uncapped_candidates']:,} | "
+            f"{d['profile']['candidates_in_hot_buckets']:,} | "
+            f"{d['n_pairs']:,} | {d['clone_recall']} |"
+            for d in doc_results
+        ],
+    ]
+    if uncapped is not None:
+        lines += [
+            "",
+            f"Uncapped-vs-capped equivalence at {uncapped['n_docs']:,} "
+            f"docs: uncapped run walked {uncapped['uncapped_pairs']:,} "
+            f"verified pairs in {uncapped['uncapped_wall_s']}s vs the "
+            f"capped run's {uncapped['capped_pairs']:,}; pairs lost to "
+            f"the cap: **{uncapped['pairs_lost_by_cap']}** (hot "
+            "buckets on this corpus hold only false candidates, so "
+            "capping costs zero recall while deleting the quadratic).",
+        ]
+    lines += [
+        "",
+        "## Skewed aggregation",
+        "",
+        "| n_events | salted_sum (s) | plain groupBy (s) | total "
+        "mismatches |",
+        "| --- | --- | --- | --- |",
+        *[
+            f"| {e['n_events']:,} | {e['salted_wall_s']} | "
+            f"{e['plain_wall_s']} | {e['salt_mismatches']} |"
+            for e in event_results
+        ],
+    ]
+    if asof_result is not None:
+        lines += [
+            "",
+            "## As-of join under extreme key skew",
+            "",
+            f"{asof_result['n_rows_per_side']:,} rows per side, ONE "
+            "key holding 50% of both — the unsalted per-key window "
+            "sort is a single-task straggler by construction; "
+            "`salt_buckets=32` splits the hot key's timeline into 32 "
+            "independently-sorted time buckets with pre-aggregated "
+            "carry-in boundaries (byte-identical output):",
+            "",
+            "| variant | wall (s) | worst stage max/median |",
+            "| --- | --- | --- |",
+            f"| unsalted | {asof_result['unsalted_wall_s']} | "
+            f"{asof_result['unsalted_worst_ratio']}x |",
+            f"| salt_buckets=32 | {asof_result['salted_wall_s']} | "
+            f"{asof_result['salted_worst_ratio']}x |",
+            "",
+            f"Output mismatches: {asof_result['mismatches']}.",
+        ]
+    lines += [
+        "",
+        "## Straggler audit (heaviest stages, Spark UI taskSummary)",
+        "",
+        "| phase | stage | tasks | median task (ms) | max task (ms) |"
+        " max/median |",
+        "| --- | --- | --- | --- | --- | --- |",
+    ]
+    for label, s, ok in straggler_rows:
+        if "error" in s:
+            lines.append(f"| {label} | - | - | - | - | {s['error']} |")
+        else:
+            flag = "" if ok else " **FAIL**"
+            lines.append(
+                f"| {label} | {s['stage']} | {s['tasks']} | "
+                f"{s['median_ms']} | {s['max_ms']} | "
+                f"{s['ratio']}x{flag} |"
+            )
+    lines += [
+        "",
+        "## Raw results",
+        "",
+        "```json",
+        json.dumps(
+            {
+                "documents": doc_results,
+                "uncapped": uncapped,
+                "events": event_results,
+                "asof_hot_key": asof_result,
+            },
+            indent=2,
+        ),
+        "```",
+        "",
+    ]
+    Path(args.out).write_text("\n".join(lines))
+    print(f"wrote {args.out}: {'PASS' if ok_all else 'FAIL'}")
+    for name, ok in checks:
+        print(f"  [{'ok' if ok else 'FAIL'}] {name}")
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
