@@ -66,6 +66,7 @@ from kafka_sparkstreaming_sbt_spark.operators.multimodal import (  # noqa: E402
 from kafka_sparkstreaming_sbt_spark.operators.sampling import (  # noqa: E402
     deterministic_sample,
     stratified_sample,
+    temperature_mixture_sample,
     weighted_sample,
     with_split,
 )
@@ -83,10 +84,12 @@ from kafka_sparkstreaming_sbt_spark.operators.skew import (  # noqa: E402
 from kafka_sparkstreaming_sbt_spark.operators.similarity import (  # noqa: E402
     _hyperplanes,
     cosine_topk,
+    deterministic_centroids,
     ivf_kmeans_topk,
     ivf_topk,
     lsh_bucket,
     lsh_near_pairs,
+    semantic_dedup,
 )
 from kafka_sparkstreaming_sbt_spark.operators.timeseries import (  # noqa: E402
     gap_fill_locf,
@@ -557,6 +560,22 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_pairs(emb, dim=64, threshold=0.4, n_bits=4, seed=42)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: assign every embedding to one of
+    16 Voronoi cells, pairwise cosine ONLY within cells, drop rows
+    with a smaller-id in-cell neighbor at cosine >= 0.4 — the
+    embedding analog of MinHash near-dedup (per-cell quadratic, never
+    all-pairs).  The quantizer here is the deterministic ``vec_id <
+    16`` stand-in so the DuckDB oracle replicates assignment exactly;
+    production uses ``kmeans_centroids`` (pytest-gated)."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = deterministic_centroids(emb, n_cells=16)
+    out = semantic_dedup(emb, cent, threshold=0.4)
+    # gate hash contract: booleans ride as 1/0 ints on both sides
+    return out.withColumn("kept", F.col("kept").cast("int"))
+
+
 # --------------------------------------------------------------------------
 # Relational analytics extensions (joins / windows / rollup / top-k —
 # operator classes the reference lacks, SURVEY.md §2.12)
@@ -797,6 +816,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     docs = read_table(spark, sf_dir, "documents")
     return stratified_sample(docs, "lang", "doc_id", sixteenths=2).select(
+        "doc_id", "lang"
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (alpha=0.5) language mixture: the
+    over-represented language is down-sampled toward ``n^alpha``
+    shares while the smallest language is kept whole — deterministic
+    md5-byte draws against broadcast per-group rates, zero corpus
+    shuffles (the training-mixture curation step)."""
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return temperature_mixture_sample(docs, "lang", "doc_id", alpha=0.5).select(
         "doc_id", "lang"
     )
 
@@ -1447,6 +1479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_score": q_unigram_lm_score,
         "weighted_sample": q_weighted_sample,
         "value_outliers": q_value_outliers,
+        "semantic_dedup": q_semantic_dedup,
+        "mixture_sample": q_mixture_sample,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -1680,6 +1714,30 @@ def oracle_sql() -> dict[str, str]:
               FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
         SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
         """,
+        "semantic_dedup": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cent AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < 16),
+        a AS (
+          SELECT e.vec_id, cent.cell_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ROUND(list_dot_product(e.v, cent.c)
+                                       / (sqrt(list_dot_product(e.v, e.v))
+                                          * sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
+                                    cent.cell_id) AS rn
+          FROM e CROSS JOIN cent),
+        b AS (SELECT a.vec_id, a.cell_id, e.v
+              FROM a JOIN e USING (vec_id) WHERE a.rn = 1),
+        d AS (
+          SELECT DISTINCT y.vec_id
+          FROM b x JOIN b y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+          WHERE ROUND(list_dot_product(x.v, y.v)
+                / (sqrt(list_dot_product(x.v, x.v))
+                   * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4)
+        SELECT b.vec_id, b.cell_id,
+               CAST(d.vec_id IS NULL AS INT) AS kept
+        FROM b LEFT JOIN d ON b.vec_id = d.vec_id
+        """,
         "revenue_by_nation": """
         SELECT n.n_name,
                ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
@@ -1881,6 +1939,24 @@ def oracle_sql() -> dict[str, str]:
         WHERE (CASE WHEN ascii(substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 1)) <= 57
                     THEN ascii(substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 48
                     ELSE ascii(substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END) < 2
+        """,
+        "mixture_sample": """
+        WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        w AS (SELECT lang, power(CAST(n AS DOUBLE), -0.5) AS wt FROM counts),
+        r AS (SELECT lang, ROUND(wt / (SELECT max(wt) FROM w), 6) AS rate FROM w),
+        keyed AS (
+          SELECT d.doc_id, d.lang, r.rate,
+                 md5(d.lang || '|' || CAST(d.doc_id AS VARCHAR)) AS h
+          FROM documents d JOIN r ON d.lang = r.lang
+        )
+        SELECT doc_id, lang FROM keyed
+        WHERE (CASE WHEN ascii(substr(h, 1, 1)) <= 57
+                    THEN ascii(substr(h, 1, 1)) - 48
+                    ELSE ascii(substr(h, 1, 1)) - 87 END) * 16
+              + (CASE WHEN ascii(substr(h, 2, 1)) <= 57
+                      THEN ascii(substr(h, 2, 1)) - 48
+                      ELSE ascii(substr(h, 2, 1)) - 87 END)
+              < floor(256 * rate)
         """,
         "multi_grain_rollup": """
         SELECT date_trunc('day', ts)  AS day,

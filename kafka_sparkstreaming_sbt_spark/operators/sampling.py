@@ -87,6 +87,62 @@ def weighted_sample(
     return df.filter(_key_byte(F.col(id_col).cast("string")) < p)
 
 
+def mixture_rates(
+    df: DataFrame, group_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Per-group keep rates realizing a TEMPERATURE-smoothed training
+    mixture by pure downsampling: target share per group is
+    ``n_g^alpha / sum(n^alpha)`` (alpha=1 keeps the natural mix,
+    alpha->0 flattens toward uniform — the multilingual-corpus
+    smoothing from the XLM-R / mT5 lineage), realized with keep rate
+    ``rate_g = n_g^(alpha-1) / max_h(n_h^(alpha-1))`` so the most
+    up-weighted (smallest) group is kept whole and no group ever needs
+    up-sampling.  Returns ``(group, n, rate)``.
+
+    Two tiny aggregations — a partial->final count per group and a
+    1-row global max — then everything joins back broadcast; the
+    corpus itself is never shuffled.  The rate is rounded to 6 dp so
+    the later ``floor(256 * rate)`` quantization can't straddle a
+    libm-ulp difference across engines."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    w = F.pow(F.col("n").cast("double"), F.lit(alpha - 1.0))
+    weighted = counts.select(group_col, "n", w.alias("_w"))
+    mx = weighted.agg(F.max("_w").alias("_mx"))
+    return weighted.crossJoin(F.broadcast(mx)).select(
+        group_col,
+        "n",
+        F.round(F.col("_w") / F.col("_mx"), 6).alias("rate"),
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Deterministic temperature resampling of a multi-source corpus:
+    keep each row with its group's :func:`mixture_rates` probability,
+    decided by the row's group-salted md5 byte — RNG-free (reruns and
+    other engines keep the SAME rows), per-group independent (the
+    stratum-salted key of :func:`stratified_sample`), and the rate
+    table is group-cardinality-small so Catalyst broadcasts it: the
+    corpus pays one scan, zero shuffles.
+
+    This is the standard "don't let the biggest source drown the
+    mixture" curation step (alpha ~ 0.3-0.7 in practice); rates
+    quantize to 1/256 like :func:`weighted_sample`."""
+    rates = mixture_rates(df, group_col, alpha).select(group_col, "rate")
+    key = F.concat(
+        F.col(group_col).cast("string"),
+        F.lit("|"),
+        F.col(id_col).cast("string"),
+    )
+    return df.join(F.broadcast(rates), group_col).filter(
+        _key_byte(key) < F.floor(256 * F.col("rate"))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,

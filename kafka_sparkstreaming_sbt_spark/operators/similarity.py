@@ -221,6 +221,107 @@ def lsh_near_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+def deterministic_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ``id < n_cells`` coarse quantizer — the oracle-replicable
+    stand-in for :func:`kmeans_centroids` (same contract: a
+    ``(cell_id, c_vec)`` table), shared by :func:`ivf_topk` and the
+    deterministic :func:`semantic_dedup` gate query."""
+    return corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("c_vec")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings around ``centroids``, compare
+    pairs only WITHIN a cluster, and drop every row that has a
+    smaller-id neighbor at cosine >= ``threshold`` in its cell.
+    Returns one row per corpus row: ``(id, cell_id, kept)`` — callers
+    filter ``kept`` to materialize the pruned corpus, or keep the flag
+    as curation metadata.
+
+    Scale design: this is the embedding analog of the MinHash banding
+    pipeline — never all-pairs.  Assignment is
+    :func:`ivf_assign` (broadcast centroids, ``max_by`` partial agg, no
+    corpus shuffle); the pair join is an equi-join on ``cell_id``, so
+    candidates are per-cell quadratic.  Size ``n_cells ~ N /
+    target_cell_size`` (k-means via :func:`kmeans_centroids` in
+    production, where cells follow the data's real cluster structure);
+    ``max_cell_size`` reuses ``cap_hot_buckets`` to skip degenerate
+    pileup cells (their rows stay kept — documented recall tradeoff,
+    same contract as the LSH cap).  The assigned table feeds three
+    consumers (both join sides + the flag join-back), so it is
+    localCheckpointed once — the dual-consumer materialization policy
+    of ``lsh_near_pairs`` / ``incremental_near_dup``.
+
+    Deterministic: cosines rounded to 6 dp, argmax tie-broken on the
+    smaller cell id, drop rule keyed on id order — byte-identical with
+    the DuckDB oracle."""
+    from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
+        cap_hot_buckets,
+    )
+    from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
+
+    assigned = ivf_assign(
+        parallelize_for_compute(corpus), centroids, vec_col, id_col
+    )
+    b = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _norm(F.col(vec_col)).alias("norm"),
+        )
+        .join(assigned, id_col)
+        .localCheckpoint(eager=True)
+    )
+    pairable = cap_hot_buckets(b, "cell_id", max_cell_size)
+    left = pairable.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("norm").alias("norm_a"),
+        "cell_id",
+    )
+    right = pairable.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("norm").alias("norm_b"),
+        "cell_id",
+    )
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    dropped = (
+        left.join(right, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cos, 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    # the dropped set is tiny relative to the corpus — AQE broadcasts it
+    return (
+        b.select(id_col, "cell_id")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -461,9 +562,7 @@ def ivf_topk(
     replicate the result exactly; :func:`ivf_kmeans_topk` is the same
     search over real k-means cells (recall-gated instead).
     """
-    centroids = corpus.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("c_vec")
-    )
+    centroids = deterministic_centroids(corpus, n_cells, vec_col, id_col)
     return _ivf_search(corpus, queries, centroids, k, n_probe, vec_col, id_col)
 
 

@@ -244,3 +244,94 @@ def test_metadata_row_count_survives_private_api_breakage(spark, monkeypatch):
 
     monkeypatch.setattr(df, "_jdf", Boom(), raising=False)
     assert sim._metadata_row_count(df) is None
+
+
+def test_semantic_dedup_matches_per_cell_brute_force(spark, sf_small):
+    import numpy as np
+
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        deterministic_centroids,
+        semantic_dedup,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    cent = deterministic_centroids(emb, n_cells=16)
+    out = semantic_dedup(emb, cent, threshold=0.4).collect()
+    # exactly one verdict per corpus row
+    assert len(out) == emb.count()
+    assert len({r.vec_id for r in out}) == len(out)
+
+    # brute-force reference: within each emitted cell, a row is dropped
+    # iff a smaller-id row of the SAME cell has cosine >= threshold
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    cells: dict[int, list[int]] = {}
+    for r in out:
+        cells.setdefault(r.cell_id, []).append(r.vec_id)
+    verdict = {}
+    for members in cells.values():
+        for i in sorted(members):
+            vi = vecs[i]
+            dropped = any(
+                round(
+                    float(vecs[j] @ vi)
+                    / (np.linalg.norm(vecs[j]) * np.linalg.norm(vi)),
+                    6,
+                )
+                >= 0.4
+                for j in sorted(members)
+                if j < i
+            )
+            verdict[i] = not dropped
+    assert {r.vec_id: r.kept for r in out} == verdict
+
+
+def test_semantic_dedup_with_kmeans_quantizer(spark, sf_small):
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_dedup,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    cent = kmeans_centroids(emb, n_cells=8, n_iter=1)
+    out = semantic_dedup(emb, cent, threshold=0.4)
+    total = emb.count()
+    rows = out.collect()
+    assert len(rows) == total
+    kept = sum(1 for r in rows if r.kept)
+    assert 0 < kept <= total  # never drops everything
+    # rerun is byte-identical (deterministic quantizer + drop rule)
+    again = semantic_dedup(emb, cent, threshold=0.4).collect()
+    assert {(r.vec_id, r.cell_id, r.kept) for r in rows} == {
+        (r.vec_id, r.cell_id, r.kept) for r in again
+    }
+
+
+def test_semantic_dedup_cell_cap_skips_pairing_but_keeps_rows(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # 20 identical vectors -> one cell, all mutually near-dup
+    df = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    cent = spark.range(1).select(
+        F.col("id").alias("cell_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("c_vec"),
+    )
+    uncapped = semantic_dedup(df, cent, threshold=0.9).collect()
+    assert sum(1 for r in uncapped if r.kept) == 1  # min id survives
+    capped = semantic_dedup(
+        df, cent, threshold=0.9, max_cell_size=5
+    ).collect()
+    # the over-cap cell is excluded from pairing: its rows stay kept
+    assert all(r.kept for r in capped)
+    assert len(capped) == 20

@@ -212,6 +212,7 @@ _BOUNDED_NESTED_LOOP = {
     "tf_idf",  # 1-row corpus-size scalar joined lazily (no collect)
     "unigram_lm_score",  # 1-row corpus-total scalar, same pattern
     "bigram_pmi",  # two 1-row count scalars, same pattern
+    "mixture_sample",  # 1-row max-rate scalar vs per-group counts
 }
 
 

@@ -212,3 +212,64 @@ def test_sample_k_per_group_exact_count_and_stable(spark):
         for r in sample_k_per_group(df.repartition(7), "grp", "id", 5).collect()
     )
     assert picked == again
+
+
+def test_mixture_rates_track_temperature(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        mixture_rates,
+    )
+
+    # 3 sources at 1600 / 400 / 100 rows
+    df = (
+        spark.range(2100)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "src",
+            F.when(F.col("doc_id") < 1600, "big")
+            .when(F.col("doc_id") < 2000, "mid")
+            .otherwise("small"),
+        )
+    )
+    rates = {r.src: r.rate for r in mixture_rates(df, "src", 0.5).collect()}
+    # smallest group kept whole; rates fall with size as n^(alpha-1)
+    assert rates["small"] == 1.0
+    assert rates["small"] > rates["mid"] > rates["big"]
+    assert abs(rates["big"] - (1600 ** -0.5) / (100 ** -0.5)) < 1e-6
+    # alpha=1 is the natural mix: every rate is 1
+    natural = {r.src: r.rate for r in mixture_rates(df, "src", 1.0).collect()}
+    assert set(natural.values()) == {1.0}
+
+
+def test_temperature_mixture_sample_is_deterministic_and_rate_true(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    df = (
+        spark.range(4000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "src", F.when(F.col("doc_id") < 3600, "big").otherwise("small")
+        )
+    )
+    out = temperature_mixture_sample(df, "src", "doc_id", alpha=0.5)
+    picked = {r.doc_id for r in out.collect()}
+    again = {
+        r.doc_id
+        for r in temperature_mixture_sample(
+            df.repartition(13), "src", "doc_id", alpha=0.5
+        ).collect()
+    }
+    assert picked == again  # RNG-free: same rows on any partitioning
+    by_src = {
+        r.src: r.n
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    # small kept whole; big at ~sqrt(400/3600)=1/3 (256-quantized), so
+    # the realized mixture moved from 90/10 toward the n^0.5 60/40 target
+    assert by_src["small"] == 400
+    assert abs(by_src["big"] / 3600 - 1 / 3) < 0.04
