@@ -26,9 +26,13 @@ from __future__ import annotations
 
 import math
 import random
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -175,6 +179,7 @@ def lsh_near_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket_size: int | None = None,
+    method: str = "sql",
 ) -> DataFrame:
     """Near-duplicate pairs: bucket join (equi-join on the LSH key)
     then exact cosine filter within buckets — the scale path for
@@ -183,12 +188,22 @@ def lsh_near_pairs(
 
     ``max_bucket_size`` drops over-cap buckets before the quadratic
     join (boilerplate/zero-vector pileups) — recall tradeoff and plan
-    shape documented in ``dedup_fuzzy.cap_hot_buckets``."""
+    shape documented in ``dedup_fuzzy.cap_hot_buckets``.
+
+    ``method="numpy"`` scans each bucket with blockwise BLAS matmuls
+    (:func:`_group_pairs_numpy`) instead of the self-join's per-pair
+    ``zip_with`` dot — same pairs, same 6-dp rounding (modulo float
+    summation order), used by the scale harness; the oracle-hashed
+    gate query stays on ``"sql"``."""
     from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
         cap_hot_buckets,
     )
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
+    if method == "numpy":
+        b = lsh_bucket(parallelize_for_compute(df), dim, n_bits, seed, vec_col)
+        b = cap_hot_buckets(b, "bucket", max_bucket_size)
+        return _group_pairs_numpy(b, "bucket", threshold, vec_col, id_col)
     b = lsh_bucket(
         parallelize_for_compute(df), dim, n_bits, seed, vec_col
     ).withColumn("norm", _norm(F.col(vec_col)))
@@ -221,6 +236,117 @@ def lsh_near_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+_PAIR_BLOCK = 1024  # rows per blockwise cosine matmul (B x g floats)
+
+
+def _group_pairs_numpy(
+    df: DataFrame,
+    group_col: str,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """All (id_a < id_b, cosine >= threshold) pairs WITHIN each group
+    (LSH bucket / IVF cell), one ``applyInPandas`` per group: the
+    per-group quadratic runs as blockwise BLAS matmuls instead of a
+    self-join doing a ``zip_with`` dot per candidate pair.  Memory is
+    O(g x dim + BLOCK x g) per group — bounded because callers cap
+    group sizes (``cap_hot_buckets``) before grouping.  Only pairs
+    over the threshold are ever materialized.  Zero-norm vectors
+    never pair here (NaN cosine compares False), where the SQL path
+    inherits Spark's NaN-sorts-greatest comparison — divergence only
+    on degenerate all-zero vectors."""
+    idf = _id_field(df, id_col)
+    schema = T.StructType(
+        [
+            T.StructField("id_a", idf.dataType),
+            T.StructField("id_b", idf.dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        g = len(pdf)
+        out_a, out_b, out_c = [], [], []
+        if g > 1:
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(v, axis=1)
+            pid = pdf[id_col].to_numpy()
+            for s in range(1, g, _PAIR_BLOCK):
+                e = min(s + _PAIR_BLOCK, g)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = np.round(
+                        v[s:e] @ v[:e].T / np.outer(n[s:e], n[:e]), 6
+                    )
+                rows = np.arange(s, e)[:, None]
+                cols = np.arange(e)[None, :]
+                hit = (cos >= threshold) & (cols < rows)
+                ai, bi = np.nonzero(hit)
+                out_a.append(pid[bi])  # smaller id first
+                out_b.append(pid[ai + s])
+                out_c.append(cos[ai, bi])
+        empty_id = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else empty_id,
+                "id_b": np.concatenate(out_b) if out_b else empty_id,
+                "cosine": (
+                    np.concatenate(out_c)
+                    if out_c
+                    else np.array([], dtype=np.float64)
+                ),
+            }
+        )
+
+    return (
+        df.select(group_col, id_col, vec_col)
+        .groupBy(group_col)
+        .applyInPandas(pairs, schema)
+    )
+
+
+def _group_dropped_numpy(
+    df: DataFrame,
+    group_col: str,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Ids that have a SMALLER-id neighbor at cosine >= threshold in
+    their group — the SemDeDup drop set, computed per group with the
+    same blockwise BLAS scheme as :func:`_group_pairs_numpy` but
+    emitting one row per dropped id instead of per pair (a row's
+    verdict closes as soon as any earlier neighbor hits)."""
+    idf = _id_field(df, id_col)
+    schema = T.StructType([T.StructField(id_col, idf.dataType)])
+
+    def dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        g = len(pdf)
+        if g < 2:
+            return pdf.iloc[0:0][[id_col]]
+        v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(v, axis=1)
+        hit = np.zeros(g, dtype=bool)
+        for s in range(1, g, _PAIR_BLOCK):
+            e = min(s + _PAIR_BLOCK, g)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.round(
+                    v[s:e] @ v[:e].T / np.outer(n[s:e], n[:e]), 6
+                )
+            rows = np.arange(s, e)[:, None]
+            cols = np.arange(e)[None, :]
+            hit[s:e] = ((cos >= threshold) & (cols < rows)).any(axis=1)
+        return pdf.loc[hit, [id_col]]
+
+    return (
+        df.select(group_col, id_col, vec_col)
+        .groupBy(group_col)
+        .applyInPandas(dropped, schema)
+    )
+
+
 def deterministic_centroids(
     corpus: DataFrame,
     n_cells: int,
@@ -243,6 +369,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cell_size: int | None = None,
+    method: str = "sql",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings around ``centroids``, compare
@@ -268,14 +395,23 @@ def semantic_dedup(
 
     Deterministic: cosines rounded to 6 dp, argmax tie-broken on the
     smaller cell id, drop rule keyed on id order — byte-identical with
-    the DuckDB oracle."""
+    the DuckDB oracle.
+
+    ``method="numpy"`` is the measured scale path (used by
+    scripts/scalecheck.py's embed phase): BLAS assignment
+    (:func:`_assign_numpy`) plus per-cell blockwise pair scanning
+    (:func:`_group_dropped_numpy`) instead of the per-pair
+    ``zip_with`` self-join — same drop rule, same rounding; the only
+    divergence is float summation order inside a dot product, so the
+    oracle-hashed gate query stays on ``"sql"``."""
     from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
         cap_hot_buckets,
     )
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
     assigned = ivf_assign(
-        parallelize_for_compute(corpus), centroids, vec_col, id_col
+        parallelize_for_compute(corpus), centroids, vec_col, id_col,
+        method=method,
     )
     b = (
         corpus.select(
@@ -287,6 +423,21 @@ def semantic_dedup(
         .localCheckpoint(eager=True)
     )
     pairable = cap_hot_buckets(b, "cell_id", max_cell_size)
+    if method == "numpy":
+        # already one row per dropped id (an id lives in exactly one
+        # cell and the group emits each verdict once) — no distinct
+        dropped = _group_dropped_numpy(
+            pairable, "cell_id", threshold, vec_col, id_col
+        ).withColumn("_dropped", F.lit(True))
+        return (
+            b.select(id_col, "cell_id")
+            .join(dropped, id_col, "left")
+            .select(
+                id_col,
+                "cell_id",
+                F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+            )
+        )
     left = pairable.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
@@ -322,11 +473,67 @@ def semantic_dedup(
     )
 
 
+def _id_field(df: DataFrame, id_col: str) -> T.StructField:
+    return next(f for f in df.schema.fields if f.name == id_col)
+
+
+def _assign_numpy(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Arrow/BLAS assignment: one ``mapInPandas`` pass where every
+    batch is scored against the whole centroid matrix with a single
+    numpy matmul.  The N x C dot products that cost ~200 s per Lloyd
+    round at 200 K x 447 through ``zip_with``/``aggregate`` (an array
+    allocation per scored pair) take <1 s of BLAS — measured 434 s ->
+    ~25 s for 2-round k-means in scripts/scalecheck.py's embed phase.
+
+    Same contract as the SQL path: cosine rounded to 6 dp before the
+    argmax, ties to the smaller cell id, NaN scores (zero-norm
+    vectors) treated as greatest — matching Spark's NaN ordering.
+    The only divergence is double summation ORDER inside one dot
+    product, which can flip a 6-dp rounding on an exact tie; that is
+    why oracle-hashed queries keep ``method="sql"`` and the numpy
+    path serves the recall-gated / throughput surfaces."""
+    rows = centroids.select("cell_id", "c_vec").collect()
+    ids = np.array([r["cell_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["c_vec"] for r in rows], dtype=np.float64)
+    cn = np.linalg.norm(mat, axis=1)
+    schema = T.StructType(
+        [_id_field(corpus, id_col), T.StructField("cell_id", T.LongType())]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(v, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.round(v @ mat.T / np.outer(vn, cn), 6)
+            # NaN == "greatest" (Spark ordering): promote to +inf so
+            # the argmax and its smaller-id tie-break see them
+            cos = np.where(np.isnan(cos), np.inf, cos)
+            best = cos.max(axis=1, keepdims=True)
+            cand = np.where(cos == best, ids[None, :], np.iinfo(np.int64).max)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell_id": cand.min(axis=1),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "sql",
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid by cosine
     (IVF coarse quantization).  The centroid table is broadcast and the
@@ -336,7 +543,14 @@ def ivf_assign(
     Cosines are rounded to 6 dp BEFORE the argmax with a
     smaller-centroid-id tie-break, so the assignment is deterministic
     across engines (double summation order can differ in the last bit).
-    """
+
+    ``method="numpy"`` replaces the N x C ``zip_with`` dot products
+    with one BLAS matmul per Arrow batch (:func:`_assign_numpy`) —
+    the throughput path for recall-gated consumers; the centroid
+    table (C x dim doubles) is collected driver-side, the same
+    fits-in-memory contract the broadcast already imposes."""
+    if method == "numpy":
+        return _assign_numpy(corpus, centroids, vec_col, id_col)
     cent = centroids.select(
         F.col("cell_id"),
         F.col("c_vec"),
@@ -410,6 +624,7 @@ def kmeans_centroids(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign_method: str = "numpy",
 ) -> DataFrame:
     """Seeded Lloyd k-means coarse quantizer, DataFrame-native — the
     production replacement for the trivial ``vec_id < n_cells``
@@ -434,6 +649,13 @@ def kmeans_centroids(
 
     Cells that lose all members drop out (k can shrink) — standard
     Lloyd behavior; callers probe whatever cells remain.
+
+    ``assign_method`` defaults to ``"numpy"`` — k-means is gated on
+    RECALL, not an exact-match oracle, so it takes the BLAS
+    assignment (:func:`_assign_numpy`) unconditionally: measured
+    434 s -> ~25 s for 2 Lloyd rounds at 200 K x 64-dim vectors
+    (scripts/scalecheck.py embed phase).  Pass ``"sql"`` only when
+    replaying the exact zip_with arithmetic is the point.
     """
     from kafka_sparkstreaming_sbt_spark.operators.topk import (
         global_topk_with_rank,
@@ -472,7 +694,9 @@ def kmeans_centroids(
         # FASTER than carrying the vector through a struct-valued
         # max_by: struct ordering forces SortAggregate, which sorts
         # the N x C scored rows with a 64-dim payload every round.
-        assigned = ivf_assign(body, cent, vec_col, id_col)
+        assigned = ivf_assign(
+            body, cent, vec_col, id_col, method=assign_method
+        )
         members = body.join(assigned, id_col)
         dims = members.select(
             "cell_id", F.posexplode(vec_col).alias("pos", "x")
@@ -540,7 +764,10 @@ def ivf_kmeans_topk(
     if n_probe is None:
         n_probe = max(4, math.ceil(probe_frac * n_cells))
     cent = kmeans_centroids(corpus, n_cells, n_iter, seed, vec_col, id_col)
-    return _ivf_search(corpus, queries, cent, k, n_probe, vec_col, id_col)
+    return _ivf_search(
+        corpus, queries, cent, k, n_probe, vec_col, id_col,
+        assign_method="numpy",
+    )
 
 
 def ivf_topk(
@@ -574,15 +801,20 @@ def _ivf_search(
     n_probe: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign_method: str = "sql",
 ) -> DataFrame:
     """Shared IVF search: assign corpus to cells, rank cells per query
     by centroid cosine, scan the top ``n_probe`` cells, exact-rank the
     survivors.  Centroid tables are broadcast; the corpus shuffles
-    once (on the assignment join key)."""
+    once (on the assignment join key).  ``assign_method`` follows the
+    caller's determinism contract: ``ivf_topk`` replays the exact SQL
+    arithmetic its DuckDB oracle hashes, ``ivf_kmeans_topk`` takes
+    the BLAS path (recall-gated)."""
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
     assigned = ivf_assign(
-        parallelize_for_compute(corpus), centroids, vec_col, id_col
+        parallelize_for_compute(corpus), centroids, vec_col, id_col,
+        method=assign_method,
     )
     c = corpus.join(assigned, id_col).select(
         F.col(id_col).alias("neighbor_id"),

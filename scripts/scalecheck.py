@@ -68,6 +68,13 @@ from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (  # noqa: E402
 from kafka_sparkstreaming_sbt_spark.operators.graph import (  # noqa: E402
     select_canonical,
 )
+from kafka_sparkstreaming_sbt_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    ivf_kmeans_topk,
+    kmeans_centroids,
+    lsh_near_pairs,
+    semantic_dedup,
+)
 from kafka_sparkstreaming_sbt_spark.operators.skew import (  # noqa: E402
     salted_sum,
 )

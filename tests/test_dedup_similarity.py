@@ -335,3 +335,101 @@ def test_semantic_dedup_cell_cap_skips_pairing_but_keeps_rows(spark):
     # the over-cap cell is excluded from pairing: its rows stay kept
     assert all(r.kept for r in capped)
     assert len(capped) == 20
+
+
+def test_numpy_assign_and_dedup_match_sql(spark, sf_small):
+    """The BLAS fast paths (``method="numpy"``) must reproduce the SQL
+    paths on the fixture corpus: same cell assignment, same SemDeDup
+    verdicts, same LSH pair set with 6-dp-equal cosines.  (Exact-tie
+    rounding divergence is possible in principle — summation order —
+    which is why oracle queries stay on "sql"; this corpus has no
+    such tie and the paths must agree completely.)"""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+        semantic_dedup,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    cent = deterministic_centroids(emb, n_cells=16)
+
+    a_sql = {r.vec_id: r.cell_id for r in ivf_assign(emb, cent).collect()}
+    a_np = {
+        r.vec_id: r.cell_id
+        for r in ivf_assign(emb, cent, method="numpy").collect()
+    }
+    assert a_sql == a_np
+
+    d_sql = {
+        r.vec_id: (r.cell_id, r.kept)
+        for r in semantic_dedup(emb, cent, threshold=0.4).collect()
+    }
+    d_np = {
+        r.vec_id: (r.cell_id, r.kept)
+        for r in semantic_dedup(
+            emb, cent, threshold=0.4, method="numpy"
+        ).collect()
+    }
+    assert d_sql == d_np
+
+    p_sql = {
+        (r.id_a, r.id_b): r.cosine
+        for r in lsh_near_pairs(emb, dim=64, threshold=0.4).collect()
+    }
+    p_np = {
+        (r.id_a, r.id_b): r.cosine
+        for r in lsh_near_pairs(
+            emb, dim=64, threshold=0.4, method="numpy"
+        ).collect()
+    }
+    assert set(p_sql) == set(p_np)
+    assert all(abs(p_sql[k] - p_np[k]) <= 1e-6 for k in p_sql)
+
+
+def test_kmeans_numpy_assignment_equals_sql(spark, sf_small):
+    """One Lloyd round with BLAS assignment produces the same
+    centroids as the zip_with assignment: identical memberships imply
+    identical per-(cell, dim) means (the mean agg is shared)."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    c_np = {
+        r.cell_id: tuple(round(x, 9) for x in r.c_vec)
+        for r in kmeans_centroids(emb, n_cells=8, n_iter=1).collect()
+    }
+    c_sql = {
+        r.cell_id: tuple(round(x, 9) for x in r.c_vec)
+        for r in kmeans_centroids(
+            emb, n_cells=8, n_iter=1, assign_method="sql"
+        ).collect()
+    }
+    assert c_np == c_sql
+
+
+def test_numpy_cell_cap_keeps_over_cap_rows(spark):
+    """The numpy SemDeDup path honors ``max_cell_size`` the same way
+    the SQL path does: over-cap cells skip pairing, their rows stay
+    kept."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    df = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    cent = spark.range(1).select(
+        F.col("id").alias("cell_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("c_vec"),
+    )
+    uncapped = semantic_dedup(
+        df, cent, threshold=0.9, method="numpy"
+    ).collect()
+    assert sum(1 for r in uncapped if r.kept) == 1
+    capped = semantic_dedup(
+        df, cent, threshold=0.9, max_cell_size=5, method="numpy"
+    ).collect()
+    assert all(r.kept for r in capped)
+    assert len(capped) == 20
