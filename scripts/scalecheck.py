@@ -33,10 +33,17 @@ bytes; no Python in the data path):
 - events: 30% of rows on ONE hot key, the rest spread over 100K keys
   (the final-reducer-straggler shape ``salted_sum`` exists for).
 
+Round 5 adds the EMBEDDING side (the text chain was stressed in r4's
+run, the vector ops never above sf0.1's 2 K rows): k-means
+quantization, SemDeDup semantic dedup, the LSH pair screen, and IVF
+search on an adversarial vector corpus — clone clusters (true
+near-dups), one dense blob (degenerate duplicate class), isotropic
+bulk — all on the BLAS (`method="numpy"`) paths.
+
 Usage:
     python scripts/scalecheck.py [--doc-scales 50000,500000]
-        [--event-scales 1000000,10000000] [--out SCALECHECK.md]
-        [--skip-uncapped]
+        [--event-scales 1000000,10000000] [--embed-scales 20000,200000]
+        [--out SCALECHECK.md] [--skip-uncapped]
 
 Writes the markdown report (tables + pass/fail per assertion) to
 --out and exits non-zero if any assertion fails.  Scratch parquet
@@ -94,6 +101,13 @@ BOILER_FRAC_NUM, BOILER_FRAC_DEN = 1, 5  # 20% boilerplate docs
 BODY_TOKENS = 30
 HEADER_TOKENS = 20
 
+EMB_DIM = 64
+EMB_CLONE_EPS = 0.15  # intra-cluster cosine ~ 1/(1+eps^2) ~ 0.978
+EMB_BLOB_EPS = 0.05  # blob cosine ~ 0.9975 (all true near-dups)
+EMB_THRESHOLD = 0.9
+EMB_CELL_CAP = 4000  # SemDeDup per-cell pairing cap
+EMB_BUCKET_CAP = 3000  # LSH cap: excludes the blob bucket at BOTH scales
+
 
 def _tok(*hash_args) -> F.Column:
     """Deterministic pseudo-random vocabulary token."""
@@ -138,6 +152,51 @@ def synth_documents(spark: SparkSession, n_docs: int) -> DataFrame:
         text.alias("text"),
         F.length(text).alias("n_chars"),
     )
+
+
+def _emb_rnd(tag: str, *cols) -> F.Column:
+    """Deterministic pseudo-uniform double in [-1, 1]."""
+    return (
+        F.pmod(F.xxhash64(F.lit(tag), *cols), F.lit(2001)) - 1000
+    ) / 1000.0
+
+
+def synth_embeddings(spark: SparkSession, n_vecs: int) -> DataFrame:
+    """Adversarial embedding table (vec_id, embedding float[EMB_DIM]):
+
+    - 25% CLONE vectors: clusters of 3 around a shared base, each
+      perturbed by EMB_CLONE_EPS — intra-cluster cosine ~
+      1/(1+eps^2) ~ 0.978, above the 0.9 threshold (the true
+      near-dup load for SemDeDup / embedding LSH);
+    - 20% BLOB vectors: ONE dense region at EMB_BLOB_EPS (pairwise
+      cosine ~ 0.9975 — every blob pair is a true near-dup): the
+      degenerate duplicate-class pileup that turns a naive per-cell /
+      per-bucket quadratic into N^2;
+    - 55% UNIQUE vectors: isotropic (random-pair cosine ~ N(0, 1/64),
+      so a false positive at 0.9 is a >7-sigma event)."""
+    n_clone = n_vecs * CLONE_FRAC_NUM // CLONE_FRAC_DEN
+    n_blob = n_vecs * BOILER_FRAC_NUM // BOILER_FRAC_DEN
+    df = spark.range(n_vecs).withColumnRenamed("id", "vec_id")
+    vid = F.col("vec_id")
+    is_clone = vid < n_clone
+    is_blob = (vid >= n_clone) & (vid < n_clone + n_blob)
+    cluster = (vid / 3).cast("long")
+    dims = F.sequence(F.lit(0), F.lit(EMB_DIM - 1))
+    vec = F.transform(
+        dims,
+        lambda j: F.when(
+            is_clone,
+            _emb_rnd("c", cluster, j)
+            + EMB_CLONE_EPS * _emb_rnd("n", vid, j),
+        )
+        .when(
+            is_blob,
+            _emb_rnd("p", j) + EMB_BLOB_EPS * _emb_rnd("n", vid, j),
+        )
+        .otherwise(_emb_rnd("u", vid, j))
+        .cast("float"),
+    )
+    return df.select("vec_id", vec.alias("embedding"))
 
 
 def synth_events(spark: SparkSession, n_events: int) -> DataFrame:
@@ -422,6 +481,152 @@ def run_asof_hot_key(
     return d
 
 
+def run_embedding_scale(
+    spark: SparkSession, n_vecs: int, scratch: str, audits: list
+) -> dict:
+    """Embedding-side stress: k-means quantization + SemDeDup + the
+    LSH screen on the adversarial vector corpus, all on the BLAS
+    (``method="numpy"``) paths — the production configuration.
+
+    LSH bits scale as log2(n/80) so expected bucket size stays
+    constant (fixed bits would make the per-bucket quadratic grow as
+    N^2); the single-table recall prediction (1 - theta/pi)^bits is
+    recomputed per scale and the measured clone recall is gated
+    against it — recall decay with bits is exactly why SemDeDup (not
+    the LSH screen) is the recall-bearing dedup path."""
+    d = {"n_vecs": n_vecs}
+    path = f"{scratch}/emb_{n_vecs}"
+    synth_embeddings(spark, n_vecs).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(path)
+    emb = spark.read.parquet(path)
+    n_clone = n_vecs * CLONE_FRAC_NUM // CLONE_FRAC_DEN
+    n_blob = n_vecs * BOILER_FRAC_NUM // BOILER_FRAC_DEN
+
+    since = _max_stage_id(spark)
+    t0 = time.perf_counter()
+    cents = kmeans_centroids(emb, n_iter=2)
+    d["n_cells"] = cents.count()
+    d["kmeans_wall_s"] = round(time.perf_counter() - t0, 2)
+    audits.append((f"kmeans @ {n_vecs}", straggler_audit(spark, since)))
+
+    sd_path = f"{scratch}/semdedup_{n_vecs}"
+    since = _max_stage_id(spark)
+    t0 = time.perf_counter()
+    semantic_dedup(
+        emb,
+        cents,
+        threshold=EMB_THRESHOLD,
+        max_cell_size=EMB_CELL_CAP,
+        method="numpy",
+    ).write.mode("overwrite").parquet(sd_path)
+    d["semdedup_wall_s"] = round(time.perf_counter() - t0, 2)
+    audits.append(
+        (f"semantic_dedup @ {n_vecs}", straggler_audit(spark, since))
+    )
+    sd = spark.read.parquet(sd_path)
+    vid = F.col("vec_id")
+    per_cluster = (
+        sd.filter(vid < n_clone)
+        .groupBy((vid / 3).cast("long").alias("grp"))
+        .agg(F.sum(F.col("kept").cast("int")).alias("k"))
+    )
+    row = per_cluster.agg(
+        F.count(F.lit(1)).alias("clusters"),
+        F.sum(F.when(F.col("k") < 3, 1).otherwise(0)).alias("deduped"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).alias("collapsed"),
+    ).collect()[0]
+    d["clone_clusters"] = row["clusters"]
+    d["clusters_deduped_frac"] = round(
+        row["deduped"] / max(row["clusters"], 1), 4
+    )
+    d["clusters_collapsed_frac"] = round(
+        row["collapsed"] / max(row["clusters"], 1), 4
+    )
+    d["blob_rows"] = n_blob
+    d["blob_kept"] = sd.filter(
+        (vid >= n_clone) & (vid < n_clone + n_blob) & F.col("kept")
+    ).count()
+    d["unique_false_drops"] = sd.filter(
+        (vid >= n_clone + n_blob) & ~F.col("kept")
+    ).count()
+    d["max_cell"] = (
+        sd.groupBy("cell_id").count().agg(F.max("count")).collect()[0][0]
+    )
+
+    import math as _m
+
+    n_bits = max(8, _m.ceil(_m.log2(n_vecs / 80)))
+    d["lsh_bits"] = n_bits
+    cos0 = 1.0 / (1.0 + EMB_CLONE_EPS**2)
+    d["lsh_recall_analytic"] = round(
+        (1.0 - _m.acos(cos0) / _m.pi) ** n_bits, 4
+    )
+    lp_path = f"{scratch}/lshpairs_{n_vecs}"
+    since = _max_stage_id(spark)
+    t0 = time.perf_counter()
+    lsh_near_pairs(
+        emb,
+        EMB_DIM,
+        threshold=EMB_THRESHOLD,
+        n_bits=n_bits,
+        max_bucket_size=EMB_BUCKET_CAP,
+        method="numpy",
+    ).write.mode("overwrite").parquet(lp_path)
+    d["lsh_wall_s"] = round(time.perf_counter() - t0, 2)
+    audits.append(
+        (f"lsh_near_pairs @ {n_vecs}", straggler_audit(spark, since))
+    )
+    lp = spark.read.parquet(lp_path)
+    expected = (n_clone // 3) * 3 + (1 if n_clone % 3 == 2 else 0)
+    found = lp.filter(
+        (F.col("id_a") < n_clone)
+        & (F.col("id_b") < n_clone)
+        & (
+            (F.col("id_a") / 3).cast("long")
+            == (F.col("id_b") / 3).cast("long")
+        )
+    ).count()
+    d["lsh_clone_pairs_expected"] = expected
+    d["lsh_clone_recall"] = round(found / max(expected, 1), 4)
+    return d
+
+
+def run_ivf_search_check(
+    spark: SparkSession, n_vecs: int, scratch: str
+) -> dict:
+    """IVF ANN at the big scale: recall@10 for 8 isotropic queries vs
+    the brute-force baseline, with both walls reported (probe_frac
+    2/3 on an isotropic corpus trades most of the scan for ~0.9
+    recall — the documented worst case; clustered corpora reach the
+    same recall at far smaller fractions)."""
+    emb = spark.read.parquet(f"{scratch}/emb_{n_vecs}")
+    n_clone = n_vecs * CLONE_FRAC_NUM // CLONE_FRAC_DEN
+    n_blob = n_vecs * BOILER_FRAC_NUM // BOILER_FRAC_DEN
+    qids = [n_clone + n_blob + i * 97 for i in range(8)]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+
+    t0 = time.perf_counter()
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    brute_wall = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_kmeans_topk(emb, queries, k=10, n_iter=2).collect()
+    }
+    ivf_wall = round(time.perf_counter() - t0, 2)
+    return {
+        "n_vecs": n_vecs,
+        "n_queries": len(qids),
+        "brute_wall_s": brute_wall,
+        "ivf_wall_s": ivf_wall,
+        "recall_at_10": round(len(brute & approx) / max(len(brute), 1), 4),
+    }
+
+
 def run_event_scale(
     spark: SparkSession, n_events: int, scratch: str, audits: list
 ) -> dict:
@@ -470,6 +675,7 @@ def scaling_row(name: str, small: float, big: float, factor: int) -> dict:
         "wall_big_s": big,
         "ratio": round(ratio, 2),
         "limit": limit,
+        "factor": factor,
         "ok": ratio <= limit,
     }
 
@@ -478,12 +684,18 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--doc-scales", default="50000,500000")
     ap.add_argument("--event-scales", default="1000000,10000000")
+    ap.add_argument("--embed-scales", default="20000,200000")
     ap.add_argument("--asof-rows", type=int, default=3_000_000)
     ap.add_argument("--out", default=str(REPO / "SCALECHECK.md"))
     ap.add_argument("--skip-uncapped", action="store_true")
     args = ap.parse_args()
     doc_scales = [int(x) for x in args.doc_scales.split(",")]
     event_scales = [int(x) for x in args.event_scales.split(",")]
+    embed_scales = (
+        [int(x) for x in args.embed_scales.split(",")]
+        if args.embed_scales
+        else []
+    )
 
     scratch = tempfile.mkdtemp(prefix="scalecheck_")
     spark = get_spark(
@@ -499,6 +711,15 @@ def main() -> int:
             None
             if args.skip_uncapped
             else run_uncapped_equivalence(spark, doc_scales[0], scratch)
+        )
+        emb_results = [
+            run_embedding_scale(spark, n, scratch, audits)
+            for n in embed_scales
+        ]
+        ivf_result = (
+            run_ivf_search_check(spark, embed_scales[-1], scratch)
+            if emb_results
+            else None
         )
         event_results = [
             run_event_scale(spark, n, scratch, audits)
@@ -537,13 +758,35 @@ def main() -> int:
             ev_factor,
         ),
     ]
+    if emb_results:
+        em_small, em_big = emb_results[0], emb_results[-1]
+        emb_factor = embed_scales[-1] // embed_scales[0]
+        scaling += [
+            scaling_row(
+                "kmeans_centroids (BLAS assign)",
+                em_small["kmeans_wall_s"],
+                em_big["kmeans_wall_s"],
+                emb_factor,
+            ),
+            scaling_row(
+                "semantic_dedup (numpy)",
+                em_small["semdedup_wall_s"],
+                em_big["semdedup_wall_s"],
+                emb_factor,
+            ),
+            scaling_row(
+                "lsh_near_pairs (numpy, bits~log2 N)",
+                em_small["lsh_wall_s"],
+                em_big["lsh_wall_s"],
+                emb_factor,
+            ),
+        ]
 
     checks = [
         *[
             (
                 f"near-linear: {s['pipeline']} {s['ratio']}x at "
-                f"{doc_factor if 'salted' not in s['pipeline'] else ev_factor}"
-                f"x data (limit {s['limit']}x)",
+                f"{s['factor']}x data (limit {s['limit']}x)",
                 s["ok"],
             )
             for s in scaling
@@ -574,6 +817,45 @@ def main() -> int:
                 f"cap loses no true pair (uncapped diff = "
                 f"{uncapped['pairs_lost_by_cap']})",
                 uncapped["pairs_lost_by_cap"] == 0,
+            )
+        )
+    for e in emb_results:
+        n = e["n_vecs"]
+        checks += [
+            (
+                f"SemDeDup dedups clone clusters @ {n}: "
+                f"{e['clusters_deduped_frac']}",
+                e["clusters_deduped_frac"] >= 0.97,
+            ),
+            (
+                f"SemDeDup collapses clusters to one @ {n}: "
+                f"{e['clusters_collapsed_frac']}",
+                e["clusters_collapsed_frac"] >= 0.75,
+            ),
+            (
+                f"SemDeDup kills the blob @ {n}: {e['blob_kept']} of "
+                f"{e['blob_rows']} kept",
+                e["blob_kept"] <= max(1, e["blob_rows"] // 100),
+            ),
+            (
+                f"no unique vectors dropped @ {n} "
+                f"({e['unique_false_drops']})",
+                e["unique_false_drops"] == 0,
+            ),
+            (
+                f"LSH clone recall @ {n} matches single-table theory: "
+                f"{e['lsh_clone_recall']} vs {e['lsh_recall_analytic']} "
+                f"({e['lsh_bits']} bits)",
+                abs(e["lsh_clone_recall"] - e["lsh_recall_analytic"])
+                <= 0.15,
+            ),
+        ]
+    if ivf_result is not None:
+        checks.append(
+            (
+                f"IVF recall@10 at {ivf_result['n_vecs']:,} vectors: "
+                f"{ivf_result['recall_at_10']}",
+                ivf_result["recall_at_10"] >= 0.85,
             )
         )
     if asof_result is not None:
@@ -622,8 +904,15 @@ def main() -> int:
         f"header at J~0.24, 55% unique) and events with one key "
         f"holding 30% of rows.  Scales: {doc_scales[0]:,} -> "
         f"{doc_scales[-1]:,} docs ({doc_scales[0]//5000}x / "
-        f"{doc_scales[-1]//5000}x sf0.1) and {event_scales[0]:,} -> "
-        f"{event_scales[-1]:,} events.",
+        f"{doc_scales[-1]//5000}x sf0.1), {event_scales[0]:,} -> "
+        f"{event_scales[-1]:,} events"
+        + (
+            f", and {embed_scales[0]:,} -> {embed_scales[-1]:,} "
+            f"adversarial embeddings ({embed_scales[0]//2000}x / "
+            f"{embed_scales[-1]//2000}x sf0.1)."
+            if embed_scales
+            else "."
+        ),
         "",
         f"**Overall: {'PASS' if ok_all else 'FAIL'}**",
         "",
@@ -674,6 +963,62 @@ def main() -> int:
             "buckets on this corpus hold only false candidates, so "
             "capping costs zero recall while deleting the quadratic).",
         ]
+    if emb_results:
+        lines += [
+            "",
+            "## Embedding-side scale-stress (SemDeDup / LSH / IVF)",
+            "",
+            f"Adversarial vectors (dim {EMB_DIM}): 25% clone clusters "
+            f"of 3 at cosine ~{round(1/(1+EMB_CLONE_EPS**2), 3)}, 20% "
+            f"one dense blob at ~{round(1/(1+EMB_BLOB_EPS**2), 4)} "
+            "(every blob pair a true near-dup — the degenerate "
+            "duplicate class), 55% isotropic.  All runs use the BLAS "
+            "(`method=\"numpy\"`) paths — the zip_with SQL paths are "
+            "oracle-determinism surfaces, measured ~35x slower at "
+            "200K (434s -> 12.3s for 2-round k-means).  With cells ~ "
+            "sqrt(N) the assignment model is O(N^1.5), so the linear "
+            "x headroom gate is CONSERVATIVE for k-means/SemDeDup; "
+            "LSH bits grow as log2(N/80) to pin bucket size, and its "
+            "single-table recall prediction (1-theta/pi)^bits is "
+            "re-derived per scale (recall decay with bits is why "
+            "SemDeDup, not the LSH screen, is the recall-bearing "
+            "path).",
+            "",
+            "| n_vecs | cells | kmeans (s) | semdedup (s) | clusters "
+            "deduped | collapsed to 1 | blob kept | false drops | "
+            "max cell | lsh bits | lsh (s) | lsh recall (theory) |",
+            "| --- | --- | --- | --- | --- | --- | --- | --- | --- |"
+            " --- | --- | --- |",
+            *[
+                f"| {e['n_vecs']:,} | {e['n_cells']} | "
+                f"{e['kmeans_wall_s']} | {e['semdedup_wall_s']} | "
+                f"{e['clusters_deduped_frac']} | "
+                f"{e['clusters_collapsed_frac']} | {e['blob_kept']} / "
+                f"{e['blob_rows']:,} | {e['unique_false_drops']} | "
+                f"{e['max_cell']} | {e['lsh_bits']} | "
+                f"{e['lsh_wall_s']} | {e['lsh_clone_recall']} "
+                f"({e['lsh_recall_analytic']}) |"
+                for e in emb_results
+            ],
+            "",
+            "Clusters not collapsed to one survivor straddle a "
+            "Voronoi boundary (members assigned to different cells) — "
+            "the documented SemDeDup within-cell approximation; "
+            "nearly all are still deduped (>=1 member dropped).",
+        ]
+        if ivf_result is not None:
+            lines += [
+                "",
+                f"IVF ANN at {ivf_result['n_vecs']:,} vectors, "
+                f"{ivf_result['n_queries']} isotropic queries: "
+                f"recall@10 = {ivf_result['recall_at_10']} "
+                f"(brute {ivf_result['brute_wall_s']}s vs IVF "
+                f"{ivf_result['ivf_wall_s']}s including quantizer "
+                "build; isotropic corpora are the documented "
+                "worst-case for probe_frac — clustered real "
+                "embeddings reach the same recall scanning far "
+                "less).",
+            ]
     lines += [
         "",
         "## Skewed aggregation",
@@ -735,6 +1080,8 @@ def main() -> int:
             {
                 "documents": doc_results,
                 "uncapped": uncapped,
+                "embeddings": emb_results,
+                "ivf_search": ivf_result,
                 "events": event_results,
                 "asof_hot_key": asof_result,
             },

@@ -109,3 +109,54 @@ def test_event_skew_shape(spark):
     ev = synth_events(spark, 10_000)
     hot = ev.filter(F.col("user_id") == 0).count()
     assert hot == 3000  # exactly 30% by construction (event_id % 10 < 3)
+
+
+def test_embedding_corpus_geometry(spark):
+    """The embed phase's premises hold at tiny scale: intra-cluster
+    cosine clears the 0.9 threshold, blob pairs clear it too (every
+    blob pair is a TRUE near-dup), and isotropic/unique pairs never
+    reach it (the false-drop check is meaningful)."""
+    import numpy as np
+
+    from scalecheck import EMB_THRESHOLD, synth_embeddings
+
+    n = 400
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in synth_embeddings(spark, n).collect()
+    }
+    assert all(len(v) == 64 for v in vecs.values())
+
+    def cos(a, b):
+        return float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    n_clone, n_blob = n // 4, n // 5
+    # every intra-cluster pair is above threshold
+    for c in range(n_clone // 3):
+        ids = [3 * c, 3 * c + 1, 3 * c + 2]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                assert cos(vecs[ids[i]], vecs[ids[j]]) >= EMB_THRESHOLD
+    # blob pairs are above threshold (sampled)
+    blob = list(range(n_clone, n_clone + n_blob))
+    for i in range(0, len(blob) - 1, 7):
+        assert cos(vecs[blob[i]], vecs[blob[i + 1]]) >= EMB_THRESHOLD
+    # unique x unique and unique x clone stay far below (all pairs of
+    # a sample)
+    uniq = list(range(n_clone + n_blob, n))[:40]
+    worst = max(
+        cos(vecs[a], vecs[b])
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1 :]
+    )
+    assert worst < 0.7
+
+
+def test_embedding_corpus_is_deterministic(spark):
+    from scalecheck import synth_embeddings
+
+    a = synth_embeddings(spark, 200).collect()
+    b = synth_embeddings(spark, 200).collect()
+    assert {(r["vec_id"], tuple(r["embedding"])) for r in a} == {
+        (r["vec_id"], tuple(r["embedding"])) for r in b
+    }
