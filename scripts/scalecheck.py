@@ -510,49 +510,68 @@ def run_embedding_scale(
     d["kmeans_wall_s"] = round(time.perf_counter() - t0, 2)
     audits.append((f"kmeans @ {n_vecs}", straggler_audit(spark, since)))
 
-    sd_path = f"{scratch}/semdedup_{n_vecs}"
-    since = _max_stage_id(spark)
-    t0 = time.perf_counter()
-    semantic_dedup(
-        emb,
-        cents,
-        threshold=EMB_THRESHOLD,
-        max_cell_size=EMB_CELL_CAP,
-        method="numpy",
-    ).write.mode("overwrite").parquet(sd_path)
-    d["semdedup_wall_s"] = round(time.perf_counter() - t0, 2)
-    audits.append(
-        (f"semantic_dedup @ {n_vecs}", straggler_audit(spark, since))
-    )
-    sd = spark.read.parquet(sd_path)
+    # single-probe (the plain SemDeDup approximation) vs multi-probe
+    # (n_probe_cells=2, the production recommendation): boundary
+    # splits GROW with cell count, so the single-probe collapse
+    # fraction DEGRADES at scale (0.86 @ 20K -> 0.70 @ 200K) while
+    # multi-probe holds it — that trend is the point of reporting
+    # both.  The multi-probe cap is 2x: exploded occupancy counts
+    # primary + visiting rows.
     vid = F.col("vec_id")
-    per_cluster = (
-        sd.filter(vid < n_clone)
-        .groupBy((vid / 3).cast("long").alias("grp"))
-        .agg(F.sum(F.col("kept").cast("int")).alias("k"))
-    )
-    row = per_cluster.agg(
-        F.count(F.lit(1)).alias("clusters"),
-        F.sum(F.when(F.col("k") < 3, 1).otherwise(0)).alias("deduped"),
-        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).alias("collapsed"),
-    ).collect()[0]
-    d["clone_clusters"] = row["clusters"]
-    d["clusters_deduped_frac"] = round(
-        row["deduped"] / max(row["clusters"], 1), 4
-    )
-    d["clusters_collapsed_frac"] = round(
-        row["collapsed"] / max(row["clusters"], 1), 4
-    )
     d["blob_rows"] = n_blob
-    d["blob_kept"] = sd.filter(
-        (vid >= n_clone) & (vid < n_clone + n_blob) & F.col("kept")
-    ).count()
-    d["unique_false_drops"] = sd.filter(
-        (vid >= n_clone + n_blob) & ~F.col("kept")
-    ).count()
-    d["max_cell"] = (
-        sd.groupBy("cell_id").count().agg(F.max("count")).collect()[0][0]
-    )
+    for n_probe, suffix in ((1, "_p1"), (2, "")):
+        sd_path = f"{scratch}/semdedup_{n_vecs}_p{n_probe}"
+        since = _max_stage_id(spark)
+        t0 = time.perf_counter()
+        semantic_dedup(
+            emb,
+            cents,
+            threshold=EMB_THRESHOLD,
+            max_cell_size=EMB_CELL_CAP * n_probe,
+            method="numpy",
+            n_probe_cells=n_probe,
+        ).write.mode("overwrite").parquet(sd_path)
+        d[f"semdedup_wall_s{suffix}"] = round(time.perf_counter() - t0, 2)
+        audits.append(
+            (
+                f"semantic_dedup p{n_probe} @ {n_vecs}",
+                straggler_audit(spark, since),
+            )
+        )
+        sd = spark.read.parquet(sd_path)
+        per_cluster = (
+            sd.filter(vid < n_clone)
+            .groupBy((vid / 3).cast("long").alias("grp"))
+            .agg(F.sum(F.col("kept").cast("int")).alias("k"))
+        )
+        row = per_cluster.agg(
+            F.count(F.lit(1)).alias("clusters"),
+            F.sum(F.when(F.col("k") < 3, 1).otherwise(0)).alias(
+                "deduped"
+            ),
+            F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).alias(
+                "collapsed"
+            ),
+        ).collect()[0]
+        d["clone_clusters"] = row["clusters"]
+        d[f"clusters_deduped_frac{suffix}"] = round(
+            row["deduped"] / max(row["clusters"], 1), 4
+        )
+        d[f"clusters_collapsed_frac{suffix}"] = round(
+            row["collapsed"] / max(row["clusters"], 1), 4
+        )
+        d[f"blob_kept{suffix}"] = sd.filter(
+            (vid >= n_clone) & (vid < n_clone + n_blob) & F.col("kept")
+        ).count()
+        d[f"unique_false_drops{suffix}"] = sd.filter(
+            (vid >= n_clone + n_blob) & ~F.col("kept")
+        ).count()
+        d[f"max_cell{suffix}"] = (
+            sd.groupBy("cell_id")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
 
     import math as _m
 
@@ -823,14 +842,23 @@ def main() -> int:
         n = e["n_vecs"]
         checks += [
             (
-                f"SemDeDup dedups clone clusters @ {n}: "
-                f"{e['clusters_deduped_frac']}",
-                e["clusters_deduped_frac"] >= 0.97,
+                f"SemDeDup (2-probe) dedups clone clusters @ {n}: "
+                f"{e['clusters_deduped_frac']} "
+                f"(1-probe: {e['clusters_deduped_frac_p1']})",
+                e["clusters_deduped_frac"] >= 0.99,
             ),
             (
-                f"SemDeDup collapses clusters to one @ {n}: "
-                f"{e['clusters_collapsed_frac']}",
-                e["clusters_collapsed_frac"] >= 0.75,
+                f"SemDeDup (2-probe) collapses clusters to one @ {n}: "
+                f"{e['clusters_collapsed_frac']} "
+                f"(1-probe: {e['clusters_collapsed_frac_p1']})",
+                e["clusters_collapsed_frac"] >= 0.90,
+            ),
+            (
+                f"multi-probe recovers boundary splits @ {n}: "
+                f"{e['clusters_collapsed_frac']} >= "
+                f"{e['clusters_collapsed_frac_p1']}",
+                e["clusters_collapsed_frac"]
+                >= e["clusters_collapsed_frac_p1"],
             ),
             (
                 f"SemDeDup kills the blob @ {n}: {e['blob_kept']} of "
@@ -839,8 +867,10 @@ def main() -> int:
             ),
             (
                 f"no unique vectors dropped @ {n} "
-                f"({e['unique_false_drops']})",
-                e["unique_false_drops"] == 0,
+                f"({e['unique_false_drops']} 2-probe, "
+                f"{e['unique_false_drops_p1']} 1-probe)",
+                e["unique_false_drops"] == 0
+                and e["unique_false_drops_p1"] == 0,
             ),
             (
                 f"LSH clone recall @ {n} matches single-table theory: "
@@ -984,18 +1014,22 @@ def main() -> int:
             "SemDeDup, not the LSH screen, is the recall-bearing "
             "path).",
             "",
-            "| n_vecs | cells | kmeans (s) | semdedup (s) | clusters "
-            "deduped | collapsed to 1 | blob kept | false drops | "
-            "max cell | lsh bits | lsh (s) | lsh recall (theory) |",
+            "| n_vecs | cells | kmeans (s) | semdedup 1p/2p (s) | "
+            "clusters deduped 1p -> 2p | collapsed 1p -> 2p | blob "
+            "kept 2p | false drops | lsh bits | lsh (s) | lsh recall "
+            "(theory) |",
             "| --- | --- | --- | --- | --- | --- | --- | --- | --- |"
-            " --- | --- | --- |",
+            " --- | --- |",
             *[
                 f"| {e['n_vecs']:,} | {e['n_cells']} | "
-                f"{e['kmeans_wall_s']} | {e['semdedup_wall_s']} | "
+                f"{e['kmeans_wall_s']} | {e['semdedup_wall_s_p1']} / "
+                f"{e['semdedup_wall_s']} | "
+                f"{e['clusters_deduped_frac_p1']} -> "
                 f"{e['clusters_deduped_frac']} | "
+                f"{e['clusters_collapsed_frac_p1']} -> "
                 f"{e['clusters_collapsed_frac']} | {e['blob_kept']} / "
                 f"{e['blob_rows']:,} | {e['unique_false_drops']} | "
-                f"{e['max_cell']} | {e['lsh_bits']} | "
+                f"{e['lsh_bits']} | "
                 f"{e['lsh_wall_s']} | {e['lsh_clone_recall']} "
                 f"({e['lsh_recall_analytic']}) |"
                 for e in emb_results
@@ -1003,8 +1037,12 @@ def main() -> int:
             "",
             "Clusters not collapsed to one survivor straddle a "
             "Voronoi boundary (members assigned to different cells) — "
-            "the documented SemDeDup within-cell approximation; "
-            "nearly all are still deduped (>=1 member dropped).",
+            "the SemDeDup within-cell approximation's one loss mode, "
+            "and it GROWS with cell count (1-probe collapse degrades "
+            "from 20K to 200K).  `n_probe_cells=2` (each row also "
+            "pairs in its second-nearest cell) recovers the boundary "
+            "splits for ~1.5x the wall — the production "
+            "recommendation, and the gated configuration here.",
         ]
         if ivf_result is not None:
             lines += [

@@ -433,3 +433,83 @@ def test_numpy_cell_cap_keeps_over_cap_rows(spark):
     ).collect()
     assert all(r.kept for r in capped)
     assert len(capped) == 20
+
+
+def test_multi_table_lsh_lifts_recall_and_stays_exact(spark, sf_small):
+    """n_tables=4: (a) table 0 shares the single-table planes, so the
+    single-table pair set is a subset; (b) every emitted pair really
+    clears the threshold (the verify filter is exact, so multi-table
+    only adds recall, never precision loss); (c) pairs are emitted
+    once despite colliding in several tables; (d) numpy == sql."""
+    import numpy as np
+
+    emb = read_table(spark, sf_small, "embeddings")
+    single = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_pairs(emb, dim=64, threshold=0.4).collect()
+    }
+    multi_rows = lsh_near_pairs(
+        emb, dim=64, threshold=0.4, n_tables=4
+    ).collect()
+    multi = {(r.id_a, r.id_b) for r in multi_rows}
+    assert len(multi_rows) == len(multi)  # deduplicated
+    assert single <= multi
+    assert len(multi) > len(single)  # extra tables actually add pairs
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    for a, b in multi:
+        cos = float(vecs[a] @ vecs[b]) / (
+            np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])
+        )
+        assert round(cos, 6) >= 0.4
+
+    np_multi = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_pairs(
+            emb, dim=64, threshold=0.4, n_tables=4, method="numpy"
+        ).collect()
+    }
+    assert np_multi == multi
+
+
+def test_semantic_dedup_multi_probe_only_adds_drops(spark, sf_small):
+    """n_probe_cells=2: primary cell assignment is unchanged, the
+    single-probe drop set is a subset of the multi-probe drop set
+    (extra probes can only let MORE near pairs meet, never fewer),
+    and the SQL tier refuses multi-probe (it exists to replay the
+    oracle's single-probe arithmetic)."""
+    import pytest
+
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    cent = kmeans_centroids(emb, n_cells=8, n_iter=1)
+    one = {
+        r.vec_id: (r.cell_id, r.kept)
+        for r in semantic_dedup(
+            emb, cent, threshold=0.4, method="numpy"
+        ).collect()
+    }
+    two = {
+        r.vec_id: (r.cell_id, r.kept)
+        for r in semantic_dedup(
+            emb, cent, threshold=0.4, method="numpy", n_probe_cells=2
+        ).collect()
+    }
+    assert set(one) == set(two)
+    for vid, (cell, kept) in one.items():
+        assert two[vid][0] == cell  # primary cell unchanged
+        if not kept:
+            assert not two[vid][1]  # drops only grow
+    assert sum(1 for _, k in two.values() if not k) >= sum(
+        1 for _, k in one.values() if not k
+    )
+
+    with pytest.raises(ValueError, match="numpy"):
+        semantic_dedup(emb, cent, threshold=0.4, n_probe_cells=2)
