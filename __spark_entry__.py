@@ -576,6 +576,28 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("kept", F.col("kept").cast("int"))
 
 
+def q_semantic_dedup_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-probe SemDeDup (``n_probe_cells=2``, BLAS tier): every
+    embedding also joins the pair scan in its SECOND-nearest cell, so
+    near-dups straddling a Voronoi boundary still meet — the loss
+    mode of plain SemDeDup, which grows with cell count (measured at
+    200 K adversarial vectors / 447 cells: clone-cluster collapse
+    0.70 -> 0.97, see SCALECHECK.md).  The oracle replays the same
+    top-2 assignment (rank ties to the smaller cell id) and
+    any-shared-cell drop rule in SQL; the hash matches because this
+    corpus has no 6-dp tie for BLAS-vs-sequential summation to break
+    differently (the documented numpy-tier caveat)."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = deterministic_centroids(emb, n_cells=16)
+    out = semantic_dedup(
+        emb, cent, threshold=0.4, method="numpy", n_probe_cells=2
+    )
+    return out.withColumn("kept", F.col("kept").cast("int"))
+
+
 # --------------------------------------------------------------------------
 # Relational analytics extensions (joins / windows / rollup / top-k —
 # operator classes the reference lacks, SURVEY.md §2.12)
@@ -1480,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "value_outliers": q_value_outliers,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_multiprobe": q_semantic_dedup_multiprobe,
         "mixture_sample": q_mixture_sample,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
@@ -1731,6 +1754,32 @@ def oracle_sql() -> dict[str, str]:
         d AS (
           SELECT DISTINCT y.vec_id
           FROM b x JOIN b y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+          WHERE ROUND(list_dot_product(x.v, y.v)
+                / (sqrt(list_dot_product(x.v, x.v))
+                   * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4)
+        SELECT b.vec_id, b.cell_id,
+               CAST(d.vec_id IS NULL AS INT) AS kept
+        FROM b LEFT JOIN d ON b.vec_id = d.vec_id
+        """,
+        "semantic_dedup_multiprobe": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cent AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < 16),
+        a AS (
+          SELECT e.vec_id, cent.cell_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ROUND(list_dot_product(e.v, cent.c)
+                                       / (sqrt(list_dot_product(e.v, e.v))
+                                          * sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
+                                    cent.cell_id) AS rn
+          FROM e CROSS JOIN cent),
+        probes AS (SELECT a.vec_id, a.cell_id, a.rn, e.v
+                   FROM a JOIN e USING (vec_id) WHERE a.rn <= 2),
+        b AS (SELECT vec_id, cell_id FROM probes WHERE rn = 1),
+        d AS (
+          SELECT DISTINCT y.vec_id
+          FROM probes x JOIN probes y
+            ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
           WHERE ROUND(list_dot_product(x.v, y.v)
                 / (sqrt(list_dot_product(x.v, x.v))
                    * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4)
