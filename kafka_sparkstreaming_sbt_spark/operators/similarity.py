@@ -705,6 +705,86 @@ def _assign_topn_numpy(
     return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
+def _kmeans_round_numpy(
+    body: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """One FUSED Lloyd round, BLAS tier: a single ``mapInPandas`` pass
+    both assigns every vector (same contract as :func:`_assign_numpy`
+    — 6-dp rounding, smaller-cell-id ties, NaN-as-greatest) and
+    accumulates per-cell (count, vector-sum) partials in a running
+    numpy buffer, emitting ONE row per non-empty cell per partition.
+    The shuffle then carries partitions x cells partial rows instead
+    of the unfused round's TWO full-corpus exchanges (the N-row
+    assignment join-back against the vector payload and the N x dim
+    ``posexplode``) — on local[32] at 200 K this times the same (the
+    scan dominates), but at cluster scale those exchanges are the
+    round's network cost and this deletes both; the per-task buffer
+    is cells x dim doubles, the same fits-in-memory contract the
+    centroid broadcast already imposes.
+
+    Cell means become sum-of-partial-sums / count — same value as the
+    unfused per-member ``avg`` up to float summation order, which is
+    why this is the recall-gated tier's round and the ``"sql"`` tier
+    keeps the exact shape."""
+    rows = sorted(
+        centroids.select("cell_id", "c_vec").collect(),
+        key=lambda r: r["cell_id"],
+    )
+    ids = np.array([r["cell_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["c_vec"] for r in rows], dtype=np.float64)
+    cn = np.linalg.norm(mat, axis=1)
+    n_cells, dim = mat.shape
+    schema = T.StructType(
+        [
+            T.StructField("cell_id", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts = np.zeros(n_cells, dtype=np.int64)
+        sums = np.zeros((n_cells, dim), dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(v, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.round(v @ mat.T / np.outer(vn, cn), 6)
+            cos = np.where(np.isnan(cos), np.inf, cos)
+            best = cos.max(axis=1, keepdims=True)
+            # first column index among ties == smallest cell id
+            # (columns are cell-id ordered)
+            idx = (cos == best).argmax(axis=1)
+            np.add.at(sums, idx, v)
+            counts += np.bincount(idx, minlength=n_cells)
+        live = np.nonzero(counts)[0]
+        yield pd.DataFrame(
+            {
+                "cell_id": ids[live],
+                "cnt": counts[live],
+                "vsum": list(sums[live]),
+            }
+        )
+
+    p = body.select(vec_col).mapInPandas(partials, schema)
+    dims = p.select("cell_id", "cnt", F.posexplode("vsum").alias("pos", "x"))
+    means = dims.groupBy("cell_id", "pos").agg(
+        (F.sum("x") / F.sum("cnt")).alias("m")
+    )
+    return (
+        means.groupBy("cell_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cell_id", F.transform("pm", lambda s: s["m"]).alias("c_vec")
+        )
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -828,11 +908,17 @@ def kmeans_centroids(
     Lloyd behavior; callers probe whatever cells remain.
 
     ``assign_method`` defaults to ``"numpy"`` — k-means is gated on
-    RECALL, not an exact-match oracle, so it takes the BLAS
-    assignment (:func:`_assign_numpy`) unconditionally: measured
-    434 s -> ~25 s for 2 Lloyd rounds at 200 K x 64-dim vectors
-    (scripts/scalecheck.py embed phase).  Pass ``"sql"`` only when
-    replaying the exact zip_with arithmetic is the point.
+    RECALL, not an exact-match oracle, so each round runs FUSED
+    (:func:`_kmeans_round_numpy`): one BLAS scan both assigns and
+    pre-aggregates per-cell partials, shuffling partitions x cells
+    rows per round instead of join-back + N x dim posexplode.
+    Measured at 200 K x 64-dim, 2 rounds: 434 s (zip_with) -> 12.3 s
+    (BLAS assign) — the fused round times the SAME locally (12.4 s:
+    on local[32] the deleted shuffles are cheap and the scan
+    dominates); its payoff is topological, two full-corpus exchanges
+    per round gone, which is what matters on a real cluster.  Pass
+    ``"sql"`` only when replaying the exact zip_with arithmetic is
+    the point.
     """
     from kafka_sparkstreaming_sbt_spark.operators.topk import (
         global_topk_with_rank,
@@ -866,6 +952,14 @@ def kmeans_centroids(
         F.col(id_col), F.col(vec_col)
     )
     for _ in range(n_iter):
+        if assign_method == "numpy":
+            # FUSED round: one corpus scan assigns AND pre-aggregates
+            # per-cell partials — no N-row join-back, no N x dim
+            # posexplode shuffle (see _kmeans_round_numpy)
+            cent = _kmeans_round_numpy(
+                body, cent, vec_col, id_col
+            ).localCheckpoint(eager=True)
+            continue
         # scalar argmax (HashAggregate partial on skinny scored rows)
         # + join-back of the N skinny assignment rows.  Measured
         # FASTER than carrying the vector through a struct-valued

@@ -387,25 +387,31 @@ def test_numpy_assign_and_dedup_match_sql(spark, sf_small):
 
 
 def test_kmeans_numpy_assignment_equals_sql(spark, sf_small):
-    """One Lloyd round with BLAS assignment produces the same
-    centroids as the zip_with assignment: identical memberships imply
-    identical per-(cell, dim) means (the mean agg is shared)."""
+    """One FUSED BLAS Lloyd round produces the same cells and the
+    same means as the zip_with round up to float summation order:
+    memberships are identical (assignment contract is shared), and
+    sum-of-partial-sums/count vs per-member avg agree to ~1e-12
+    relative — compared with a tolerance, not bit-exact."""
+    import numpy as np
+
     from kafka_sparkstreaming_sbt_spark.operators.similarity import (
         kmeans_centroids,
     )
 
     emb = read_table(spark, sf_small, "embeddings")
     c_np = {
-        r.cell_id: tuple(round(x, 9) for x in r.c_vec)
+        r.cell_id: np.array(r.c_vec)
         for r in kmeans_centroids(emb, n_cells=8, n_iter=1).collect()
     }
     c_sql = {
-        r.cell_id: tuple(round(x, 9) for x in r.c_vec)
+        r.cell_id: np.array(r.c_vec)
         for r in kmeans_centroids(
             emb, n_cells=8, n_iter=1, assign_method="sql"
         ).collect()
     }
-    assert c_np == c_sql
+    assert set(c_np) == set(c_sql)
+    for cell, v in c_sql.items():
+        assert np.allclose(c_np[cell], v, rtol=1e-9, atol=1e-12)
 
 
 def test_numpy_cell_cap_keeps_over_cap_rows(spark):
