@@ -222,8 +222,14 @@ def main() -> None:
 
     recall = ivf_kmeans_recall(spark, sf_dir)
     spark.catalog.clearCache()
-    stream = stream_throughput(
-        spark, int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "200000"))
+    # best of 2, the same discipline as the batch queries' min-of-3:
+    # micro-batch scheduling variance is +/-40% run-to-run (measured
+    # 14-25 K rows/s for identical code), so a single sample makes
+    # round-over-round comparison noise, not signal
+    n_stream_rows = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "200000"))
+    stream = min(
+        (stream_throughput(spark, n_stream_rows) for _ in range(2)),
+        key=lambda r: r["stream_wall_sec"],
     )
     stream.update(
         stream_stateful_probe(
