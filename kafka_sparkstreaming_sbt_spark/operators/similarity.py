@@ -315,6 +315,7 @@ def _group_pairs_numpy(
     threshold: float,
     vec_col: str,
     id_col: str,
+    block: int = _PAIR_BLOCK,
 ) -> DataFrame:
     """All (id_a < id_b, cosine >= threshold) pairs WITHIN each group
     (LSH bucket / IVF cell), one ``applyInPandas`` per group: the
@@ -343,8 +344,8 @@ def _group_pairs_numpy(
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             n = np.linalg.norm(v, axis=1)
             pid = pdf[id_col].to_numpy()
-            for s in range(1, g, _PAIR_BLOCK):
-                e = min(s + _PAIR_BLOCK, g)
+            for s in range(1, g, block):
+                e = min(s + block, g)
                 with np.errstate(invalid="ignore", divide="ignore"):
                     cos = np.round(
                         v[s:e] @ v[:e].T / np.outer(n[s:e], n[:e]), 6
@@ -382,6 +383,7 @@ def _group_dropped_numpy(
     threshold: float,
     vec_col: str,
     id_col: str,
+    block: int = _PAIR_BLOCK,
 ) -> DataFrame:
     """Ids that have a SMALLER-id neighbor at cosine >= threshold in
     their group — the SemDeDup drop set, computed per group with the
@@ -399,8 +401,8 @@ def _group_dropped_numpy(
         v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         n = np.linalg.norm(v, axis=1)
         hit = np.zeros(g, dtype=bool)
-        for s in range(1, g, _PAIR_BLOCK):
-            e = min(s + _PAIR_BLOCK, g)
+        for s in range(1, g, block):
+            e = min(s + block, g)
             with np.errstate(invalid="ignore", divide="ignore"):
                 cos = np.round(
                     v[s:e] @ v[:e].T / np.outer(n[s:e], n[:e]), 6
@@ -595,18 +597,52 @@ def _id_field(df: DataFrame, id_col: str) -> T.StructField:
     return next(f for f in df.schema.fields if f.name == id_col)
 
 
+_CENT_BLOCK = 2048  # centroid columns per matmul: bounds the per-task
+# cosine buffer at batch x _CENT_BLOCK doubles (~160 MB at Arrow's
+# default 10 K batch) so assignment survives C ~ sqrt(N) ~ 1e5+ cells
+# at 100 TB instead of materializing a multi-GB batch x C matrix
+
+
+def _centroid_arrays(centroids: DataFrame):
+    """Collect the (tiny) centroid table driver-side, ID-ASCENDING —
+    the block loops rely on later blocks holding strictly larger ids
+    so cross-block ties resolve toward the smaller id."""
+    rows = sorted(
+        centroids.select("cell_id", "c_vec").collect(),
+        key=lambda r: r["cell_id"],
+    )
+    ids = np.array([r["cell_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["c_vec"] for r in rows], dtype=np.float64)
+    if not len(rows):
+        mat = mat.reshape(0, 0)
+    return ids, mat, np.linalg.norm(mat, axis=1)
+
+
+def _block_cos(v, vn, mat, cn, lo, hi):
+    """Rounded cosine of a vector batch against centroid columns
+    [lo, hi), NaN promoted to +inf (Spark's NaN-sorts-greatest)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos = np.round(
+            v @ mat[lo:hi].T / np.outer(vn, cn[lo:hi]), 6
+        )
+    return np.where(np.isnan(cos), np.inf, cos)
+
+
 def _assign_numpy(
     corpus: DataFrame,
     centroids: DataFrame,
     vec_col: str,
     id_col: str,
+    cent_block: int = _CENT_BLOCK,
 ) -> DataFrame:
     """Arrow/BLAS assignment: one ``mapInPandas`` pass where every
-    batch is scored against the whole centroid matrix with a single
-    numpy matmul.  The N x C dot products that cost ~200 s per Lloyd
-    round at 200 K x 447 through ``zip_with``/``aggregate`` (an array
-    allocation per scored pair) take <1 s of BLAS — measured 434 s ->
-    ~25 s for 2-round k-means in scripts/scalecheck.py's embed phase.
+    batch is scored against the centroid matrix in ``cent_block``-wide
+    matmuls with a running (best score, best id) — memory stays
+    batch x cent_block however many cells exist.  The N x C dot
+    products that cost ~200 s per Lloyd round at 200 K x 447 through
+    ``zip_with``/``aggregate`` (an array allocation per scored pair)
+    take <1 s of BLAS — measured 434 s -> 12.3 s for 2-round k-means
+    in scripts/scalecheck.py's embed phase.
 
     Same contract as the SQL path: cosine rounded to 6 dp before the
     argmax, ties to the smaller cell id, NaN scores (zero-norm
@@ -615,10 +651,7 @@ def _assign_numpy(
     product, which can flip a 6-dp rounding on an exact tie; that is
     why oracle-hashed queries keep ``method="sql"`` and the numpy
     path serves the recall-gated / throughput surfaces."""
-    rows = centroids.select("cell_id", "c_vec").collect()
-    ids = np.array([r["cell_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["c_vec"] for r in rows], dtype=np.float64)
-    cn = np.linalg.norm(mat, axis=1)
+    ids, mat, cn = _centroid_arrays(centroids)
     schema = T.StructType(
         [_id_field(corpus, id_col), T.StructField("cell_id", T.LongType())]
     )
@@ -629,18 +662,25 @@ def _assign_numpy(
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             vn = np.linalg.norm(v, axis=1)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cos = np.round(v @ mat.T / np.outer(vn, cn), 6)
-            # NaN == "greatest" (Spark ordering): promote to +inf so
-            # the argmax and its smaller-id tie-break see them
-            cos = np.where(np.isnan(cos), np.inf, cos)
-            best = cos.max(axis=1, keepdims=True)
-            cand = np.where(cos == best, ids[None, :], np.iinfo(np.int64).max)
+            b = len(pdf)
+            best = np.full(b, -np.inf)
+            best_id = np.full(b, np.iinfo(np.int64).max, dtype=np.int64)
+            for lo in range(0, len(ids), cent_block):
+                hi = min(lo + cent_block, len(ids))
+                cos = _block_cos(v, vn, mat, cn, lo, hi)
+                blk_best = cos.max(axis=1)
+                blk_id = np.where(
+                    cos == blk_best[:, None],
+                    ids[lo:hi][None, :],
+                    np.iinfo(np.int64).max,
+                ).min(axis=1)
+                # later blocks hold larger ids, so a strict > keeps
+                # the earlier (smaller-id) winner on cross-block ties
+                take = blk_best > best
+                best = np.where(take, blk_best, best)
+                best_id = np.where(take, blk_id, best_id)
             yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "cell_id": cand.min(axis=1),
-                }
+                {id_col: pdf[id_col].to_numpy(), "cell_id": best_id}
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
@@ -652,6 +692,7 @@ def _assign_topn_numpy(
     vec_col: str,
     id_col: str,
     n_probe: int,
+    cent_block: int = _CENT_BLOCK,
 ) -> DataFrame:
     """Top-``n_probe`` cell assignment (multi-probe), BLAS tier: like
     :func:`_assign_numpy` but emits ``(id, cell_id, probe_rank)``
@@ -661,14 +702,14 @@ def _assign_topn_numpy(
     Multi-probe is what recovers near-dup pairs whose members
     straddle a Voronoi boundary (the SemDeDup within-cell
     approximation's one loss mode — measured: clone-cluster collapse
-    0.70 -> 0.97 at 200 K vectors with n_probe=2)."""
-    rows = sorted(
-        centroids.select("cell_id", "c_vec").collect(),
-        key=lambda r: r["cell_id"],
-    )
-    ids = np.array([r["cell_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["c_vec"] for r in rows], dtype=np.float64)
-    cn = np.linalg.norm(mat, axis=1)
+    0.70 -> 0.97 at 200 K vectors with n_probe=2).
+
+    Centroids are scored in ``cent_block``-wide matmuls with a
+    running top-``n_probe`` candidate buffer per row, kept
+    ID-ASCENDING between merges so a stable sort on score breaks
+    every tie toward the smaller cell id, within AND across blocks —
+    memory stays batch x (cent_block + n_probe) at any cell count."""
+    ids, mat, cn = _centroid_arrays(centroids)
     n_probe = min(n_probe, len(ids))
     schema = T.StructType(
         [
@@ -684,21 +725,37 @@ def _assign_topn_numpy(
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             vn = np.linalg.norm(v, axis=1)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cos = np.round(v @ mat.T / np.outer(vn, cn), 6)
-            cos = np.where(np.isnan(cos), np.inf, cos)
-            # columns are in ascending-cell-id order, so a STABLE
-            # sort on -cos breaks exact ties toward the smaller id —
-            # the single-probe contract
-            idx = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
             b = len(pdf)
+            kv = np.empty((b, 0), dtype=np.float64)
+            ki = np.empty((b, 0), dtype=np.int64)
+            for lo in range(0, len(ids), cent_block):
+                hi = min(lo + cent_block, len(ids))
+                cos = _block_cos(v, vn, mat, cn, lo, hi)
+                vals = np.concatenate([kv, cos], axis=1)
+                cids = np.concatenate(
+                    [ki, np.broadcast_to(ids[lo:hi], (b, hi - lo))],
+                    axis=1,
+                )
+                # kept ids all precede this block's ids, so the
+                # concatenation is id-ascending and the STABLE sort
+                # on -val keeps every tie at the smaller id
+                order = np.argsort(vals * -1, axis=1, kind="stable")[
+                    :, :n_probe
+                ]
+                kv = np.take_along_axis(vals, order, axis=1)
+                ki = np.take_along_axis(cids, order, axis=1)
+                # restore the id-ascending invariant for the next merge
+                reord = np.argsort(ki, axis=1, kind="stable")
+                kv = np.take_along_axis(kv, reord, axis=1)
+                ki = np.take_along_axis(ki, reord, axis=1)
+            order = np.argsort(kv * -1, axis=1, kind="stable")
+            ki = np.take_along_axis(ki, order, axis=1)
+            k = ki.shape[1]
             yield pd.DataFrame(
                 {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), n_probe),
-                    "cell_id": ids[idx].reshape(-1),
-                    "probe_rank": np.tile(
-                        np.arange(n_probe, dtype=np.int32), b
-                    ),
+                    id_col: np.repeat(pdf[id_col].to_numpy(), k),
+                    "cell_id": ki.reshape(-1),
+                    "probe_rank": np.tile(np.arange(k, dtype=np.int32), b),
                 }
             )
 
@@ -729,13 +786,7 @@ def _kmeans_round_numpy(
     unfused per-member ``avg`` up to float summation order, which is
     why this is the recall-gated tier's round and the ``"sql"`` tier
     keeps the exact shape."""
-    rows = sorted(
-        centroids.select("cell_id", "c_vec").collect(),
-        key=lambda r: r["cell_id"],
-    )
-    ids = np.array([r["cell_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["c_vec"] for r in rows], dtype=np.float64)
-    cn = np.linalg.norm(mat, axis=1)
+    ids, mat, cn = _centroid_arrays(centroids)
     n_cells, dim = mat.shape
     schema = T.StructType(
         [
@@ -753,13 +804,19 @@ def _kmeans_round_numpy(
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             vn = np.linalg.norm(v, axis=1)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cos = np.round(v @ mat.T / np.outer(vn, cn), 6)
-            cos = np.where(np.isnan(cos), np.inf, cos)
-            best = cos.max(axis=1, keepdims=True)
-            # first column index among ties == smallest cell id
-            # (columns are cell-id ordered)
-            idx = (cos == best).argmax(axis=1)
+            b = len(pdf)
+            best = np.full(b, -np.inf)
+            idx = np.zeros(b, dtype=np.int64)  # POSITION of best cell
+            for lo in range(0, n_cells, _CENT_BLOCK):
+                hi = min(lo + _CENT_BLOCK, n_cells)
+                cos = _block_cos(v, vn, mat, cn, lo, hi)
+                blk_best = cos.max(axis=1)
+                # first tied column = smallest id (cell-id-ordered);
+                # strict > keeps earlier-block (smaller-id) winners
+                blk_idx = (cos == blk_best[:, None]).argmax(axis=1) + lo
+                take = blk_best > best
+                best = np.where(take, blk_best, best)
+                idx = np.where(take, blk_idx, idx)
             np.add.at(sums, idx, v)
             counts += np.bincount(idx, minlength=n_cells)
         live = np.nonzero(counts)[0]

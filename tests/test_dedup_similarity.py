@@ -519,3 +519,46 @@ def test_semantic_dedup_multi_probe_only_adds_drops(spark, sf_small):
 
     with pytest.raises(ValueError, match="numpy"):
         semantic_dedup(emb, cent, threshold=0.4, n_probe_cells=2)
+
+
+def test_centroid_block_chunking_is_invisible(spark, sf_small):
+    """At C ~ sqrt(N) ~ 1e5+ cells the batch x C cosine matrix would
+    be gigabytes, so the BLAS kernels score centroids in blocks with
+    a running best / running top-n.  Chunking must be a pure memory
+    knob: cent_block=3 (forcing many cross-block merges and ties)
+    must produce byte-identical assignments and probe rankings to the
+    single-block run."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        _assign_numpy,
+        _assign_topn_numpy,
+        deterministic_centroids,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    cent = deterministic_centroids(emb, n_cells=16)
+
+    whole = {
+        r.vec_id: r.cell_id
+        for r in _assign_numpy(emb, cent, "embedding", "vec_id").collect()
+    }
+    chunked = {
+        r.vec_id: r.cell_id
+        for r in _assign_numpy(
+            emb, cent, "embedding", "vec_id", cent_block=3
+        ).collect()
+    }
+    assert whole == chunked
+
+    whole_n = {
+        (r.vec_id, r.probe_rank): r.cell_id
+        for r in _assign_topn_numpy(
+            emb, cent, "embedding", "vec_id", 3
+        ).collect()
+    }
+    chunked_n = {
+        (r.vec_id, r.probe_rank): r.cell_id
+        for r in _assign_topn_numpy(
+            emb, cent, "embedding", "vec_id", 3, cent_block=3
+        ).collect()
+    }
+    assert whole_n == chunked_n

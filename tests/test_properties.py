@@ -120,3 +120,75 @@ def test_dedup_idempotent_and_exact(spark, rows):
     once = dedup_transactions(df)
     assert once.count() == len({tid for tid, _ in rows})
     assert dedup_transactions(once).count() == once.count()
+
+
+vec_groups_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # group
+        st.lists(
+            st.integers(min_value=-3, max_value=3),
+            min_size=4,
+            max_size=4,
+        ),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@_slow
+@given(rows=vec_groups_strategy)
+def test_blockwise_group_pair_scan_matches_brute_force(spark, rows):
+    """The BLAS per-group pair scan (_group_pairs_numpy) and SemDeDup
+    drop scan (_group_dropped_numpy) run blockwise; block=3 forces
+    every boundary case (pairs inside one block, across blocks, in the
+    never-a-left-row first slot).  Reference model: python brute force
+    over all in-group pairs with the same 6-dp rounding; zero-norm
+    vectors never pair (NaN cosine compares False on the numpy tier).
+    """
+    import math as m
+
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        _group_dropped_numpy,
+        _group_pairs_numpy,
+    )
+
+    threshold = 0.5
+    df = spark.createDataFrame(
+        [(i, g, [float(x) for x in v]) for i, (g, v) in enumerate(rows)],
+        "vec_id long, grp long, embedding array<double>",
+    )
+
+    expect_pairs = {}
+    expect_dropped = set()
+    for a, (ga, va) in enumerate(rows):
+        for b in range(a + 1, len(rows)):
+            gb, vb = rows[b]
+            if ga != gb:
+                continue
+            na = m.sqrt(sum(x * x for x in va))
+            nb = m.sqrt(sum(x * x for x in vb))
+            if na == 0.0 or nb == 0.0:
+                continue
+            cos = round(sum(x * y for x, y in zip(va, vb)) / (na * nb), 6)
+            if cos >= threshold:
+                expect_pairs[(a, b)] = cos
+                expect_dropped.add(b)
+
+    got_pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in _group_pairs_numpy(
+            df, "grp", threshold, "embedding", "vec_id", block=3
+        ).collect()
+    }
+    assert set(got_pairs) == set(expect_pairs)
+    for k, v in expect_pairs.items():
+        assert abs(got_pairs[k] - v) <= 2e-6
+
+    got_dropped = {
+        r.vec_id
+        for r in _group_dropped_numpy(
+            df, "grp", threshold, "embedding", "vec_id", block=3
+        ).collect()
+    }
+    assert got_dropped == expect_dropped
