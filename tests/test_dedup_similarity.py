@@ -562,3 +562,24 @@ def test_centroid_block_chunking_is_invisible(spark, sf_small):
         ).collect()
     }
     assert whole_n == chunked_n
+
+
+def test_cosine_topk_numpy_matches_sql(spark, sf_small):
+    """The BLAS top-k tier returns the identical ranked result set as
+    the SQL tier on the fixture corpus — same neighbors, same ranks,
+    6-dp-equal cosines (exactness of the per-batch local top-k with
+    its id-ascending stable tie-break)."""
+    emb = read_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 7)
+    sql_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    np_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(emb, queries, k=10, method="numpy").collect()
+    }
+    assert set(sql_rows) == set(np_rows)
+    for key, (nid, cos) in sql_rows.items():
+        assert np_rows[key][0] == nid
+        assert abs(np_rows[key][1] - cos) <= 1e-6
