@@ -1182,7 +1182,7 @@ def ivf_kmeans_topk(
     cent = kmeans_centroids(corpus, n_cells, n_iter, seed, vec_col, id_col)
     return _ivf_search(
         corpus, queries, cent, k, n_probe, vec_col, id_col,
-        assign_method="numpy",
+        assign_method="numpy", search_method="numpy",
     )
 
 
@@ -1209,6 +1209,109 @@ def ivf_topk(
     return _ivf_search(corpus, queries, centroids, k, n_probe, vec_col, id_col)
 
 
+def _ivf_search_numpy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    n_probe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Batch IVF search, BLAS tier — the large-Q shape (retrieval
+    dedup, hard-negative mining: thousands of queries over millions
+    of vectors).  Queries pick their ``n_probe`` cells via
+    :func:`_assign_topn_numpy` (identical probe sets and tie-breaks
+    to the SQL tier's windowed rank), the corpus lives in its
+    assigned cells, and a per-cell COGROUP computes each cell's
+    local per-query top-k with one Nc x Qc matmul — so the exchange
+    carries each corpus row once (to its cell) and each query
+    ``n_probe`` times, instead of the SQL tier's Q x N/C x n_probe
+    candidate join rows; the global merge is the shared
+    WindowGroupLimit rank.  Per-task memory is Nc x (dim + Qc)
+    doubles (cell size x probing queries); parallelism is bounded by
+    the cell count, so this tier wants C >= cores.  Measured at
+    Q=513, N=200 K x 64-dim on local[32]: 125.4 s -> 15.2 s (8.2x)
+    at 128 cells / 32 probes; 25.4 s -> 16.0 s at 16 cells / 4
+    probes (16 cogroups underfill 32 cores — the gap widens with C
+    and probe volume).  Exact within the probed cells; results match
+    the SQL tier modulo BLAS summation order on a 6-dp tie (measured
+    0 mismatches of 5,130 ranked rows), so ``ivf_topk``'s oracle
+    stays on ``"sql"``."""
+    from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
+
+    qprobes = _assign_topn_numpy(
+        queries, centroids, vec_col, id_col, n_probe
+    ).select(F.col(id_col).alias("query_id"), "cell_id")
+    qside = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).join(qprobes, "query_id")
+    assigned = ivf_assign(
+        parallelize_for_compute(corpus),
+        centroids,
+        vec_col,
+        id_col,
+        method="numpy",
+    )
+    cside = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    ).join(
+        assigned.select(F.col(id_col).alias("neighbor_id"), "cell_id"),
+        "neighbor_id",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+        if not len(cpdf) or not len(qpdf):
+            return empty
+        cpdf = cpdf.sort_values("neighbor_id", kind="mergesort")
+        nid = cpdf["neighbor_id"].to_numpy()
+        v = np.stack(cpdf["n_vec"].to_numpy()).astype(np.float64)
+        vn = np.linalg.norm(v, axis=1)
+        qid = qpdf["query_id"].to_numpy()
+        qm = np.stack(qpdf["q_vec"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.round(v @ qm.T / np.outer(vn, qn), 6)
+        cos[nid[:, None] == qid[None, :]] = -np.inf  # self-match
+        cos = np.where(np.isnan(cos), -np.inf, cos)
+        kk = min(k, cos.shape[0])
+        # rows id-ascending -> stable sort ranks ties at the smaller
+        # neighbor id, the global (cosine DESC, id ASC) order
+        order = np.argsort(-cos, axis=0, kind="stable")[:kk]
+        flat_q = np.tile(qid, kk)
+        flat_n = nid[order].reshape(-1)
+        flat_c = np.take_along_axis(cos, order, axis=0).reshape(-1)
+        keep = flat_c > -np.inf
+        return pd.DataFrame(
+            {
+                "query_id": flat_q[keep],
+                "neighbor_id": flat_n[keep],
+                "cosine": flat_c[keep],
+            }
+        )
+
+    scored = (
+        cside.groupby("cell_id")
+        .cogroup(qside.groupby("cell_id"))
+        .applyInPandas(local_topk, schema)
+    )
+    return _ranked_topk_per_query(scored, k)
+
+
 def _ivf_search(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1218,6 +1321,7 @@ def _ivf_search(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign_method: str = "sql",
+    search_method: str = "sql",
 ) -> DataFrame:
     """Shared IVF search: assign corpus to cells, rank cells per query
     by centroid cosine, scan the top ``n_probe`` cells, exact-rank the
@@ -1225,7 +1329,13 @@ def _ivf_search(
     once (on the assignment join key).  ``assign_method`` follows the
     caller's determinism contract: ``ivf_topk`` replays the exact SQL
     arithmetic its DuckDB oracle hashes, ``ivf_kmeans_topk`` takes
-    the BLAS path (recall-gated)."""
+    the BLAS path (recall-gated).  ``search_method="numpy"`` swaps
+    the probed-candidate join + per-pair SQL dots for the per-cell
+    cogroup matmul (:func:`_ivf_search_numpy`) — the large-Q tier."""
+    if search_method == "numpy":
+        return _ivf_search_numpy(
+            corpus, queries, centroids, k, n_probe, vec_col, id_col
+        )
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
     assigned = ivf_assign(

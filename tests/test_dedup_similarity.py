@@ -583,3 +583,32 @@ def test_cosine_topk_numpy_matches_sql(spark, sf_small):
     for key, (nid, cos) in sql_rows.items():
         assert np_rows[key][0] == nid
         assert abs(np_rows[key][1] - cos) <= 1e-6
+
+
+def test_ivf_search_numpy_matches_sql(spark, sf_small):
+    """The cogroup BLAS IVF search returns the identical ranked rows
+    as the SQL candidate-join search for the same centroids and probe
+    count: probe sets share the tie-break contract, per-cell scan is
+    exact, and the global rank stage is shared."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        _ivf_search,
+        deterministic_centroids,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 37 == 1)
+    cent = deterministic_centroids(emb, n_cells=16)
+    sql_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 6))
+        for r in _ivf_search(
+            emb, queries, cent, 10, 4, search_method="sql"
+        ).collect()
+    }
+    np_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 6))
+        for r in _ivf_search(
+            emb, queries, cent, 10, 4, search_method="numpy"
+        ).collect()
+    }
+    assert sql_rows == np_rows
+    assert sql_rows  # non-degenerate
