@@ -21,18 +21,21 @@ the list order (``aggregate``/``zip_with``), ranking ties broken by
 neighbor id, cosine rounded to 6 dp — byte-identical with the DuckDB
 oracle's ``list_dot_product`` on double lists.
 
-Two execution tiers (``method=`` / ``assign_method=``)
-------------------------------------------------------
+Two execution tiers (``method=`` / ``assign_method=`` / ``search_method=``)
+---------------------------------------------------------------------------
 ``"sql"`` keeps every dot product in Catalyst with the left-to-right
 summation above — the tier oracle-hashed queries replay.  ``"numpy"``
 runs the same math as Arrow-batched BLAS matmuls (mapInPandas
-assignment, per-group applyInPandas pair scans) — identical rounding
-contract but library summation order, so an exact 6-dp tie could in
-principle round differently; measured 35x faster at 200 K x 64-dim
-(434 s -> 12.3 s for 2-round k-means).  Recall-gated surfaces
-(k-means, ivf_kmeans_topk, the scale harness) default to BLAS;
-oracle surfaces default to SQL.  Parity between tiers is pinned by
-tests on the fixture corpus.
+assignment and top-k scoring, per-group/cogroup applyInPandas pair
+scans) — identical rounding contract but library summation order, so
+an exact 6-dp tie could in principle round differently.  Defaults
+follow MEASUREMENT, not ideology: k-means assignment is always BLAS
+(434 s -> 12.3 s at 200 K x 64-dim — recall-gated, no oracle);
+brute top-k and IVF search default to SQL (faster at the 2 K-vector
+gate scale, and what the oracles hash) with the BLAS tier as the
+opt-in that wins at volume (top-k 46.1 s -> 9.3 s at Q=513/N=200 K;
+IVF search 125.4 s -> 15.2 s at 128 cells).  Parity between tiers
+is pinned by tests on the fixture corpus.
 """
 
 from __future__ import annotations
