@@ -3,7 +3,9 @@ of this engine's LLM-data operators over a documents parquet table:
 
     quality scoring -> language ID -> PII redaction -> exact dedup ->
     MinHash near-dup groups (transitive) -> keep the LONGEST doc per
-    group (canonical election) -> deterministic train/valid/test split
+    group (canonical election) -> [optional] SemDeDup semantic dedup
+    over the documents' embeddings (k-means cells, 2-probe boundary
+    recovery, BLAS tier) -> deterministic train/valid/test split
     -> partitioned parquet lake write + one-line JSON report.
 
 Every stage is a DataFrame transform from the library (zero driver
@@ -14,7 +16,8 @@ produces byte-identical output (content-hash splits, no RNG).
 
     python examples/curate_corpus.py \
         --input /root/testdata/sf0.01 --output /tmp/curated \
-        [--jaccard-threshold 0.5] [--min-quality 0.3]
+        [--jaccard-threshold 0.5] [--min-quality 0.3] \
+        [--semantic-threshold 0.9]
 """
 
 from __future__ import annotations
@@ -32,6 +35,10 @@ from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
     minhash_near_dup_pairs,
 )
 from kafka_sparkstreaming_sbt_spark.operators.graph import select_canonical
+from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+    kmeans_centroids,
+    semantic_dedup,
+)
 from kafka_sparkstreaming_sbt_spark.operators.sampling import with_split
 from kafka_sparkstreaming_sbt_spark.operators.text import (
     exact_dedup_groups,
@@ -49,8 +56,19 @@ def curate(
     output_dir: str,
     jaccard_threshold: float = 0.5,
     min_quality: float = 0.3,
+    semantic_threshold: float | None = None,
 ) -> dict:
-    """Run the curation chain; returns the per-stage count report."""
+    """Run the curation chain; returns the per-stage count report.
+
+    ``semantic_threshold`` (e.g. 0.9) adds SemDeDup semantic dedup:
+    the corpus ``embeddings`` table (``vec_id`` == ``doc_id``) is
+    quantized with seeded k-means and near-duplicate embeddings are
+    pruned within each row's two nearest cells (the 2-probe BLAS
+    configuration the scale harness gates — collapse holds 0.95+
+    where single-probe degrades to 0.62 at 1M vectors).  Textual
+    near-dup dedup catches lexical copies; the semantic stage
+    additionally drops paraphrases and re-encodings the shingle
+    space cannot see."""
     docs = read_table(spark, input_dir, "documents")
     n_input = docs.count()
 
@@ -75,6 +93,22 @@ def curate(
         F.col("keep")
     ).select("doc_id")
 
+    sem_keep = None
+    if semantic_threshold is not None:
+        emb = read_table(spark, input_dir, "embeddings")
+        cents = kmeans_centroids(emb, n_iter=2)
+        sem_keep = (
+            semantic_dedup(
+                emb,
+                cents,
+                threshold=semantic_threshold,
+                method="numpy",
+                n_probe_cells=2,
+            )
+            .filter(F.col("kept"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+
     kept = (
         docs.join(exact_keep, "doc_id", "left_semi")
         .join(near_keep, "doc_id", "left_semi")
@@ -82,6 +116,8 @@ def curate(
         .join(langs, "doc_id")
         .filter(F.col("quality_score") >= min_quality)
     )
+    if sem_keep is not None:
+        kept = kept.join(sem_keep, "doc_id", "left_semi")
 
     # redact AFTER dedup (why scrub text you are about to drop), then
     # attach the deterministic split and write the curated lake
@@ -123,6 +159,12 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
     p.add_argument("--min-quality", type=float, default=0.3)
+    p.add_argument(
+        "--semantic-threshold",
+        type=float,
+        default=None,
+        help="enable SemDeDup semantic dedup at this cosine threshold",
+    )
     args = p.parse_args()
     spark = get_spark(app_name="curate-corpus")
     report = curate(
@@ -131,6 +173,7 @@ def main() -> None:
         args.output,
         args.jaccard_threshold,
         args.min_quality,
+        args.semantic_threshold,
     )
     print(json.dumps(report))
     spark.stop()

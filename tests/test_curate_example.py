@@ -31,3 +31,23 @@ def test_curate_corpus_end_to_end(spark, sf_small):
     a = spark.read.parquet(out).orderBy("doc_id").collect()
     b = spark.read.parquet(out2).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_curate_with_semantic_stage(spark, sf_small):
+    """--semantic-threshold composes SemDeDup into the chain: the
+    semantic-kept set can only shrink the curated corpus (it is one
+    more left-semi join), the pipeline stays deterministic, and a
+    permissive threshold (1.01 > any cosine) drops nothing."""
+    import tempfile
+
+    out_base = tempfile.mkdtemp()
+    base = curate(spark, sf_small, out_base)
+    out_sem = tempfile.mkdtemp()
+    sem = curate(spark, sf_small, out_sem, semantic_threshold=0.8)
+    assert sem["curated_docs"] <= base["curated_docs"]
+    out_sem2 = tempfile.mkdtemp()
+    assert curate(spark, sf_small, out_sem2, semantic_threshold=0.8) == sem
+    # impossible threshold -> semantic stage is a no-op
+    out_noop = tempfile.mkdtemp()
+    noop = curate(spark, sf_small, out_noop, semantic_threshold=1.01)
+    assert noop["curated_docs"] == base["curated_docs"]
