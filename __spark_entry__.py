@@ -85,6 +85,7 @@ from kafka_sparkstreaming_sbt_spark.operators.similarity import (  # noqa: E402
     _hyperplanes,
     cosine_topk,
     deterministic_centroids,
+    incremental_semantic_dedup,
     ivf_kmeans_topk,
     ivf_topk,
     lsh_bucket,
@@ -560,6 +561,25 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_pairs(emb, dim=64, threshold=0.4, n_bits=4, seed=42)
 
 
+def q_embedding_similar_pairs_multitable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-table LSH near-pairs (``n_tables=2``): two independent
+    hyperplane tables computed in ONE corpus scan and fanned out with
+    a single explode; pairs colliding in either table are verified
+    with the exact cosine and de-duplicated.  The recall lever of
+    banding applied to embeddings — single-table recall p^n_bits
+    becomes 1-(1-p^n_bits)^2 for 2x the candidate work.  The planes
+    are seeded and data-independent (seed + 7919*t per table), so the
+    DuckDB oracle replays the exact per-table buckets and unions the
+    per-table pair sets."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_near_pairs(
+        emb, dim=64, threshold=0.4, n_bits=4, seed=42, n_tables=2
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: assign every embedding to one of
     16 Voronoi cells, pairwise cosine ONLY within cells, drop rows
@@ -595,6 +615,27 @@ def q_semantic_dedup_multiprobe(
     out = semantic_dedup(
         emb, cent, threshold=0.4, method="numpy", n_probe_cells=2
     )
+    return out.withColumn("kept", F.col("kept").cast("int"))
+
+
+def q_incremental_semantic_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SemDeDup — the embedding-side daily-ingest screen
+    (VERDICT r5 #2): rows ``vec_id >= 400`` arrive as today's batch
+    against the ``vec_id < 400`` corpus; each batch row is assigned to
+    the EXISTING deterministic centroids and paired only against
+    in-cell corpus members (seniors-first) and earlier in-cell batch
+    rows.  Verdicts are byte-identical to running full
+    ``semantic_dedup`` over the union (parity-tested) at
+    batch-proportional cost.  The deterministic ``vec_id < 16``
+    quantizer makes the DuckDB oracle replay assignment exactly."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    cent = deterministic_centroids(corpus, n_cells=16)
+    out = incremental_semantic_dedup(batch, corpus, cent, threshold=0.4)
     return out.withColumn("kept", F.col("kept").cast("int"))
 
 
@@ -1504,6 +1545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_multiprobe": q_semantic_dedup_multiprobe,
         "mixture_sample": q_mixture_sample,
+        "embedding_similar_pairs_multitable": (
+            q_embedding_similar_pairs_multitable
+        ),
+        "incremental_semantic_dedup": q_incremental_semantic_dedup,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -1737,6 +1782,25 @@ def oracle_sql() -> dict[str, str]:
               FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
         SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
         """,
+        "embedding_similar_pairs_multitable": f"""
+        WITH b AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                          {_sql_bucket_expr(4, 42)} AS b0,
+                          {_sql_bucket_expr(4, 42 + 7919)} AS b1
+                   FROM embeddings),
+        p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                     ROUND(list_dot_product(x.v, y.v)
+                           / (sqrt(list_dot_product(x.v, x.v))
+                              * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+              FROM b x JOIN b y ON x.b0 = y.b0 AND x.vec_id < y.vec_id
+              UNION
+              SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                     ROUND(list_dot_product(x.v, y.v)
+                           / (sqrt(list_dot_product(x.v, x.v))
+                              * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+              FROM b x JOIN b y ON x.b1 = y.b1 AND x.vec_id < y.vec_id)
+        SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+        """,
         "semantic_dedup": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),
@@ -1754,6 +1818,38 @@ def oracle_sql() -> dict[str, str]:
         d AS (
           SELECT DISTINCT y.vec_id
           FROM b x JOIN b y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+          WHERE ROUND(list_dot_product(x.v, y.v)
+                / (sqrt(list_dot_product(x.v, x.v))
+                   * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4)
+        SELECT b.vec_id, b.cell_id,
+               CAST(d.vec_id IS NULL AS INT) AS kept
+        FROM b LEFT JOIN d ON b.vec_id = d.vec_id
+        """,
+        "incremental_semantic_dedup": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cent AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < 16),
+        a AS (
+          SELECT e.vec_id, cent.cell_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ROUND(list_dot_product(e.v, cent.c)
+                                       / (sqrt(list_dot_product(e.v, e.v))
+                                          * sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
+                                    cent.cell_id) AS rn
+          FROM e CROSS JOIN cent),
+        asg AS (SELECT a.vec_id, a.cell_id, e.v
+                FROM a JOIN e USING (vec_id) WHERE a.rn = 1),
+        b AS (SELECT * FROM asg WHERE vec_id >= 400),
+        c AS (SELECT * FROM asg WHERE vec_id < 400),
+        d AS (
+          SELECT DISTINCT y.vec_id
+          FROM b y JOIN c x ON x.cell_id = y.cell_id
+          WHERE ROUND(list_dot_product(x.v, y.v)
+                / (sqrt(list_dot_product(x.v, x.v))
+                   * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4
+          UNION
+          SELECT DISTINCT y.vec_id
+          FROM b y JOIN b x ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
           WHERE ROUND(list_dot_product(x.v, y.v)
                 / (sqrt(list_dot_product(x.v, x.v))
                    * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4)

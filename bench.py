@@ -11,6 +11,22 @@ no driver-side collect of the result set), and timed as the MIN of
 load on this box makes single-run wall times +-30%, and the minimum is
 the standard noise-robust estimator for round-over-round comparisons
 (VERDICT r1 #8).
+
+Ambient-load guard (VERDICT r5 #1 — BENCH_r05 ran on a loaded box and
+untouched control queries inflated ~1.3x, making the round-over-round
+table unreadable):
+
+- the bench WAITS (up to ``$SPARK_GRAFT_BENCH_IDLE_WAIT`` sec, default
+  300) for the 1-minute load average to drop below
+  ``$SPARK_GRAFT_BENCH_MAX_LOAD`` (default 4.0) before starting;
+- a query whose min-of-N run spread exceeds 25% gets up to 2 extra
+  runs — transient load that poisons all N baseline runs still gets
+  a chance at a clean minimum;
+- ``loadavg_start`` / ``loadavg_end`` / per-query load averages are
+  recorded in the artifact so a contaminated run is *visible* instead
+  of silently skewing the record (per-query loads in
+  bench_details.json only; the stdout line carries the start/end
+  pair).
 """
 
 from __future__ import annotations
@@ -26,6 +42,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from kafka_sparkstreaming_sbt_spark.session import get_spark  # noqa: E402
+
+
+def _loadavg() -> float:
+    """1-minute load average, -1.0 where the platform lacks it."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
+
+
+def _wait_for_idle(max_load: float, timeout_sec: float) -> float:
+    """Block until the box is idle enough to measure on (or the
+    timeout passes — the bench still runs, but the recorded load
+    exposes the contamination).  Returns the load at go-time."""
+    deadline = time.monotonic() + timeout_sec
+    load = _loadavg()
+    while load > max_load and time.monotonic() < deadline:
+        time.sleep(5.0)
+        load = _loadavg()
+    return load
 
 
 def stream_throughput(spark, n_rows: int, n_files: int = 16) -> dict:
@@ -193,6 +229,10 @@ def ivf_kmeans_recall(spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = _wait_for_idle(
+        float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0")),
+        float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "300")),
+    )
     # progress bars write "[Stage N]" control lines to stdout, which
     # eat into the same 2000-char tail the final JSON line must fit in
     spark = get_spark(
@@ -207,18 +247,40 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    query_loads: dict[str, float] = {}
+    retried: list[str] = []
     for name, fn in entry_mod.queries().items():
-        best = float("inf")
-        for _ in range(runs):
+
+        def one_run() -> float:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
             # operators persist intermediates scoped to their own
             # plan; drop them so every run re-executes end-to-end and
             # queries are timed in isolation, not under the
             # accumulated storage pressure of every prior query
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+            return dt
+
+        samples = [one_run() for _ in range(runs)]
+        # spread guard: when even the min-of-N is suspect (all N runs
+        # landed under transient ambient load, spread > 25% AND > 0.2s
+        # absolute — sub-second queries trip the relative bound on
+        # scheduling noise alone, measured 58/81 retries without the
+        # floor), buy up to 2 more chances at a clean minimum
+        extra = 0
+        while (
+            extra < 2
+            and min(samples) > 0
+            and (max(samples) - min(samples)) / min(samples) > 0.25
+            and max(samples) - min(samples) > 0.2
+        ):
+            samples.append(one_run())
+            extra += 1
+        if extra:
+            retried.append(name)
+        timings[name] = round(min(samples), 3)
+        query_loads[name] = _loadavg()
 
     recall = ivf_kmeans_recall(spark, sf_dir)
     spark.catalog.clearCache()
@@ -246,7 +308,15 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
         "ivf_kmeans_recall_at_10": recall,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
+        "queries_retried_for_spread": len(retried),
         **stream,
+    }
+    # per-query detail only (too wide for the stdout line)
+    full_detail_extras = {
+        "query_loadavg": query_loads,
+        "retried_queries": retried,
     }
     # Full per-query detail goes to a repo file; the stdout line must
     # stay under the harness's 2000-char stdout-tail capture or the
@@ -260,7 +330,7 @@ def main() -> None:
                      "bench_details.json"),
         "w",
     ) as f:
-        json.dump(full, f, indent=2)
+        json.dump({**full, **full_detail_extras}, f, indent=2)
 
     def _line(payload: dict) -> str:
         return json.dumps(payload, separators=(",", ":"))

@@ -646,6 +646,106 @@ def run_ivf_search_check(
     }
 
 
+def synth_clustered_embeddings(
+    spark: SparkSession, n_vecs: int, n_clusters: int
+) -> DataFrame:
+    """CLUSTERED embedding corpus — the shape real embedding models
+    produce (documents concentrate around topical modes), and the
+    shape where a FRACTIONAL probe budget is pure waste: every
+    vector is its cluster's base + 10% noise (intra-cluster cosine
+    ~0.99), clusters sized so k-means cells track them 1:1 at the
+    default sqrt(N) sizing."""
+    df = spark.range(n_vecs).withColumnRenamed("id", "vec_id")
+    vid = F.col("vec_id")
+    cluster = vid % n_clusters
+    dims = F.sequence(F.lit(0), F.lit(EMB_DIM - 1))
+    vec = F.transform(
+        dims,
+        lambda j: (
+            _emb_rnd("cc", cluster, j) + 0.1 * _emb_rnd("cn", vid, j)
+        ).cast("float"),
+    )
+    return df.select("vec_id", vec.alias("embedding"))
+
+
+def run_ivf_auto_probe_check(
+    spark: SparkSession, n_vecs: int, scratch: str
+) -> dict:
+    """probe_frac="auto" on the clustered corpus (VERDICT r5 #3): the
+    measure-then-tune loop must find that neighbors live at home —
+    cutting the probed fraction several-fold vs the isotropic-
+    calibrated 2/3 default at the SAME recall floor.  Reports the
+    tuned probe count, calibration wall (one 64-query brute pass),
+    and search wall + recall for both settings."""
+    import math as _m
+
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        _auto_n_probe,
+        _ivf_search,
+    )
+
+    n_clusters = max(2, int(_m.isqrt(n_vecs)))
+    path = f"{scratch}/embc_{n_vecs}"
+    synth_clustered_embeddings(spark, n_vecs, n_clusters).repartition(
+        32
+    ).write.mode("overwrite").parquet(path)
+    emb = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") % 499 == 3)
+
+    t0 = time.perf_counter()
+    cents = kmeans_centroids(emb, n_iter=2)
+    kmeans_wall = round(time.perf_counter() - t0, 2)
+    n_cells = cents.count()
+    default_probe = max(4, -(-2 * n_cells // 3))
+
+    t0 = time.perf_counter()
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            emb, queries, k=10, method="numpy"
+        ).collect()
+    }
+    brute_wall = round(time.perf_counter() - t0, 2)
+
+    def probed(n_probe: int) -> tuple[set, float]:
+        t = time.perf_counter()
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in _ivf_search(
+                emb, queries, cents, 10, n_probe,
+                assign_method="numpy", search_method="numpy",
+            ).collect()
+        }
+        return got, round(time.perf_counter() - t, 2)
+
+    fixed, fixed_wall = probed(default_probe)
+    t0 = time.perf_counter()
+    chosen = _auto_n_probe(
+        emb, queries, cents, 10, 0.9, 64, 42, "embedding", "vec_id"
+    )
+    tune_wall = round(time.perf_counter() - t0, 2)
+    auto, auto_wall = probed(chosen)
+    return {
+        "n_vecs": n_vecs,
+        "n_clusters": n_clusters,
+        "n_cells": n_cells,
+        "n_queries": queries.count(),
+        "kmeans_wall_s": kmeans_wall,
+        "brute_wall_s": brute_wall,
+        "default_n_probe": default_probe,
+        "fixed_wall_s": fixed_wall,
+        "fixed_recall_at_10": round(
+            len(brute & fixed) / max(len(brute), 1), 4
+        ),
+        "auto_n_probe": chosen,
+        "tune_wall_s": tune_wall,
+        "auto_wall_s": auto_wall,
+        "auto_recall_at_10": round(
+            len(brute & auto) / max(len(brute), 1), 4
+        ),
+    }
+
+
 def run_event_scale(
     spark: SparkSession, n_events: int, scratch: str, audits: list
 ) -> dict:
@@ -737,6 +837,11 @@ def main() -> int:
         ]
         ivf_result = (
             run_ivf_search_check(spark, embed_scales[-1], scratch)
+            if emb_results
+            else None
+        )
+        auto_probe_result = (
+            run_ivf_auto_probe_check(spark, embed_scales[-1], scratch)
             if emb_results
             else None
         )
@@ -888,6 +993,26 @@ def main() -> int:
                 ivf_result["recall_at_10"] >= 0.85,
             )
         )
+    if auto_probe_result is not None:
+        a = auto_probe_result
+        checks += [
+            (
+                f"auto probe tunes below the 2/3 default on clustered "
+                f"data: {a['auto_n_probe']} < {a['default_n_probe']} "
+                f"of {a['n_cells']} cells",
+                a["auto_n_probe"] < a["default_n_probe"],
+            ),
+            (
+                f"auto-tuned recall@10 holds the floor: "
+                f"{a['auto_recall_at_10']} >= 0.9",
+                a["auto_recall_at_10"] >= 0.9,
+            ),
+            (
+                f"auto search faster than fixed: {a['auto_wall_s']}s "
+                f"(+{a['tune_wall_s']}s tune) vs {a['fixed_wall_s']}s",
+                a["auto_wall_s"] < a["fixed_wall_s"],
+            ),
+        ]
     if asof_result is not None:
         checks.append(
             (
@@ -1057,6 +1182,23 @@ def main() -> int:
                 "embeddings reach the same recall scanning far "
                 "less).",
             ]
+        if auto_probe_result is not None:
+            a = auto_probe_result
+            lines += [
+                "",
+                f"probe_frac=\"auto\" on a CLUSTERED corpus "
+                f"({a['n_vecs']:,} vectors, {a['n_clusters']} "
+                f"clusters, {a['n_cells']} k-means cells, "
+                f"{a['n_queries']} queries): the measure-then-tune "
+                f"loop picks {a['auto_n_probe']} probes vs the "
+                f"isotropic-calibrated default {a['default_n_probe']} "
+                f"— search {a['auto_wall_s']}s "
+                f"(+{a['tune_wall_s']}s one-off calibration) vs "
+                f"{a['fixed_wall_s']}s, recall@10 "
+                f"{a['auto_recall_at_10']} vs "
+                f"{a['fixed_recall_at_10']} (floor 0.9; brute "
+                f"baseline {a['brute_wall_s']}s).",
+            ]
     lines += [
         "",
         "## Skewed aggregation",
@@ -1120,6 +1262,7 @@ def main() -> int:
                 "uncapped": uncapped,
                 "embeddings": emb_results,
                 "ivf_search": ivf_result,
+                "ivf_auto_probe": auto_probe_result,
                 "events": event_results,
                 "asof_hot_key": asof_result,
             },

@@ -612,3 +612,122 @@ def test_ivf_search_numpy_matches_sql(spark, sf_small):
     }
     assert sql_rows == np_rows
     assert sql_rows  # non-degenerate
+
+
+def test_incremental_semantic_dedup_parity_with_full_run(spark, sf_small):
+    """The daily-ingest screen must return EXACTLY the verdicts the
+    full-corpus run would give the batch rows: with every batch id
+    larger than every corpus id, incremental (batch vs corpus+earlier
+    batch, seniors-first) and full ``semantic_dedup`` over the union
+    implement the same smaller-id drop rule — byte-identical
+    ``(id, cell_id, kept)`` on both tiers, at batch-proportional
+    cost (VERDICT r5 #2)."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        deterministic_centroids,
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 350)
+    batch = emb.filter(F.col("vec_id") >= 350)
+    cent = deterministic_centroids(corpus, n_cells=16)
+    full = {
+        (r.vec_id, r.cell_id, r.kept)
+        for r in semantic_dedup(emb, cent, threshold=0.4).collect()
+        if r.vec_id >= 350
+    }
+    inc_sql = {
+        (r.vec_id, r.cell_id, r.kept)
+        for r in incremental_semantic_dedup(
+            batch, corpus, cent, threshold=0.4
+        ).collect()
+    }
+    inc_np = {
+        (r.vec_id, r.cell_id, r.kept)
+        for r in incremental_semantic_dedup(
+            batch, corpus, cent, threshold=0.4, method="numpy"
+        ).collect()
+    }
+    assert inc_sql == full
+    assert inc_np == full
+    # non-degenerate: the fixture batch must contain real drops
+    assert any(not kept for _, _, kept in full)
+
+
+def test_incremental_semantic_dedup_seniors_outrank_ids(spark):
+    """Corpus members drop batch rows REGARDLESS of id order — what is
+    already in the corpus is senior by arrival, not by id (the full
+    run's smaller-id rule only coincides with this when batch ids are
+    allocated above corpus ids)."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    # corpus id 100 HIGHER than batch id 5, same direction vector
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(5, [2.0, 0.0]), (6, [0.0, 3.0]), (7, [-1.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cent = corpus.filter(F.col("vec_id") < 2).selectExpr(
+        "vec_id AS cell_id", "embedding AS c_vec"
+    )
+    out = {
+        r.vec_id: r.kept
+        for r in incremental_semantic_dedup(
+            batch, corpus, cent, threshold=0.9
+        ).collect()
+    }
+    assert out[5] is False  # dropped by corpus id 100 despite 5 < 100
+    assert out[6] is False  # dropped by corpus id 1 (cell 1)
+    assert out[7] is True  # opposite direction: no near neighbor
+    assert len(out) == 3  # one verdict per batch row, corpus absent
+
+
+def test_incremental_semantic_dedup_multiprobe_only_adds_drops(
+    spark, sf_small
+):
+    """Probing the batch into 2 cells can only let MORE corpus
+    near-dups meet (boundary-straddlers), never fewer — and the SQL
+    tier refuses multi-probe, same contract as semantic_dedup."""
+    import pytest
+
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        deterministic_centroids,
+        incremental_semantic_dedup,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 350)
+    batch = emb.filter(F.col("vec_id") >= 350)
+    cent = deterministic_centroids(corpus, n_cells=16)
+    one = {
+        r.vec_id: (r.cell_id, r.kept)
+        for r in incremental_semantic_dedup(
+            batch, corpus, cent, threshold=0.4, method="numpy"
+        ).collect()
+    }
+    two = {
+        r.vec_id: (r.cell_id, r.kept)
+        for r in incremental_semantic_dedup(
+            batch,
+            corpus,
+            cent,
+            threshold=0.4,
+            method="numpy",
+            n_probe_cells=2,
+        ).collect()
+    }
+    assert set(one) == set(two)
+    for vid, (cell, kept) in one.items():
+        assert two[vid][0] == cell  # primary cell unchanged
+        if not kept:
+            assert not two[vid][1]  # drops only grow
+    with pytest.raises(ValueError, match="numpy"):
+        incremental_semantic_dedup(
+            batch, corpus, cent, threshold=0.4, n_probe_cells=2
+        )

@@ -232,3 +232,77 @@ def test_running_totals_tws_accumulates_across_batches(spark, stream_dir):
         assert latest["8"] == (10.0, 1)
     finally:
         q.stop()
+
+
+def _clustered_corpus(spark, n_clusters=8, per_cluster=50, dim=16):
+    """Deterministic clustered embedding corpus: tight Gaussian blobs
+    around orthogonal-ish seeded centers — the shape real embedding
+    corpora have, where a FRACTIONAL probe budget is waste."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[ci] + rng.normal(scale=0.02, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_auto_probe_tunes_to_cluster_structure(spark):
+    """probe_frac='auto' (VERDICT r5 #3): on a clustered corpus the
+    measured recall floor is met with FAR fewer probes than the
+    isotropic-worst-case 2/3 default — the knob converges to what the
+    data needs, and the result still meets the recall floor against
+    brute force."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        _auto_n_probe,
+    )
+
+    emb = _clustered_corpus(spark)
+    queries = emb.filter(F.col("vec_id") % 17 == 3)
+    cent = kmeans_centroids(emb, n_cells=8, n_iter=2)
+    chosen = _auto_n_probe(
+        emb, queries, cent, k=10, recall_floor=0.9, tune_sample=16,
+        seed=42, vec_col="embedding", id_col="vec_id",
+    )
+    default = -(-2 * cent.count() // 3)  # ceil(2/3 * cells)
+    assert chosen < default, (chosen, default)
+    assert chosen <= 3, chosen  # tight blobs: neighbors live at home
+    # end-to-end: the auto-tuned search still meets the floor
+    ivf = ivf_kmeans_topk(
+        emb, queries, k=10, n_cells=8, n_iter=2, probe_frac="auto",
+        tune_sample=16,
+    ).collect()
+    brute = cosine_topk(emb, queries, k=10).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in brute}
+    got = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_auto_probe_matches_fixed_on_isotropic(spark, sf_small):
+    """On the isotropic worst case auto lands near the 2/3 default
+    (recall is bounded by fraction scanned — there is no cluster
+    structure to exploit), so auto never silently under-probes."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        _auto_n_probe,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    cent = kmeans_centroids(emb, n_cells=16, n_iter=1)
+    chosen = _auto_n_probe(
+        emb, queries, cent, k=10, recall_floor=0.9, tune_sample=32,
+        seed=42, vec_col="embedding", id_col="vec_id",
+    )
+    n_live = cent.count()
+    # isotropic: must probe a large fraction to hit 0.9 — the tuned
+    # value stays in the same regime as the hand-calibrated 2/3
+    assert chosen >= n_live // 2, (chosen, n_live)

@@ -209,6 +209,13 @@ _BOUNDED_NESTED_LOOP = {
     "ann_cosine_topk",  # scored cross join vs the broadcast query set
     "ivf_topk",  # probe assignment vs the bounded centroid set
     "ivf_kmeans_topk",  # same, k-means centroids (~sqrt N rows)
+    # the next three surface ivf_assign's bounded centroid cross-join
+    # directly in the plan now that the dual-consumer checkpoint is
+    # size-guarded (it used to hide behind the ExistingRDD cut at
+    # every scale; the join itself is unchanged and bounded)
+    "semantic_dedup",
+    "semantic_dedup_multiprobe",
+    "incremental_semantic_dedup",
     "tf_idf",  # 1-row corpus-size scalar joined lazily (no collect)
     "unigram_lm_score",  # 1-row corpus-total scalar, same pattern
     "bigram_pmi",  # two 1-row count scalars, same pattern
@@ -272,18 +279,62 @@ def test_session_window_partial_agg_and_pruning(spark, sf_small):
     assert plan.count("Exchange") == 1
 
 
-def test_lsh_near_pairs_bucket_table_computed_once(spark, sf_small):
+def test_lsh_near_pairs_bucket_table_computed_once(
+    spark, sf_small, monkeypatch
+):
     """The bucketed table feeds both sides of the self-join; Catalyst
     does NOT fold the two aliased projections into a ReusedExchange
-    (verified empirically), so lsh_near_pairs materializes it — both
-    join sides must read the checkpointed RDD, not recompute the
-    n_bits dot products."""
-    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
-        lsh_near_pairs,
-    )
+    (verified empirically), so lsh_near_pairs materializes it at
+    scale — both join sides must read the checkpointed RDD, not
+    recompute the n_bits dot products.  The materialization is
+    SIZE-GUARDED (VERDICT r5 §wrong-3): below the row floor the
+    checkpoint job costs more than the recompute, so gate-scale
+    corpora skip it."""
+    from kafka_sparkstreaming_sbt_spark.operators import similarity
     from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
 
     emb = read_table(spark, sf_small, "embeddings")
-    out = lsh_near_pairs(emb, dim=8, threshold=0.8, n_bits=4)
+    # scale shape: force the floor under this corpus size -> both
+    # sides read the checkpointed RDD (single execution)
+    monkeypatch.setattr(similarity, "_CHECKPOINT_MIN_ROWS", 1)
+    out = similarity.lsh_near_pairs(emb, dim=8, threshold=0.8, n_bits=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ExistingRDD") >= 2, plan
+    # gate shape: 500 footer rows << the default floor -> no
+    # checkpoint job; the plan reads parquet directly on both sides
+    monkeypatch.setattr(similarity, "_CHECKPOINT_MIN_ROWS", 50_000)
+    out2 = similarity.lsh_near_pairs(emb, dim=8, threshold=0.8, n_bits=4)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan2, plan2
+
+
+def test_ivf_probe_broadcast_is_size_guarded(spark, sf_small, monkeypatch):
+    """The probed-search broadcast hint must apply ONLY when metadata
+    proves Q x n_probe small (VERDICT r5 §wrong-2): the probe table
+    carries query vectors, and a forced broadcast of a data-dependent
+    table is exactly the documented driver-OOM shape.  Over the
+    budget, the hint disappears and AQE picks the strategy."""
+    from kafka_sparkstreaming_sbt_spark.operators import similarity
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    emb = read_table(spark, sf_small, "embeddings")
+    queries = emb.filter("vec_id < 8")
+
+    def n_hints(df):
+        return str(df._jdf.queryExecution().analyzed()).count(
+            "strategy=broadcast"
+        )
+
+    small = similarity.ivf_topk(emb, queries, k=3, n_cells=4, n_probe=2)
+    # metadata says 500 x 2 probe rows -> hint present (centroid
+    # broadcasts exist on both shapes; the probe hint is the +1)
+    monkeypatch.setattr(similarity, "_PROBE_BROADCAST_MAX_ROWS", 10)
+    large = similarity.ivf_topk(emb, queries, k=3, n_cells=4, n_probe=2)
+    assert n_hints(small) == n_hints(large) + 1, (
+        n_hints(small),
+        n_hints(large),
+    )
+    # and the result is identical either way (strategy, not semantics)
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, large.collect())
+    )

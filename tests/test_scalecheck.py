@@ -160,3 +160,32 @@ def test_embedding_corpus_is_deterministic(spark):
     assert {(r["vec_id"], tuple(r["embedding"])) for r in a} == {
         (r["vec_id"], tuple(r["embedding"])) for r in b
     }
+
+
+def test_clustered_corpus_geometry(spark):
+    """The auto-probe demonstration corpus must really be clustered:
+    intra-cluster cosine ~0.99 (neighbors live at home), cross-cluster
+    cosine well below — otherwise the 'auto tunes below the default'
+    check would measure noise, not structure."""
+    from scalecheck import synth_clustered_embeddings
+
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = synth_clustered_embeddings(spark, 120, n_clusters=10)
+    q = emb.filter(F.col("vec_id") < 10)  # one query per cluster
+    top = cosine_topk(emb, q, k=5).collect()
+    # every neighbor of query c shares cluster c (= vec_id % 10)
+    for r in top:
+        assert r.neighbor_id % 10 == r.query_id % 10, r
+        assert r.cosine > 0.95, r
+    # determinism: hash-derived, identical across builds
+    a = {(r.vec_id, tuple(r.embedding)) for r in emb.collect()}
+    b = {
+        (r.vec_id, tuple(r.embedding))
+        for r in synth_clustered_embeddings(
+            spark, 120, n_clusters=10
+        ).collect()
+    }
+    assert a == b
