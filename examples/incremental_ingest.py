@@ -1,0 +1,158 @@
+"""Daily-ingest dedup screen — the INCREMENTAL composition of the
+curation chain (`curate_corpus.py` is the full-corpus build; this is
+what runs every day after it): screen a NEW document batch against the
+EXISTING curated corpus on both dedup axes without ever re-pairing the
+corpus with itself:
+
+    textual:  incremental_near_dup   (MinHash bucket join, batch x
+              corpus signatures, candidate-only corpus re-shingle)
+    semantic: incremental_semantic_dedup (batch assigned to the
+              EXISTING k-means centroids, paired only vs in-cell
+              corpus members seniors-first + earlier in-cell batch
+              rows, 2-probe boundary recovery)
+
+A batch doc is ACCEPTED only if neither screen finds a duplicate.
+Both screens cost O(|batch| x local-neighborhood), never corpus^2 —
+the shape that stays daily-runnable when the corpus is 100 TB and the
+batch is a few GB.  In production the corpus-side signature table and
+cell assignment are MATERIALIZED artifacts of the last full build
+(exactly `semantic_dedup`'s output `cell_id` column); they are
+recomputed here from the raw tables for self-containment, the same
+note as the underlying operators.
+
+Deterministic end to end: seeded k-means, hash-based MinHash, id-order
+tie-breaks — re-running on the same inputs yields byte-identical
+verdicts.
+
+    python examples/incremental_ingest.py \
+        --input /root/testdata/sf0.01 --split-id 400 \
+        [--jaccard-threshold 0.5] [--semantic-threshold 0.9]
+
+(`--split-id K` treats doc_id/vec_id < K as the existing corpus and
+the rest as today's batch — a stand-in for a real ingest feed.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
+    incremental_near_dup,
+)
+from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+    incremental_semantic_dedup,
+    kmeans_centroids,
+)
+from kafka_sparkstreaming_sbt_spark.session import get_spark
+from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+
+def screen_batch(
+    spark,
+    corpus_docs: DataFrame,
+    batch_docs: DataFrame,
+    corpus_emb: DataFrame | None = None,
+    batch_emb: DataFrame | None = None,
+    jaccard_threshold: float = 0.5,
+    semantic_threshold: float | None = None,
+) -> tuple[DataFrame, dict]:
+    """Run both incremental screens; returns (verdicts, report).
+
+    ``verdicts`` has one row per batch doc:
+    ``(doc_id, textual_dup, semantic_dup, accepted)`` — auditable
+    curation metadata, not just the surviving subset.  The semantic
+    screen runs only when ``semantic_threshold`` is set and embedding
+    tables are provided (``vec_id`` == ``doc_id``)."""
+    batch_ids = batch_docs.select("doc_id")
+
+    textual_dups = (
+        incremental_near_dup(
+            batch_docs,
+            corpus_docs,
+            threshold=jaccard_threshold,
+        )
+        .select(F.col("new_doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_tdup", F.lit(True))
+    )
+    verdicts = batch_ids.join(textual_dups, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("_tdup", F.lit(False)).alias("textual_dup"),
+    )
+
+    if semantic_threshold is not None:
+        # centroids from the EXISTING corpus only — the batch must not
+        # move the quantizer (that is the next full rebuild's job)
+        cents = kmeans_centroids(corpus_emb, n_iter=2)
+        sem = incremental_semantic_dedup(
+            batch_emb,
+            corpus_emb,
+            cents,
+            threshold=semantic_threshold,
+            method="numpy",
+            n_probe_cells=2,
+        ).select(
+            F.col("vec_id").alias("doc_id"),
+            (~F.col("kept")).alias("semantic_dup"),
+        )
+        verdicts = verdicts.join(sem, "doc_id", "left").select(
+            "doc_id",
+            "textual_dup",
+            F.coalesce("semantic_dup", F.lit(False)).alias(
+                "semantic_dup"
+            ),
+        )
+    else:
+        verdicts = verdicts.withColumn("semantic_dup", F.lit(False))
+
+    verdicts = verdicts.withColumn(
+        "accepted", ~F.col("textual_dup") & ~F.col("semantic_dup")
+    )
+    agg = verdicts.agg(
+        F.count(F.lit(1)).alias("batch"),
+        F.sum(F.col("textual_dup").cast("int")).alias("t"),
+        F.sum(F.col("semantic_dup").cast("int")).alias("s"),
+        F.sum(F.col("accepted").cast("int")).alias("a"),
+    ).first()
+    report = {
+        "batch_docs": agg.batch,
+        "textual_dups": int(agg.t),
+        "semantic_dups": int(agg.s),
+        "accepted": int(agg.a),
+    }
+    return verdicts, report
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="dir with *.parquet")
+    p.add_argument("--split-id", type=int, default=400)
+    p.add_argument("--jaccard-threshold", type=float, default=0.5)
+    p.add_argument("--semantic-threshold", type=float, default=None)
+    args = p.parse_args()
+    spark = get_spark(app_name="incremental-ingest")
+    docs = read_table(spark, args.input, "documents")
+    emb = read_table(spark, args.input, "embeddings")
+    k = args.split_id
+    _, report = screen_batch(
+        spark,
+        docs.filter(F.col("doc_id") < k),
+        docs.filter(F.col("doc_id") >= k),
+        emb.filter(F.col("vec_id") < k),
+        emb.filter(F.col("vec_id") >= k),
+        args.jaccard_threshold,
+        args.semantic_threshold,
+    )
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
