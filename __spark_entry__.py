@@ -85,6 +85,7 @@ from kafka_sparkstreaming_sbt_spark.operators.similarity import (  # noqa: E402
     _hyperplanes,
     cosine_topk,
     deterministic_centroids,
+    diverse_sample,
     incremental_semantic_dedup,
     ivf_kmeans_topk,
     ivf_topk,
@@ -616,6 +617,18 @@ def q_semantic_dedup_multiprobe(
         emb, cent, threshold=0.4, method="numpy", n_probe_cells=2
     )
     return out.withColumn("kept", F.col("kept").cast("int"))
+
+
+def q_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: nearest-centroid
+    assignment (deterministic ``vec_id < 16`` quantizer so the oracle
+    replays it exactly) + exactly-10-per-cell md5 draw — flattens the
+    corpus's mode distribution toward its cluster structure, the
+    curation step between dedup and mixture weighting."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = deterministic_centroids(emb, n_cells=16)
+    return diverse_sample(emb, cent, k_per_cell=10)
 
 
 def q_incremental_semantic_dedup(
@@ -1549,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q_embedding_similar_pairs_multitable
         ),
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
+        "diverse_sample": q_diverse_sample,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -1824,6 +1838,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT b.vec_id, b.cell_id,
                CAST(d.vec_id IS NULL AS INT) AS kept
         FROM b LEFT JOIN d ON b.vec_id = d.vec_id
+        """,
+        "diverse_sample": """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cent AS (SELECT vec_id AS cell_id, v AS c FROM e WHERE vec_id < 16),
+        a AS (
+          SELECT e.vec_id, cent.cell_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ROUND(list_dot_product(e.v, cent.c)
+                                       / (sqrt(list_dot_product(e.v, e.v))
+                                          * sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
+                                    cent.cell_id) AS rn
+          FROM e CROSS JOIN cent),
+        asg AS (SELECT vec_id, cell_id FROM a WHERE rn = 1),
+        d AS (SELECT vec_id, cell_id,
+                     md5(concat(CAST(cell_id AS VARCHAR), '|',
+                                CAST(vec_id AS VARCHAR))) AS draw
+              FROM asg),
+        r AS (SELECT vec_id, cell_id,
+                     row_number() OVER (PARTITION BY cell_id
+                                        ORDER BY draw, vec_id) AS draw_rank
+              FROM d)
+        SELECT vec_id, cell_id, CAST(draw_rank AS BIGINT) AS draw_rank
+        FROM r WHERE draw_rank <= 10
         """,
         "incremental_semantic_dedup": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -713,6 +713,7 @@ def incremental_semantic_dedup(
     max_cell_size: int | None = None,
     method: str = "sql",
     n_probe_cells: int = 1,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup — the embedding-side daily-ingest shape
     (VERDICT r5 #2), mirroring ``dedup_fuzzy.incremental_near_dup``:
@@ -738,7 +739,10 @@ def incremental_semantic_dedup(
       occupies (left-semi prune on the batch's cell set) — in
       production the corpus assignment is a MATERIALIZED table
       maintained across ingests (it is exactly ``semantic_dedup``'s
-      output ``cell_id`` column), recomputed here from vectors for
+      output ``cell_id`` column): pass it as ``corpus_cells``
+      (``(id, cell_id)`` rows) and the full-corpus re-assignment scan
+      — the dominant daily cost otherwise — is skipped entirely;
+      when omitted it is recomputed from vectors for
       self-containment, the same note as ``incremental_near_dup``;
     - the pair scan is batch x (in-cell corpus + earlier batch), so
       the daily cost is proportional to the batch, never corpus^2.
@@ -786,11 +790,15 @@ def incremental_semantic_dedup(
         .join(b_assign.select(id_col, "cell_id"), id_col)
         .withColumn("_senior", F.lit(False))
     )
-    # production: a materialized assignment table; here recomputed
-    c_assign = ivf_assign(
-        parallelize_for_compute(corpus), centroids, vec_col, id_col,
-        method=method,
-    )
+    # production passes the materialized assignment (semantic_dedup's
+    # own output); recompute only when the caller didn't keep it
+    if corpus_cells is not None:
+        c_assign = corpus_cells.select(id_col, "cell_id")
+    else:
+        c_assign = ivf_assign(
+            parallelize_for_compute(corpus), centroids, vec_col, id_col,
+            method=method,
+        )
     ct = (
         corpus.select(id_col, vec_col)
         .join(c_assign, id_col)
@@ -852,6 +860,46 @@ def incremental_semantic_dedup(
         "cell_id",
         F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
     )
+
+
+def diverse_sample(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k_per_cell: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "sql",
+) -> DataFrame:
+    """Cluster-balanced (diversity-preserving) subset selection:
+    assign every vector to its nearest centroid, keep exactly
+    ``min(k_per_cell, |cell|)`` rows per cell by deterministic md5
+    draw.  The embedding-space analog of exactly-k-per-source
+    sampling — a uniform draw over a corpus follows the corpus's mode
+    distribution (majority topics dominate the training mix), while a
+    per-cell cap flattens it toward the data's cluster structure,
+    the standard diversity lever in curation pipelines (cluster- or
+    topic-balanced subsets after dedup, before mixture weighting).
+
+    Returns ``(id, cell_id, draw_rank)`` — join back by id for
+    payloads, or treat ``cell_id`` as topic metadata.
+
+    Scale shape: the composition of two already-bounded plans —
+    broadcast-centroid ``max_by`` assignment (one corpus scan, one
+    shuffle of skinny (id, cell) rows) and the map-side-pruned
+    grouped top-k (``InferWindowGroupLimit``: each map task keeps at
+    most k rows per cell before the exchange).  Nothing quadratic,
+    nothing driver-side; ``method="numpy"`` swaps the assignment to
+    the BLAS tier for recall-gated/throughput consumers."""
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        sample_k_per_group,
+    )
+    from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
+
+    assigned = ivf_assign(
+        parallelize_for_compute(corpus), centroids, vec_col, id_col,
+        method=method,
+    )
+    return sample_k_per_group(assigned, "cell_id", id_col, k_per_cell)
 
 
 def _id_field(df: DataFrame, id_col: str) -> T.StructField:

@@ -1,0 +1,149 @@
+"""Streaming dedup-on-ingest: the incremental near-dup screen
+(``operators.dedup_fuzzy.incremental_near_dup``) run per micro-batch
+against a static corpus PLUS everything accepted by earlier batches —
+the continuous form of the daily-ingest example
+(``examples/incremental_ingest.py``), and the production pattern for
+"don't let duplicates into the lake in the first place".
+
+Design for the micro-batch engine:
+
+- **foreachBatch, not custom state**: the dedup decision needs joins
+  against an unbounded, growing corpus — exactly what the state store
+  is wrong for (per-key state, not relational screens).  foreachBatch
+  gives every micro-batch full batch-DataFrame semantics, so the
+  screen IS the batch operator, unchanged.
+- **accepted rows accumulate in the lake, partitioned by batch id**
+  (``accepted_dir/batch_id=N``): batch N screens against the static
+  corpus UNION partitions ``batch_id < N``.  The strict inequality is
+  the restart-correctness contract — on checkpoint replay of batch N,
+  its own half-written output is EXCLUDED from the corpus side, and
+  the ``mode("overwrite")`` per-partition write makes the replay
+  idempotent (the standard foreachBatch exactly-once recipe).
+- **within-batch dups** are dropped by the keep-smallest-id rule over
+  the batch's own near-dup pairs, so two copies arriving in one
+  trigger can't both slip in.
+
+Scale shape: per-trigger cost is |batch| x local-neighborhood (the
+incremental screen's contract — bucket-join vs corpus signatures,
+candidate-only corpus re-shingle), never corpus x corpus.  In
+production the corpus-side signature table is a materialized artifact;
+here it is recomputed per batch for self-containment, the same note as
+the underlying operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
+
+
+def _accepted_so_far(spark, accepted_dir: str, before_batch: int) -> DataFrame | None:
+    """Union of accepted rows from batches STRICTLY BEFORE
+    ``before_batch`` (replay safety), None when nothing exists yet."""
+    try:
+        prior = spark.read.parquet(accepted_dir)
+    except AnalysisException:
+        return None
+    if "batch_id" not in prior.columns:  # empty dir edge
+        return None
+    return prior.filter(F.col("batch_id") < before_batch).drop("batch_id")
+
+
+def screen_micro_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_docs: DataFrame,
+    accepted_dir: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    n_bands: int = 8,
+) -> tuple[int, int]:
+    """One micro-batch of the ingest screen (the foreachBatch body,
+    exposed for direct testing of the replay contract): screen
+    ``batch_df`` against the static corpus + accepted partitions
+    STRICTLY before ``batch_id``, write survivors idempotently to
+    ``accepted_dir/batch_id=N``.  Returns (n_batch, n_accepted)."""
+    from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
+        incremental_near_dup,
+        minhash_near_dup_pairs,
+    )
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.select("doc_id", "text")
+    corpus = corpus_docs.select("doc_id", "text")
+    prior = _accepted_so_far(spark, accepted_dir, batch_id)
+    if prior is not None:
+        corpus = corpus.unionByName(prior.select("doc_id", "text"))
+    # the batch feeds three consumers (corpus screen, self-pair
+    # screen, final anti-join); micro-batches are small by
+    # construction, so materialize once
+    batch_df = batch_df.localCheckpoint(eager=True)
+    vs_corpus = (
+        incremental_near_dup(
+            batch_df,
+            corpus,
+            shingle_n=shingle_n,
+            n_bands=n_bands,
+            threshold=threshold,
+        )
+        .select(F.col("new_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    # within-batch: keep the smallest id of every near-dup pair
+    self_pairs = minhash_near_dup_pairs(
+        batch_df,
+        shingle_n=shingle_n,
+        n_bands=n_bands,
+        threshold=threshold,
+    ).select(F.col("doc_b").alias("doc_id")).distinct()
+    accepted = batch_df.join(
+        vs_corpus.unionByName(self_pairs).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    # idempotent per-batch write: replaying batch N overwrites its
+    # own partition, never touches earlier ones
+    accepted.write.mode("overwrite").parquet(
+        f"{accepted_dir}/batch_id={batch_id}"
+    )
+    return batch_df.count(), accepted.count()
+
+
+def run_dedup_ingest_pipeline(
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    accepted_dir: str,
+    checkpoint_location: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    n_bands: int = 8,
+    on_batch: Callable[[int, int, int], None] | None = None,
+) -> StreamingQuery:
+    """Start the streaming ingest screen.
+
+    ``stream_docs``: streaming DataFrame with ``doc_id`` and ``text``.
+    ``corpus_docs``: static (batch) corpus with the same columns.
+    ``accepted_dir``: lake path where accepted rows accumulate,
+    partitioned ``batch_id=N`` — readable as one parquet table, and
+    the corpus side of every later batch's screen.
+    ``on_batch(batch_id, n_batch, n_accepted)`` is an observability
+    hook (counts only, no data)."""
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        n, a = screen_micro_batch(
+            batch_df, batch_id, corpus_docs, accepted_dir,
+            threshold, shingle_n, n_bands,
+        )
+        if on_batch is not None:
+            on_batch(batch_id, n, a)
+
+    return (
+        stream_docs.writeStream.foreachBatch(screen)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )

@@ -731,3 +731,49 @@ def test_incremental_semantic_dedup_multiprobe_only_adds_drops(
         incremental_semantic_dedup(
             batch, corpus, cent, threshold=0.4, n_probe_cells=2
         )
+
+
+def test_incremental_semantic_dedup_reuses_materialized_cells(
+    spark, sf_small, tmp_path
+):
+    """The production daily path: pass the PREVIOUS full run's
+    ``(id, cell_id)`` output as ``corpus_cells`` and the operator must
+    (a) return byte-identical verdicts to the self-contained recompute
+    and (b) never scan the corpus vectors for assignment (the
+    assignment's centroid cross-join disappears from the plan)."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        deterministic_centroids,
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+
+    emb = read_table(spark, sf_small, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 350)
+    batch = emb.filter(F.col("vec_id") >= 350)
+    cent = deterministic_centroids(corpus, n_cells=16)
+    # the materialized table IS the last full run's output — written
+    # to the lake and read back, exactly as a daily job would
+    cells_path = str(tmp_path / "corpus_cells")
+    semantic_dedup(corpus, cent, threshold=0.4).select(
+        "vec_id", "cell_id"
+    ).write.parquet(cells_path)
+    cells = spark.read.parquet(cells_path)
+    recomputed = incremental_semantic_dedup(
+        batch, corpus, cent, threshold=0.4
+    )
+    reused = incremental_semantic_dedup(
+        batch, corpus, cent, threshold=0.4, corpus_cells=cells
+    )
+    assert {tuple(r) for r in recomputed.collect()} == {
+        tuple(r) for r in reused.collect()
+    }
+    # one fewer assignment subtree: exactly one centroid nested-loop
+    # join (the batch's) instead of two
+    def n_bnlj(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("BroadcastNestedLoopJoin")
+
+    assert n_bnlj(reused) < n_bnlj(recomputed), (
+        n_bnlj(reused),
+        n_bnlj(recomputed),
+    )

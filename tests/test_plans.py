@@ -216,6 +216,7 @@ _BOUNDED_NESTED_LOOP = {
     "semantic_dedup",
     "semantic_dedup_multiprobe",
     "incremental_semantic_dedup",
+    "diverse_sample",  # same bounded centroid assignment cross-join
     "tf_idf",  # 1-row corpus-size scalar joined lazily (no collect)
     "unigram_lm_score",  # 1-row corpus-total scalar, same pattern
     "bigram_pmi",  # two 1-row count scalars, same pattern

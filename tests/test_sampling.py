@@ -273,3 +273,33 @@ def test_temperature_mixture_sample_is_deterministic_and_rate_true(spark):
     # the realized mixture moved from 90/10 toward the n^0.5 60/40 target
     assert by_src["small"] == 400
     assert abs(by_src["big"] / 3600 - 1 / 3) < 0.04
+
+
+def test_diverse_sample_flattens_cluster_distribution(spark):
+    """Cluster-balanced sampling: a corpus with one dominant cluster
+    must come out capped at k rows per cell — the majority mode
+    cannot dominate the subset — while small cells keep everything;
+    deterministic across runs."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        diverse_sample,
+    )
+
+    # cell 0 direction holds 60 vectors, cell 1 direction 5
+    rows = [(i, [1.0, 0.01 * i]) for i in range(60)]
+    rows += [(100 + i, [0.01 * i, 1.0]) for i in range(5)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cell_id long, c_vec array<double>",
+    )
+    out = diverse_sample(corpus, cent, k_per_cell=8).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell_id, []).append(r.vec_id)
+    assert len(by_cell[0]) == 8  # dominant cluster capped
+    assert len(by_cell[1]) == 5  # small cluster kept whole
+    assert all(1 <= r.draw_rank <= 8 for r in out)
+    again = diverse_sample(corpus, cent, k_per_cell=8).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
