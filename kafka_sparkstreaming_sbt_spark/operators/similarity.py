@@ -779,9 +779,18 @@ def incremental_semantic_dedup(
             method=method,
         ).withColumn("probe_rank", F.lit(0))
     # slim (id, cell, rank) rows feeding THREE consumers (primary
-    # verdicts, the batch pair side, the corpus cell prune) — the
-    # batch is the small side by contract, so the guard usually skips
-    b_assign = _materialize_if_large(b_assign, batch)
+    # verdicts, the batch pair side, the corpus cell prune).  Always
+    # materialized — the economics are the OPPOSITE of the fat bucket
+    # tables behind _materialize_if_large: the table is skinny
+    # (~24 B/row) so the checkpoint is nearly free at any batch size,
+    # while the lineage (a dot product per batch row per centroid) is
+    # the expensive part.  Cutting this lineage (and c_assign's below)
+    # deletes 2 of 3 batch-assignment executions and 1 of 2 corpus
+    # ones from the executed plan; sf0.1 wall is UNCHANGED (~2.7 s,
+    # measured — the duplicate work previously overlapped 32 idle
+    # cores), but per-consumer recompute is real CPU at daily-batch
+    # scale, where the cores are not idle.
+    b_assign = b_assign.localCheckpoint(eager=True)
     primary = b_assign.filter(F.col("probe_rank") == 0).select(
         id_col, "cell_id"
     )
@@ -791,14 +800,18 @@ def incremental_semantic_dedup(
         .withColumn("_senior", F.lit(False))
     )
     # production passes the materialized assignment (semantic_dedup's
-    # own output); recompute only when the caller didn't keep it
+    # own output); recompute only when the caller didn't keep it.
+    # The recompute is checkpointed for the same slim-table/expensive-
+    # lineage reason as b_assign: the fat (vector, norm, cell) table
+    # below feeds BOTH pair-join sides, and without this cut each side
+    # would re-run the corpus x centroids dot products.
     if corpus_cells is not None:
         c_assign = corpus_cells.select(id_col, "cell_id")
     else:
         c_assign = ivf_assign(
             parallelize_for_compute(corpus), centroids, vec_col, id_col,
             method=method,
-        )
+        ).localCheckpoint(eager=True)
     ct = (
         corpus.select(id_col, vec_col)
         .join(c_assign, id_col)

@@ -758,22 +758,33 @@ def test_incremental_semantic_dedup_reuses_materialized_cells(
         "vec_id", "cell_id"
     ).write.parquet(cells_path)
     cells = spark.read.parquet(cells_path)
-    recomputed = incremental_semantic_dedup(
-        batch, corpus, cent, threshold=0.4
-    )
-    reused = incremental_semantic_dedup(
-        batch, corpus, cent, threshold=0.4, corpus_cells=cells
-    )
-    assert {tuple(r) for r in recomputed.collect()} == {
-        tuple(r) for r in reused.collect()
+    recomputed = {
+        tuple(r)
+        for r in incremental_semantic_dedup(
+            batch, corpus, cent, threshold=0.4
+        ).collect()
     }
-    # one fewer assignment subtree: exactly one centroid nested-loop
-    # join (the batch's) instead of two
-    def n_bnlj(df):
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        return plan.count("BroadcastNestedLoopJoin")
-
-    assert n_bnlj(reused) < n_bnlj(recomputed), (
-        n_bnlj(reused),
-        n_bnlj(recomputed),
+    reused = {
+        tuple(r)
+        for r in incremental_semantic_dedup(
+            batch, corpus, cent, threshold=0.4, corpus_cells=cells
+        ).collect()
+    }
+    assert recomputed == reused
+    # the provided table must be AUTHORITATIVE, not a hint the
+    # operator recomputes over: park the whole corpus in a cell no
+    # centroid produces and every corpus-vs-batch drop disappears
+    # (only within-batch drops remain)
+    parked = corpus.select(
+        "vec_id", F.lit(999).cast("long").alias("cell_id")
     )
+    no_corpus_screen = {
+        tuple(r)
+        for r in incremental_semantic_dedup(
+            batch, corpus, cent, threshold=0.4, corpus_cells=parked
+        ).collect()
+    }
+    dropped_real = {t[0] for t in recomputed if not t[2]}
+    dropped_parked = {t[0] for t in no_corpus_screen if not t[2]}
+    assert dropped_parked <= dropped_real
+    assert dropped_parked != dropped_real  # corpus drops vanished
