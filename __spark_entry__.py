@@ -631,6 +631,24 @@ def q_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diverse_sample(emb, cent, k_per_cell=10)
 
 
+def q_quantile_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group relative quality cut: keep the top 60% of every
+    language's docs by length — the within-group percentile filter
+    (absolute thresholds gut low-resource groups).  Threshold is the
+    per-group EXACT interpolated percentile (partial-aggregatable; no
+    per-group sort of the corpus), filter is a broadcast join back;
+    ties at the threshold kept deterministically (>=)."""
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        group_quantile_filter,
+    )
+
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return group_quantile_filter(
+        docs, "lang", "n_chars", keep_frac=0.6
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_incremental_semantic_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1563,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
         "diverse_sample": q_diverse_sample,
+        "quantile_filtered_docs": q_quantile_filtered_docs,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -1838,6 +1857,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT b.vec_id, b.cell_id,
                CAST(d.vec_id IS NULL AS INT) AS kept
         FROM b LEFT JOIN d ON b.vec_id = d.vec_id
+        """,
+        "quantile_filtered_docs": """
+        WITH t AS (
+          SELECT lang,
+                 quantile_cont(CAST(n_chars AS DOUBLE), 0.4) AS thresh
+          FROM documents GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN t ON d.lang = t.lang
+        WHERE CAST(d.n_chars AS DOUBLE) >= t.thresh
         """,
         "diverse_sample": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

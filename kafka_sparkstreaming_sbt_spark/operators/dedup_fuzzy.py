@@ -252,6 +252,29 @@ def minhash_near_dup_pairs(
     )
 
 
+def banded_signature_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_bands: int = 8,
+) -> DataFrame:
+    """The corpus-side MinHash artifact a daily ingest pipeline
+    materializes once per full build and appends to per batch:
+    ``(doc_id, bs)`` banded-bucket keys (one row per doc per band).
+    Pass it to :func:`incremental_near_dup` as ``corpus_signatures``
+    to skip the full-corpus re-shingle — the dominant recurring cost
+    of the self-contained screen.  Append-only per doc: a new batch's
+    accepted rows contribute exactly their own signature rows."""
+    from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
+
+    sh = with_shingles(
+        parallelize_for_compute(docs), text_col, shingle_n
+    ).select("doc_id", "shingles")
+    return minhash_signatures(sh, n_bands).select(
+        "doc_id", F.xxhash64("band", "sig").alias("bs")
+    )
+
+
 def incremental_near_dup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -260,6 +283,7 @@ def incremental_near_dup(
     n_bands: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup check — the daily-ingest shape: screen a
     NEW batch against an EXISTING corpus without re-pairing the corpus
@@ -274,7 +298,10 @@ def incremental_near_dup(
     - the corpus contributes only its (doc_id, bucket) signature rows
       to the join — in production that side is a MATERIALIZED
       signature table maintained across ingests (signatures are
-      append-only per doc), re-computed here from text for
+      append-only per doc): build it with
+      :func:`banded_signature_table` and pass it as
+      ``corpus_signatures`` to skip the full-corpus re-shingle
+      entirely; when omitted it is re-computed from text for
       self-containment;
     - corpus text is re-shingled ONLY for docs that appear in a
       candidate pair (semi-join prune before the verify), so the
@@ -302,11 +329,22 @@ def incremental_near_dup(
         )
         return cap_hot_buckets(s, "bs", max_bucket_size)
 
+    # production passes the materialized signature table; the hot-
+    # bucket cap still applies to it (pileups grow as ingests append)
+    corpus_sigs = (
+        cap_hot_buckets(
+            corpus_signatures.select("doc_id", "bs"),
+            "bs",
+            max_bucket_size,
+        )
+        if corpus_signatures is not None
+        else _sigs(corpus)
+    )
     cand = (
         _sigs(new)
         .alias("x")
         .join(
-            _sigs(corpus).alias("y"),
+            corpus_sigs.alias("y"),
             (F.col("x.bs") == F.col("y.bs"))
             & (F.col("x.doc_id") != F.col("y.doc_id")),
         )

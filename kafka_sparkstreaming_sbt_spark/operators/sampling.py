@@ -205,3 +205,41 @@ def sample_k_per_group(
         rank_col="draw_rank",
     )
     return ranked.drop("_draw")
+
+
+def group_quantile_filter(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    keep_frac: float,
+) -> DataFrame:
+    """Keep the TOP ``keep_frac`` of every group by ``score_col`` —
+    the per-language / per-source relative quality cut every curation
+    pipeline applies ("top 60% by quality score WITHIN each
+    language"), where an absolute threshold would gut low-resource
+    groups whose score distributions sit lower.
+
+    Rows at exactly the per-group threshold are kept (>=), so the
+    kept fraction can exceed ``keep_frac`` under score ties — the
+    deterministic choice (a strict cut would make membership depend
+    on which tied row the engine sees first).
+
+    Scale design: the threshold is the per-group EXACT interpolated
+    percentile — a partial-aggregatable ``percentile`` over (group,
+    score), so the corpus shuffles nothing and only tiny (group,
+    threshold) rows move; the filter is then a broadcast equi-join
+    back.  Deliberately NOT a ``percent_rank`` window: that would
+    globally sort every group's rows just to throw most of them away.
+    Exact (not approx_percentile) because the threshold is part of the
+    correctness contract and `F.percentile` matches DuckDB's
+    ``quantile_cont`` bit-for-bit; swap to ``percentile_approx`` only
+    when groups are so large the exact partial state matters."""
+    thresholds = df.groupBy(group_col).agg(
+        F.percentile(F.col(score_col).cast("double"), 1.0 - keep_frac)
+        .alias("_thresh")
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(F.col(score_col).cast("double") >= F.col("_thresh"))
+        .drop("_thresh")
+    )

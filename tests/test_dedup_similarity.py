@@ -788,3 +788,42 @@ def test_incremental_semantic_dedup_reuses_materialized_cells(
     dropped_parked = {t[0] for t in no_corpus_screen if not t[2]}
     assert dropped_parked <= dropped_real
     assert dropped_parked != dropped_real  # corpus drops vanished
+
+
+def test_incremental_near_dup_reuses_materialized_signatures(
+    spark, sf_small, tmp_path
+):
+    """The textual daily path mirrors the embedding one: write the
+    corpus's banded signature table to the lake once, pass it back,
+    and the screen must (a) return identical matches and (b) treat
+    the provided table as authoritative (an empty table finds no
+    corpus dups — proof nothing is recomputed from text)."""
+    from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
+        banded_signature_table,
+        incremental_near_dup,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") < 350)
+    batch = docs.filter(F.col("doc_id") >= 350)
+    sig_path = str(tmp_path / "corpus_sigs")
+    banded_signature_table(corpus).write.parquet(sig_path)
+    sigs = spark.read.parquet(sig_path)
+
+    recomputed = {
+        (r.new_doc_id, r.dup_of, r.jaccard)
+        for r in incremental_near_dup(batch, corpus).collect()
+    }
+    reused = {
+        (r.new_doc_id, r.dup_of, r.jaccard)
+        for r in incremental_near_dup(
+            batch, corpus, corpus_signatures=sigs
+        ).collect()
+    }
+    assert recomputed == reused
+    assert recomputed  # the planted clones put real dups in the batch
+    empty = sigs.filter(F.lit(False))
+    none = incremental_near_dup(
+        batch, corpus, corpus_signatures=empty
+    ).count()
+    assert none == 0

@@ -303,3 +303,32 @@ def test_diverse_sample_flattens_cluster_distribution(spark):
     assert all(1 <= r.draw_rank <= 8 for r in out)
     again = diverse_sample(corpus, cent, k_per_cell=8).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+def test_group_quantile_filter_is_per_group_and_tie_stable(spark):
+    """The relative cut must be WITHIN-group (a low-scoring group
+    keeps its own top fraction, not get gutted by a global bar), keep
+    threshold ties deterministically, and never drop a whole group."""
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        group_quantile_filter,
+    )
+
+    rows = [("hi", i, float(i)) for i in range(10)]  # scores 0..9
+    rows += [("lo", 100 + i, float(i) / 100) for i in range(10)]  # 0..0.09
+    rows += [("tied", 200 + i, 1.0) for i in range(4)]  # all equal
+    df = spark.createDataFrame(rows, "grp string, id long, score double")
+    out = group_quantile_filter(df, "grp", "score", keep_frac=0.5)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r.grp, set()).add(r.id)
+    # each group keeps its own top half (interpolated median = 4.5 /
+    # 0.045 -> 5 rows each); a global bar would have kept 0 'lo' rows
+    assert by["hi"] == {5, 6, 7, 8, 9}
+    assert by["lo"] == {105, 106, 107, 108, 109}
+    # all-tied group: threshold == the tied score, everything kept
+    assert by["tied"] == {200, 201, 202, 203}
+    # deterministic across runs
+    again = group_quantile_filter(df, "grp", "score", keep_frac=0.5)
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r) for r in out.collect()
+    }
