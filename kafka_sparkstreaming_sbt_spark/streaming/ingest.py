@@ -25,10 +25,15 @@ Design for the micro-batch engine:
 
 Scale shape: per-trigger cost is |batch| x local-neighborhood (the
 incremental screen's contract — bucket-join vs corpus signatures,
-candidate-only corpus re-shingle), never corpus x corpus.  In
-production the corpus-side signature table is a materialized artifact;
-here it is recomputed per batch for self-containment, the same note as
-the underlying operator.
+candidate-only corpus re-shingle), never corpus x corpus.  With
+``signature_dir`` set the corpus-side banded keys are a MATERIALIZED
+lake artifact: the static corpus's table is built once at pipeline
+start (``materialize_corpus_signatures``) and every batch appends only
+its accepted rows' keys — the append-only maintenance discipline
+``banded_signature_table`` documents, under the same ``batch_id=N``
+partition layout and strict-inequality replay contract as the accepted
+rows themselves.  Without it the signatures are recomputed per batch
+(self-containment for toy corpora).
 """
 
 from __future__ import annotations
@@ -41,16 +46,45 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
 
-def _accepted_so_far(spark, accepted_dir: str, before_batch: int) -> DataFrame | None:
-    """Union of accepted rows from batches STRICTLY BEFORE
-    ``before_batch`` (replay safety), None when nothing exists yet."""
+def _prior_partitions(
+    spark, path: str, before_batch: int
+) -> DataFrame | None:
+    """Partitions of a ``batch_id=N``-layout parquet dir STRICTLY
+    before ``before_batch`` (replay safety), None when nothing exists
+    yet."""
     try:
-        prior = spark.read.parquet(accepted_dir)
+        prior = spark.read.parquet(path)
     except AnalysisException:
         return None
     if "batch_id" not in prior.columns:  # empty dir edge
         return None
     return prior.filter(F.col("batch_id") < before_batch).drop("batch_id")
+
+
+def materialize_corpus_signatures(
+    corpus_docs: DataFrame,
+    signature_dir: str,
+    shingle_n: int = 3,
+    n_bands: int = 8,
+) -> None:
+    """One-time base artifact for the streaming screen: the static
+    corpus's banded MinHash keys at ``signature_dir/base``.  Runs
+    once per pipeline deployment (skipped if present) — after this,
+    no micro-batch ever re-shingles the static corpus."""
+    from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
+        banded_signature_table,
+    )
+
+    spark = corpus_docs.sparkSession
+    base = f"{signature_dir}/base"
+    try:
+        spark.read.parquet(base).limit(1).collect()
+        return  # already materialized by an earlier deployment
+    except AnalysisException:
+        pass
+    banded_signature_table(
+        corpus_docs, shingle_n=shingle_n, n_bands=n_bands
+    ).write.mode("overwrite").parquet(base)
 
 
 def screen_micro_batch(
@@ -61,13 +95,24 @@ def screen_micro_batch(
     threshold: float = 0.5,
     shingle_n: int = 3,
     n_bands: int = 8,
+    signature_dir: str | None = None,
 ) -> tuple[int, int]:
     """One micro-batch of the ingest screen (the foreachBatch body,
     exposed for direct testing of the replay contract): screen
     ``batch_df`` against the static corpus + accepted partitions
     STRICTLY before ``batch_id``, write survivors idempotently to
-    ``accepted_dir/batch_id=N``.  Returns (n_batch, n_accepted)."""
+    ``accepted_dir/batch_id=N``.  Returns (n_batch, n_accepted).
+
+    With ``signature_dir`` (see :func:`materialize_corpus_signatures`)
+    the corpus side of the bucket join reads MATERIALIZED banded keys
+    — ``signature_dir/base`` for the static corpus plus
+    ``signature_dir/incr/batch_id<N`` for earlier accepted batches —
+    and each batch appends its own accepted rows' signatures, so
+    per-trigger cost never includes re-shingling the corpus.  Corpus
+    TEXT is still consulted, but only for candidate pairs (the
+    operator's semi-join prune)."""
     from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
+        banded_signature_table,
         incremental_near_dup,
         minhash_near_dup_pairs,
     )
@@ -75,9 +120,19 @@ def screen_micro_batch(
     spark = batch_df.sparkSession
     batch_df = batch_df.select("doc_id", "text")
     corpus = corpus_docs.select("doc_id", "text")
-    prior = _accepted_so_far(spark, accepted_dir, batch_id)
+    prior = _prior_partitions(spark, accepted_dir, batch_id)
     if prior is not None:
         corpus = corpus.unionByName(prior.select("doc_id", "text"))
+    corpus_sigs = None
+    if signature_dir is not None:
+        corpus_sigs = spark.read.parquet(f"{signature_dir}/base")
+        prior_sigs = _prior_partitions(
+            spark, f"{signature_dir}/incr", batch_id
+        )
+        if prior_sigs is not None:
+            corpus_sigs = corpus_sigs.unionByName(
+                prior_sigs.select("doc_id", "bs")
+            )
     # the batch feeds three consumers (corpus screen, self-pair
     # screen, final anti-join); micro-batches are small by
     # construction, so materialize once
@@ -89,6 +144,7 @@ def screen_micro_batch(
             shingle_n=shingle_n,
             n_bands=n_bands,
             threshold=threshold,
+            corpus_signatures=corpus_sigs,
         )
         .select(F.col("new_doc_id").alias("doc_id"))
         .distinct()
@@ -110,6 +166,16 @@ def screen_micro_batch(
     accepted.write.mode("overwrite").parquet(
         f"{accepted_dir}/batch_id={batch_id}"
     )
+    if signature_dir is not None:
+        # append-only signature maintenance: the accepted rows'
+        # banded keys, same idempotent per-partition layout
+        banded_signature_table(
+            spark.read.parquet(f"{accepted_dir}/batch_id={batch_id}"),
+            shingle_n=shingle_n,
+            n_bands=n_bands,
+        ).write.mode("overwrite").parquet(
+            f"{signature_dir}/incr/batch_id={batch_id}"
+        )
     return batch_df.count(), accepted.count()
 
 
@@ -122,6 +188,7 @@ def run_dedup_ingest_pipeline(
     shingle_n: int = 3,
     n_bands: int = 8,
     on_batch: Callable[[int, int, int], None] | None = None,
+    signature_dir: str | None = None,
 ) -> StreamingQuery:
     """Start the streaming ingest screen.
 
@@ -130,13 +197,22 @@ def run_dedup_ingest_pipeline(
     ``accepted_dir``: lake path where accepted rows accumulate,
     partitioned ``batch_id=N`` — readable as one parquet table, and
     the corpus side of every later batch's screen.
+    ``signature_dir`` (recommended for any non-toy corpus): lake path
+    for the materialized banded-key tables — the static corpus's keys
+    are built ONCE at pipeline start and each batch appends only its
+    accepted rows' keys, so no trigger ever re-shingles the corpus.
     ``on_batch(batch_id, n_batch, n_accepted)`` is an observability
     hook (counts only, no data)."""
+    if signature_dir is not None:
+        materialize_corpus_signatures(
+            corpus_docs, signature_dir, shingle_n, n_bands
+        )
 
     def screen(batch_df: DataFrame, batch_id: int) -> None:
         n, a = screen_micro_batch(
             batch_df, batch_id, corpus_docs, accepted_dir,
             threshold, shingle_n, n_bands,
+            signature_dir=signature_dir,
         )
         if on_batch is not None:
             on_batch(batch_id, n, a)

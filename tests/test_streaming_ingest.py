@@ -107,3 +107,56 @@ def test_replay_of_a_batch_is_idempotent_and_self_blind(spark, dirs):
     assert (n1, a1) == (n2, a2) == (2, 1)
     assert first == second
     assert {r.doc_id for r in spark.read.parquet(acc).collect()} == {11}
+
+
+def test_streaming_ingest_with_materialized_signatures(spark, dirs):
+    """The signature_dir path must produce the SAME accept/reject
+    decisions as the self-contained screen while maintaining the
+    banded-key lake: base table written once at start, one incr
+    partition per batch holding exactly the accepted rows' keys."""
+    import tempfile
+
+    src, acc, ckpt = dirs
+    sig = tempfile.mkdtemp(prefix="sig_")
+    try:
+        corpus = spark.createDataFrame(
+            [(0, T["c0"])], "doc_id long, text string"
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string").json(src)
+        )
+        q = run_dedup_ingest_pipeline(
+            stream, corpus, acc, ckpt, signature_dir=sig,
+        )
+        try:
+            wave1 = spark.createDataFrame(
+                [(10, T["c0"]), (11, T["u1"]), (12, T["u2"]), (13, T["u2"])],
+                "doc_id long, text string",
+            )
+            wave1.coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+            wave2 = spark.createDataFrame(
+                [(20, T["u1"]), (21, T["u3"])],
+                "doc_id long, text string",
+            )
+            wave2.coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out = spark.read.parquet(acc)
+        assert {r.doc_id for r in out.collect()} == {11, 12, 21}
+        # base signatures: the static corpus's docs only
+        base = spark.read.parquet(f"{sig}/base")
+        assert {r.doc_id for r in base.select("doc_id").distinct().collect()} == {0}
+        # incr partitions: exactly the accepted ids per batch
+        incr = spark.read.parquet(f"{sig}/incr")
+        by_batch = {
+            (r.batch_id, r.doc_id)
+            for r in incr.select("batch_id", "doc_id").distinct().collect()
+        }
+        assert by_batch == {(0, 11), (0, 12), (1, 21)}
+    finally:
+        import shutil
+
+        shutil.rmtree(sig, ignore_errors=True)
