@@ -247,6 +247,86 @@ def read_avro_ocf(
     return files.mapInPandas(decode, schema=out_schema)
 
 
+def decode_avro_payloads(
+    df: DataFrame,
+    avro_schema: dict,
+    payload_col: str = "avro_payload",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Jar-free ROW-level Avro decode — the missing leg of the
+    Confluent Kafka chain (``sources.avro.decode_avro`` needs the
+    spark-avro jar; this runs anywhere): a binary column of Avro
+    record BODIES (what ``with_confluent_frame`` leaves in
+    ``avro_payload`` after stripping the magic byte + schema id)
+    becomes typed columns, decoded executor-side in Arrow batches by
+    the same compiled reader the OCF source uses.
+
+    NULL payloads (non-Registry frames routed by the frame splitter)
+    decode to all-null fields instead of failing the batch — the
+    dead-letter-friendly contract.  ``keep_cols`` pass through
+    unchanged (e.g. ``("schema_id",)`` or Kafka metadata columns).
+
+    Scale shape: one ``mapInPandas`` over the payload column — no
+    shuffle, no driver involvement; the schema is compiled ONCE at
+    plan time and closed over, not re-parsed per row."""
+    import pandas as pd
+
+    read_record = _record_reader(avro_schema)
+    rec_schema = spark_schema_for(avro_schema)
+    names = [f.name for f in rec_schema.fields]
+    in_fields = {f.name: f for f in df.schema.fields}
+    # every output field is nullable HERE even when the Avro schema
+    # says required: a NULL payload (foreign frame) yields an all-null
+    # row by contract, and a non-nullable Arrow field would make that
+    # row a task-killing IllegalStateException instead of dead-letter
+    # data
+    out_schema = T.StructType(
+        [in_fields[c] for c in keep_cols]
+        + [
+            T.StructField(f.name, f.dataType, True)
+            for f in rec_schema.fields
+        ]
+    )
+    nulls = dict.fromkeys(names)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [
+                nulls
+                if body is None
+                else read_record(io.BytesIO(bytes(body)))
+                for body in pdf[payload_col]
+            ]
+            out = pd.DataFrame(recs, columns=names)
+            for c in reversed(keep_cols):
+                out.insert(0, c, pdf[c].to_numpy())
+            yield out
+
+    return df.select(*keep_cols, payload_col).mapInPandas(
+        decode, out_schema
+    )
+
+
+def encode_record_bytes(record: dict, avro_schema: dict) -> bytes:
+    """One record's Avro BINARY BODY (no container framing) — the
+    test-side twin of :func:`decode_avro_payloads`, and what a
+    Registry producer appends after the 5-byte Confluent header."""
+    plan = [
+        (f["name"], *_field_type(f["type"])) for f in avro_schema["fields"]
+    ]
+    out = io.BytesIO()
+    for name, tname, nullable in plan:
+        v = record.get(name)
+        if nullable:
+            _write_varint(out, 0 if v is None else 1)
+            if v is None:
+                continue
+        elif v is None:
+            raise ValueError(f"null in non-nullable field {name}")
+        _PRIMITIVE_WRITERS[tname](out, v)
+    return out.getvalue()
+
+
 # --------------------------------------------------------------- encoder --
 
 

@@ -168,3 +168,70 @@ def events_as_transactions(events: DataFrame) -> DataFrame:
         F.col("event_type").alias("payment_method"),
         F.col("event_type").alias("status"),
     )
+
+
+#: Avro record schema of the reference's transaction payload — the
+#: serializer its build DECLARES (avro + schema-registry deps,
+#: SURVEY.md §2.11) while shipping JSON-only code.  All fields
+#: nullable, matching TRANSACTION_SCHEMA's PERMISSIVE contract;
+#: timestamp rides as a string exactly as in the JSON wire format.
+TRANSACTION_AVRO_SCHEMA: dict = {
+    "type": "record",
+    "name": "transaction",
+    "fields": [
+        {"name": "transaction_id", "type": ["null", "string"]},
+        {"name": "customer_id", "type": ["null", "string"]},
+        {"name": "merchant_id", "type": ["null", "int"]},
+        {"name": "timestamp", "type": ["null", "string"]},
+        {"name": "amount", "type": ["null", "double"]},
+        {"name": "payment_method", "type": ["null", "string"]},
+        {"name": "status", "type": ["null", "string"]},
+    ],
+}
+
+
+def parse_transactions_avro(
+    df: DataFrame,
+    avro_schema: dict | None = None,
+    value_col: str = "value",
+    reparse_timestamp: bool = True,
+) -> DataFrame:
+    """Confluent-Avro twin of :func:`parse_transactions`, jar-free:
+    the decode chain the reference's declared dependencies imply but
+    its code never wires.
+
+    1. ``with_confluent_frame`` splits the Registry wire layout
+       (magic byte + schema id + body) with codegen'd byte ops;
+       non-Registry frames yield NULL payloads.
+    2. ``decode_avro_payloads`` (pure-Python Avro binary reader,
+       Arrow-batched ``mapInPandas``) turns bodies into typed
+       columns — no spark-avro jar required; NULL payloads decode to
+       all-null rows, mirroring PERMISSIVE JSON's contract.
+    3. The string timestamp parses with ``try_to_timestamp`` (ANSI-
+       safe) and optionally the reference's whole-seconds reparse
+       quirk, exactly as the JSON path.
+
+    Output: ``schema_id`` (Registry metadata, null for foreign
+    frames) + the flattened transaction columns — a drop-in source
+    for ``streaming.pipeline.aggregate_transactions``."""
+    from kafka_sparkstreaming_sbt_spark.sources.avro import (
+        with_confluent_frame,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.avro_ocf import (
+        decode_avro_payloads,
+    )
+
+    if avro_schema is None:
+        avro_schema = TRANSACTION_AVRO_SCHEMA
+    framed = with_confluent_frame(
+        df.select(F.col(value_col).alias("value")), "value"
+    )
+    decoded = decode_avro_payloads(
+        framed, avro_schema, "avro_payload", keep_cols=("schema_id",)
+    )
+    if "timestamp" in decoded.columns:
+        ts = F.try_to_timestamp(F.col("timestamp"))
+        if reparse_timestamp:
+            ts = reparse_timestamp_whole_seconds(ts)
+        decoded = decoded.withColumn("timestamp", ts)
+    return decoded

@@ -308,3 +308,96 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmpdir, sf_small):
     # user predicate: z-order still prunes (not as perfectly as the
     # dedicated linear sort, but well below all 16 files)
     assert files_touched(zord, user_pred) < 16
+
+
+def test_confluent_avro_decode_roundtrip_without_jar(spark):
+    """The jar-free Kafka-Avro chain (SURVEY §2.11, the serializer the
+    reference declares but never wires): frames built with the
+    pure-Python encoder -> with_confluent_frame -> decode_avro_payloads
+    must yield the original records; non-Registry frames decode to
+    all-null fields with a NULL schema_id (dead-letter contract)."""
+    from kafka_sparkstreaming_sbt_spark.sources.avro_ocf import (
+        decode_avro_payloads,
+        encode_record_bytes,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.avro import (
+        with_confluent_frame,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "amount", "type": "double"},
+        ],
+    }
+    recs = [
+        {"id": 1, "name": "a", "amount": 1.5},
+        {"id": 2, "name": None, "amount": -3.25},
+        {"id": 3, "name": "c" * 300, "amount": 0.0},
+    ]
+    frames = [
+        (b"\x00" + (7 + i).to_bytes(4, "big")
+         + encode_record_bytes(r, schema),)
+        for i, r in enumerate(recs)
+    ] + [(b"not avro at all",)]
+    df = spark.createDataFrame(frames, "value binary")
+    out = decode_avro_payloads(
+        with_confluent_frame(df), schema, keep_cols=("schema_id",)
+    )
+    rows = sorted(out.collect(), key=lambda r: (r.id is None, r.id or 0))
+    assert [(r.id, r.name, r.amount) for r in rows[:3]] == [
+        (1, "a", 1.5),
+        (2, None, -3.25),
+        (3, "c" * 300, 0.0),
+    ]
+    assert [r.schema_id for r in rows[:3]] == [7, 8, 9]
+    assert rows[3].id is None and rows[3].schema_id is None
+
+
+def test_parse_transactions_avro_feeds_the_pipeline(spark):
+    """parse_transactions_avro is a drop-in source for the reference
+    topology: Confluent-framed Avro transactions decode to the same
+    shape parse_transactions yields from JSON, and the canonical
+    transform chain aggregates them batch-mode."""
+    from kafka_sparkstreaming_sbt_spark.sources.avro_ocf import (
+        encode_record_bytes,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.kafka import (
+        TRANSACTION_AVRO_SCHEMA,
+        parse_transactions_avro,
+    )
+    from kafka_sparkstreaming_sbt_spark.streaming.pipeline import (
+        aggregate_transactions,
+    )
+
+    recs = [
+        {
+            "transaction_id": f"t{i}",
+            "customer_id": "c1",
+            "merchant_id": 5,
+            "timestamp": "2024-01-01 10:00:0" + str(i),
+            "amount": 10.0,
+            "payment_method": "card",
+            "status": "ok",
+        }
+        for i in range(3)
+    ]
+    recs.append(dict(recs[0]))  # duplicate transaction_id -> deduped
+    frames = [
+        (b"\x00" + (1).to_bytes(4, "big")
+         + encode_record_bytes(r, TRANSACTION_AVRO_SCHEMA),)
+        for r in recs
+    ]
+    df = spark.createDataFrame(frames, "value binary")
+    txn = parse_transactions_avro(df)
+    assert txn.schema["timestamp"].dataType.typeName() == "timestamp"
+    agg = aggregate_transactions(txn, watermark=None)
+    # per-transaction windowed sums: 3 distinct txns x 10.0 each in
+    # each of the 2 sliding windows covering the event (10m/5m), the
+    # duplicate transaction_id deduped before aggregation
+    rows = agg.collect()
+    assert {r.transaction_id for r in rows} == {"t0", "t1", "t2"}
+    assert sorted(r.window_total_spent for r in rows) == [10.0] * 6
