@@ -26,7 +26,12 @@ table unreadable):
   recorded in the artifact so a contaminated run is *visible* instead
   of silently skewing the record (per-query loads in
   bench_details.json only; the stdout line carries the start/end
-  pair).
+  pair);
+- ``sentinel_start_sec`` / ``sentinel_end_sec``: a FIXED pure-CPU
+  reference computation timed at both ends.  Guest loadavg cannot see
+  HOST-level contention (this box is a VM), but the sentinel inflates
+  with it — normalize cross-run comparisons by the sentinel ratio
+  before reading per-query deltas.
 """
 
 from __future__ import annotations
@@ -50,6 +55,26 @@ def _loadavg() -> float:
         return round(os.getloadavg()[0], 2)
     except OSError:
         return -1.0
+
+
+def _sentinel_sec(spark) -> float:
+    """Fixed pure-CPU reference computation (min of 3): a host-speed
+    proxy for normalizing wall times ACROSS runs.  Guest loadavg
+    can't see host-level contention (this box is a VM — a noisy
+    neighbor inflates every query uniformly while loadavg stays
+    low, the exact signature of the BENCH_r05 contamination), but
+    the sentinel inflates with it: compare ``sentinel_start_sec``
+    between two artifacts before comparing their queries."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        # try_sum: the hash sum overflows long by design (ANSI mode
+        # would throw); the value is irrelevant, only the CPU time
+        spark.range(30_000_000).selectExpr(
+            "try_sum(xxhash64(id))", "avg(id * 2.5)"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def _wait_for_idle(max_load: float, timeout_sec: float) -> float:
@@ -244,6 +269,7 @@ def main() -> None:
     # measure the queries, not session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    sentinel_start = _sentinel_sec(spark)
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
@@ -310,6 +336,8 @@ def main() -> None:
         "ivf_kmeans_recall_at_10": recall,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
+        "sentinel_start_sec": sentinel_start,
+        "sentinel_end_sec": _sentinel_sec(spark),
         "queries_retried_for_spread": len(retried),
         **stream,
     }
