@@ -192,3 +192,74 @@ def test_blockwise_group_pair_scan_matches_brute_force(spark, rows):
         ).collect()
     }
     assert got_dropped == expect_dropped
+
+
+# ---------------------------------------------------------------- avro --
+
+_AVRO_PROP_SCHEMA = {
+    "type": "record",
+    "name": "prop",
+    "fields": [
+        {"name": "a_long", "type": "long"},
+        {"name": "a_str", "type": ["null", "string"]},
+        {"name": "a_double", "type": "double"},
+        {"name": "a_bool", "type": ["null", "boolean"]},
+        {"name": "a_bytes", "type": "bytes"},
+        {"name": "an_int", "type": ["null", "int"]},
+    ],
+}
+
+_avro_record = st.fixed_dictionaries(
+    {
+        "a_long": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "a_str": st.none() | st.text(max_size=40),
+        "a_double": st.floats(allow_nan=False),
+        "a_bool": st.none() | st.booleans(),
+        "a_bytes": st.binary(max_size=30),
+        "an_int": st.none()
+        | st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    }
+)
+
+
+@given(st.lists(_avro_record, max_size=30))
+@settings(deadline=None, max_examples=60)
+def test_avro_record_body_roundtrip(records):
+    """Pure-Python Avro codec property: encode_record_bytes ->
+    _record_reader is the identity for every supported primitive /
+    nullable-union value, INCLUDING the full int64/float range and
+    concatenated bodies (records must be self-delimiting — a length
+    bug in one field corrupts every later record in a Kafka batch or
+    OCF block)."""
+    import io
+
+    from kafka_sparkstreaming_sbt_spark.sources.avro_ocf import (
+        _record_reader,
+        encode_record_bytes,
+    )
+
+    blob = b"".join(
+        encode_record_bytes(r, _AVRO_PROP_SCHEMA) for r in records
+    )
+    buf = io.BytesIO(blob)
+    read = _record_reader(_AVRO_PROP_SCHEMA)
+    for rec in records:
+        assert read(buf) == rec
+    assert not buf.read(1)  # fully consumed, no trailing bytes
+
+
+@given(st.lists(_avro_record, min_size=1, max_size=25))
+@settings(deadline=None, max_examples=30)
+def test_avro_ocf_container_roundtrip(records):
+    """Container-level property: write_ocf_bytes -> iter_ocf_records
+    is the identity across block boundaries and both codecs."""
+    from kafka_sparkstreaming_sbt_spark.sources.avro_ocf import (
+        iter_ocf_records,
+        write_ocf_bytes,
+    )
+
+    for codec in ("null", "deflate"):
+        data = write_ocf_bytes(
+            records, _AVRO_PROP_SCHEMA, codec=codec, rows_per_block=7
+        )
+        assert list(iter_ocf_records(data)) == records
