@@ -262,9 +262,14 @@ def decode_avro_payloads(
     the same compiled reader the OCF source uses.
 
     NULL payloads (non-Registry frames routed by the frame splitter)
-    decode to all-null fields instead of failing the batch — the
-    dead-letter-friendly contract.  ``keep_cols`` pass through
-    unchanged (e.g. ``("schema_id",)`` or Kafka metadata columns).
+    AND framed-but-corrupt bodies (truncated / garbage bytes) decode
+    to all-null fields instead of failing the batch — the PERMISSIVE
+    contract of the JSON path, and what keeps one poison-pill message
+    from killing a whole streaming query (the decode error would be
+    upstream of foreachBatch, beyond any sink-side error handling).
+    ``keep_cols`` pass through unchanged (e.g. ``("schema_id",)`` or
+    Kafka metadata columns) — route corrupt rows to a dead-letter
+    sink by filtering on an all-null decode with a kept raw column.
 
     Scale shape: one ``mapInPandas`` over the payload column — no
     shuffle, no driver involvement; the schema is compiled ONCE at
@@ -289,14 +294,21 @@ def decode_avro_payloads(
     )
     nulls = dict.fromkeys(names)
 
+    def read_or_null(body) -> dict:
+        if body is None:
+            return nulls
+        try:
+            buf = io.BytesIO(bytes(body))
+            rec = read_record(buf)
+            if buf.read(1):  # trailing bytes: wrong schema/garbage
+                return nulls
+            return rec
+        except (EOFError, ValueError, UnicodeDecodeError, struct.error):
+            return nulls
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs = [
-                nulls
-                if body is None
-                else read_record(io.BytesIO(bytes(body)))
-                for body in pdf[payload_col]
-            ]
+            recs = [read_or_null(body) for body in pdf[payload_col]]
             out = pd.DataFrame(recs, columns=names)
             for c in reversed(keep_cols):
                 out.insert(0, c, pdf[c].to_numpy())

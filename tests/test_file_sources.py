@@ -342,7 +342,12 @@ def test_confluent_avro_decode_roundtrip_without_jar(spark):
         (b"\x00" + (7 + i).to_bytes(4, "big")
          + encode_record_bytes(r, schema),)
         for i, r in enumerate(recs)
-    ] + [(b"not avro at all",)]
+    ] + [
+        (b"not avro at all",),  # foreign frame (no magic byte)
+        # framed but CORRUPT: truncated body — must decode to nulls,
+        # not kill the task (poison-pill contract)
+        (b"\x00" + (99).to_bytes(4, "big") + b"\x07tru",),
+    ]
     df = spark.createDataFrame(frames, "value binary")
     out = decode_avro_payloads(
         with_confluent_frame(df), schema, keep_cols=("schema_id",)
@@ -354,7 +359,8 @@ def test_confluent_avro_decode_roundtrip_without_jar(spark):
         (3, "c" * 300, 0.0),
     ]
     assert [r.schema_id for r in rows[:3]] == [7, 8, 9]
-    assert rows[3].id is None and rows[3].schema_id is None
+    tail = {(r.schema_id, r.id) for r in rows[3:]}
+    assert tail == {(None, None), (99, None)}  # foreign + corrupt
 
 
 def test_parse_transactions_avro_feeds_the_pipeline(spark):
