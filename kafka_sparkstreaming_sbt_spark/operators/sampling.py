@@ -222,7 +222,10 @@ def group_quantile_filter(
     Rows at exactly the per-group threshold are kept (>=), so the
     kept fraction can exceed ``keep_frac`` under score ties — the
     deterministic choice (a strict cut would make membership depend
-    on which tied row the engine sees first).
+    on which tied row the engine sees first).  NULL scores are
+    ignored by the percentile AND never kept (NULL >= t is NULL):
+    unscored rows don't distort the threshold and don't ride along —
+    score them or route them separately before this cut.
 
     Scale design: the threshold is the per-group EXACT interpolated
     percentile — a partial-aggregatable ``percentile`` over (group,

@@ -316,6 +316,8 @@ def test_group_quantile_filter_is_per_group_and_tie_stable(spark):
     rows = [("hi", i, float(i)) for i in range(10)]  # scores 0..9
     rows += [("lo", 100 + i, float(i) / 100) for i in range(10)]  # 0..0.09
     rows += [("tied", 200 + i, 1.0) for i in range(4)]  # all equal
+    rows += [("hi", 300, None)]  # unscored row: never kept, never
+    # distorts the threshold (percentile ignores nulls)
     df = spark.createDataFrame(rows, "grp string, id long, score double")
     out = group_quantile_filter(df, "grp", "score", keep_frac=0.5)
     by = {}
@@ -327,6 +329,7 @@ def test_group_quantile_filter_is_per_group_and_tie_stable(spark):
     assert by["lo"] == {105, 106, 107, 108, 109}
     # all-tied group: threshold == the tied score, everything kept
     assert by["tied"] == {200, 201, 202, 203}
+    assert 300 not in by["hi"]  # NULL score dropped, threshold intact
     # deterministic across runs
     again = group_quantile_filter(df, "grp", "score", keep_frac=0.5)
     assert {tuple(r) for r in again.collect()} == {
