@@ -5,7 +5,10 @@ of this engine's LLM-data operators over a documents parquet table:
     MinHash near-dup groups (transitive) -> keep the LONGEST doc per
     group (canonical election) -> [optional] SemDeDup semantic dedup
     over the documents' embeddings (k-means cells, 2-probe boundary
-    recovery, BLAS tier) -> deterministic train/valid/test split
+    recovery, BLAS tier) -> [optional] per-language relative quality
+    cut (keep the top fraction WITHIN each detected language) ->
+    [optional] cluster-balanced diversity cap (at most k docs per
+    embedding cell) -> deterministic train/valid/test split
     -> partitioned parquet lake write + one-line JSON report.
 
 Every stage is a DataFrame transform from the library (zero driver
@@ -36,10 +39,14 @@ from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
 )
 from kafka_sparkstreaming_sbt_spark.operators.graph import select_canonical
 from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+    diverse_sample,
     kmeans_centroids,
     semantic_dedup,
 )
-from kafka_sparkstreaming_sbt_spark.operators.sampling import with_split
+from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+    group_quantile_filter,
+    with_split,
+)
 from kafka_sparkstreaming_sbt_spark.operators.text import (
     exact_dedup_groups,
     lang_id,
@@ -57,6 +64,8 @@ def curate(
     jaccard_threshold: float = 0.5,
     min_quality: float = 0.3,
     semantic_threshold: float | None = None,
+    quality_quantile: float | None = None,
+    diversity_k: int | None = None,
 ) -> dict:
     """Run the curation chain; returns the per-stage count report.
 
@@ -68,7 +77,16 @@ def curate(
     where single-probe degrades to 0.62 at 1M vectors).  Textual
     near-dup dedup catches lexical copies; the semantic stage
     additionally drops paraphrases and re-encodings the shingle
-    space cannot see."""
+    space cannot see.
+
+    ``quality_quantile`` (e.g. 0.6) replaces the absolute
+    ``min_quality`` bar with a RELATIVE one: keep the top fraction of
+    every DETECTED LANGUAGE by quality score (an absolute bar guts
+    low-resource languages whose score distributions sit lower).
+    ``diversity_k`` caps every embedding cell at k surviving docs
+    (cluster-balanced subset — dominant topics can't monopolize the
+    training mix); reuses the semantic stage's k-means cells when
+    both stages run."""
     docs = read_table(spark, input_dir, "documents")
     n_input = docs.count()
 
@@ -94,9 +112,11 @@ def curate(
     ).select("doc_id")
 
     sem_keep = None
-    if semantic_threshold is not None:
+    emb = cents = None
+    if semantic_threshold is not None or diversity_k is not None:
         emb = read_table(spark, input_dir, "embeddings")
         cents = kmeans_centroids(emb, n_iter=2)
+    if semantic_threshold is not None:
         sem_keep = (
             semantic_dedup(
                 emb,
@@ -114,10 +134,22 @@ def curate(
         .join(near_keep, "doc_id", "left_semi")
         .join(scored, "doc_id")
         .join(langs, "doc_id")
-        .filter(F.col("quality_score") >= min_quality)
     )
+    if quality_quantile is not None:
+        # relative cut WITHIN each detected language — the absolute
+        # bar would gut low-resource languages
+        kept = group_quantile_filter(
+            kept, "detected_lang", "quality_score", quality_quantile
+        )
+    else:
+        kept = kept.filter(F.col("quality_score") >= min_quality)
     if sem_keep is not None:
         kept = kept.join(sem_keep, "doc_id", "left_semi")
+    if diversity_k is not None:
+        div_keep = diverse_sample(
+            emb, cents, k_per_cell=diversity_k, method="numpy"
+        ).select(F.col("vec_id").alias("doc_id"))
+        kept = kept.join(div_keep, "doc_id", "left_semi")
 
     # redact AFTER dedup (why scrub text you are about to drop), then
     # attach the deterministic split and write the curated lake
@@ -165,6 +197,19 @@ def main() -> None:
         default=None,
         help="enable SemDeDup semantic dedup at this cosine threshold",
     )
+    p.add_argument(
+        "--quality-quantile",
+        type=float,
+        default=None,
+        help="keep the top FRACTION of each detected language by "
+        "quality score (replaces the absolute --min-quality bar)",
+    )
+    p.add_argument(
+        "--diversity-k",
+        type=int,
+        default=None,
+        help="cap every embedding cell at k surviving docs",
+    )
     args = p.parse_args()
     spark = get_spark(app_name="curate-corpus")
     report = curate(
@@ -174,6 +219,8 @@ def main() -> None:
         args.jaccard_threshold,
         args.min_quality,
         args.semantic_threshold,
+        args.quality_quantile,
+        args.diversity_k,
     )
     print(json.dumps(report))
     spark.stop()

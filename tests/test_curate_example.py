@@ -51,3 +51,51 @@ def test_curate_with_semantic_stage(spark, sf_small):
     out_noop = tempfile.mkdtemp()
     noop = curate(spark, sf_small, out_noop, semantic_threshold=1.01)
     assert noop["curated_docs"] == base["curated_docs"]
+
+
+def test_curate_with_relative_quality_and_diversity(spark, sf_small):
+    """--quality-quantile and --diversity-k compose into the chain:
+    the relative cut keeps every language represented (the absolute
+    bar's failure mode), the diversity cap can only shrink, and the
+    pipeline stays deterministic end to end."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out_base = tempfile.mkdtemp()
+    base = curate(spark, sf_small, out_base)
+    out_q = tempfile.mkdtemp()
+    rel = curate(spark, sf_small, out_q, quality_quantile=0.5)
+    # every language that entered the corpus survives the relative cut
+    langs_in = {
+        r.detected_lang
+        for r in spark.read.parquet(out_base)
+        .select("detected_lang").distinct().collect()
+    }
+    langs_out = {
+        r.detected_lang
+        for r in spark.read.parquet(out_q)
+        .select("detected_lang").distinct().collect()
+    }
+    # a language with any surviving doc keeps its top-50% (>= 1 doc:
+    # the per-group percentile of one value is that value, kept by >=)
+    # — the absolute bar has no such guarantee
+    assert langs_in <= langs_out
+    assert langs_out  # non-degenerate
+    # top-50%-per-language keeps roughly half of what the permissive
+    # absolute bar kept (ties can push it over)
+    assert rel["curated_docs"] < base["curated_docs"]
+
+    out_d = tempfile.mkdtemp()
+    div = curate(spark, sf_small, out_d, diversity_k=3)
+    assert div["curated_docs"] <= base["curated_docs"]
+    # determinism of the full composition
+    out_all = tempfile.mkdtemp()
+    both = curate(
+        spark, sf_small, out_all, quality_quantile=0.5, diversity_k=3
+    )
+    out_all2 = tempfile.mkdtemp()
+    assert curate(
+        spark, sf_small, out_all2, quality_quantile=0.5, diversity_k=3
+    ) == both
+    assert both["curated_docs"] <= rel["curated_docs"]
