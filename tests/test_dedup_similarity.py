@@ -827,3 +827,54 @@ def test_incremental_near_dup_reuses_materialized_signatures(
         batch, corpus, corpus_signatures=empty
     ).count()
     assert none == 0
+
+
+def test_incremental_semantic_dedup_parity_random_geometries(spark):
+    """Seeded random-geometry sweep: across corpora with different
+    cluster structures, thresholds, and centroid counts, the
+    incremental screen's batch verdicts must equal the full run's —
+    on both tiers.  Catches tie-break/boundary regressions the single
+    fixture corpus can't (e.g. equal-cosine pairs, singleton cells,
+    batch-only cells)."""
+    import numpy as np
+
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    for case in range(4):
+        n, dim = 60, 6
+        n_cent = int(rng.integers(2, 7))
+        threshold = float(rng.uniform(0.3, 0.9))
+        # half the vectors are jittered copies of earlier ones so real
+        # near-dup pairs exist at every threshold
+        base = rng.normal(size=(n, dim))
+        for i in range(n // 2, n):
+            base[i] = base[rng.integers(0, n // 2)] + rng.normal(
+                scale=0.05, size=dim
+            )
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in base[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        split = int(rng.integers(n // 3, 2 * n // 3))
+        corpus = emb.filter(F.col("vec_id") < split)
+        batch = emb.filter(F.col("vec_id") >= split)
+        cent = corpus.filter(F.col("vec_id") < n_cent).selectExpr(
+            "vec_id AS cell_id", "embedding AS c_vec"
+        )
+        full = {
+            (r.vec_id, r.cell_id, r.kept)
+            for r in semantic_dedup(emb, cent, threshold=threshold).collect()
+            if r.vec_id >= split
+        }
+        for method in ("sql", "numpy"):
+            inc = {
+                (r.vec_id, r.cell_id, r.kept)
+                for r in incremental_semantic_dedup(
+                    batch, corpus, cent, threshold=threshold, method=method
+                ).collect()
+            }
+            assert inc == full, (case, method, threshold, n_cent)
