@@ -1865,7 +1865,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents GROUP BY lang
         )
         SELECT d.doc_id, d.lang, d.n_chars
-        FROM documents d JOIN t ON d.lang = t.lang
+        FROM documents d JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
         WHERE CAST(d.n_chars AS DOUBLE) >= t.thresh
         """,
         "diverse_sample": """

@@ -146,8 +146,18 @@ def curate(
     if sem_keep is not None:
         kept = kept.join(sem_keep, "doc_id", "left_semi")
     if diversity_k is not None:
+        # sample from the SURVIVORS, not the raw table: a draw-winner
+        # already dropped by dedup/quality would otherwise consume one
+        # of the cell's k slots without contributing a row, silently
+        # under-filling cells (up to emptying one whose top-k draws
+        # were all dups)
+        emb_kept = emb.join(
+            kept.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
         div_keep = diverse_sample(
-            emb, cents, k_per_cell=diversity_k, method="numpy"
+            emb_kept, cents, k_per_cell=diversity_k, method="numpy"
         ).select(F.col("vec_id").alias("doc_id"))
         kept = kept.join(div_keep, "doc_id", "left_semi")
 

@@ -67,9 +67,17 @@ def screen_batch(
 
     ``verdicts`` has one row per batch doc:
     ``(doc_id, textual_dup, semantic_dup, accepted)`` — auditable
-    curation metadata, not just the surviving subset.  The semantic
-    screen runs only when ``semantic_threshold`` is set and embedding
-    tables are provided (``vec_id`` == ``doc_id``)."""
+    curation metadata, not just the surviving subset.  Setting
+    ``semantic_threshold`` REQUIRES both embedding tables
+    (``vec_id`` == ``doc_id``) — a missing table raises immediately
+    rather than silently skipping a screen the caller asked for."""
+    if semantic_threshold is not None and (
+        corpus_emb is None or batch_emb is None
+    ):
+        raise ValueError(
+            "semantic_threshold is set but corpus_emb/batch_emb are "
+            "missing — pass both embedding tables or drop the threshold"
+        )
     batch_ids = batch_docs.select("doc_id")
 
     textual_dups = (

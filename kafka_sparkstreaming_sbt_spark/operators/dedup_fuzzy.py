@@ -167,6 +167,7 @@ def minhash_near_dup_pairs(
     n_bands: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle -> minhash bands ->
     bucket-join candidates -> exact-Jaccard verify.
@@ -178,7 +179,16 @@ def minhash_near_dup_pairs(
     self-join (see :func:`cap_hot_buckets` for the recall tradeoff) —
     set it on boilerplate-heavy corpora where one shared template
     would otherwise make a single bucket quadratic.
-    """
+
+    ``persist_shingles=False`` skips the executor cache of the shingle
+    table: the cache entry belongs to a lazily-returned DataFrame and
+    can never be safely unpersisted here, so a LONG-LIVED session
+    calling this repeatedly (the streaming ingest screen: once per
+    micro-batch) must opt out or leak one dead cache entry per call —
+    at the cost of re-shingling the input once per consuming branch,
+    bounded when the caller's input is small/checkpointed (ADVICE r3,
+    the same reasoning as incremental_near_dup's deliberate
+    recompute)."""
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
     # shingling/hashing is compute-bound: spread the byte-small doc
@@ -190,7 +200,8 @@ def minhash_near_dup_pairs(
     # of the verify join); materialize it once instead of re-shingling
     # per branch.  At lake scale this would be a persisted/bucketed
     # intermediate table rather than an executor cache.
-    docs = docs.persist()
+    if persist_shingles:
+        docs = docs.persist()
     # join on a 64-bit hash of (band, sig) instead of the 32-char md5
     # string: a collision only ADDS a candidate pair (the exact-Jaccard
     # verify rejects it), never drops a true one — identical results,

@@ -225,7 +225,10 @@ def group_quantile_filter(
     on which tied row the engine sees first).  NULL scores are
     ignored by the percentile AND never kept (NULL >= t is NULL):
     unscored rows don't distort the threshold and don't ride along —
-    score them or route them separately before this cut.
+    score them or route them separately before this cut.  A NULL
+    GROUP key is a real group (null-safe join back, matching
+    ``groupBy``'s null handling): rows with an undetected language
+    get their own within-group cut instead of silently vanishing.
 
     Scale design: the threshold is the per-group EXACT interpolated
     percentile — a partial-aggregatable ``percentile`` over (group,
@@ -237,12 +240,17 @@ def group_quantile_filter(
     correctness contract and `F.percentile` matches DuckDB's
     ``quantile_cont`` bit-for-bit; swap to ``percentile_approx`` only
     when groups are so large the exact partial state matters."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
     thresholds = df.groupBy(group_col).agg(
         F.percentile(F.col(score_col).cast("double"), 1.0 - keep_frac)
         .alias("_thresh")
-    )
+    ).withColumnRenamed(group_col, "_grp")
     return (
-        df.join(F.broadcast(thresholds), group_col)
+        df.join(
+            F.broadcast(thresholds),
+            F.col(group_col).eqNullSafe(F.col("_grp")),
+        )
         .filter(F.col(score_col).cast("double") >= F.col("_thresh"))
-        .drop("_thresh")
+        .drop("_grp", "_thresh")
     )

@@ -73,8 +73,18 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
     return data
 
 
+def _read_bool(buf: io.BytesIO) -> bool:
+    b = buf.read(1)
+    if not b:
+        # an empty read MUST raise like every other primitive: a
+        # schema ending in a boolean would otherwise decode truncated
+        # bodies to a fabricated False instead of the dead-letter path
+        raise EOFError("truncated boolean")
+    return b == b"\x01"
+
+
 _PRIMITIVE_READERS = {
-    "boolean": lambda buf: buf.read(1) == b"\x01",
+    "boolean": _read_bool,
     "int": _read_varint,
     "long": _read_varint,
     "float": lambda buf: struct.unpack("<f", buf.read(4))[0],
@@ -94,10 +104,14 @@ _PRIMITIVE_SPARK_TYPES = {
 }
 
 
-def _field_type(ftype: Any) -> tuple[str, bool]:
-    """Normalize a field's schema to (primitive name, nullable).
-    Accepts a primitive name, ``{"type": name}``, or ``["null", T]``
-    (either order)."""
+def _field_type(ftype: Any) -> tuple[str, int | None]:
+    """Normalize a field's schema to (primitive name, null branch
+    index).  Accepts a primitive name, ``{"type": name}``, or a
+    two-branch nullable union in EITHER order — the union index on
+    the wire is positional, so ``["string", "null"]`` encodes null as
+    branch 1, not 0; conflating the two silently misreads every
+    value (and the trailing-bytes guard would then null out whole
+    records).  ``None`` means not nullable."""
     if isinstance(ftype, dict):
         ftype = ftype["type"]
     if isinstance(ftype, list):
@@ -105,10 +119,13 @@ def _field_type(ftype: Any) -> tuple[str, bool]:
         non_null = [b for b in branches if b != "null"]
         if len(non_null) != 1 or len(branches) > 2:
             raise ValueError(f"unsupported union {ftype!r}")
-        return non_null[0], True
+        null_idx = branches.index("null") if "null" in branches else None
+        if non_null[0] not in _PRIMITIVE_READERS:
+            raise ValueError(f"unsupported avro type {non_null[0]!r}")
+        return non_null[0], null_idx
     if ftype not in _PRIMITIVE_READERS:
         raise ValueError(f"unsupported avro type {ftype!r}")
-    return ftype, False
+    return ftype, None
 
 
 def spark_schema_for(avro_schema: dict) -> T.StructType:
@@ -117,27 +134,32 @@ def spark_schema_for(avro_schema: dict) -> T.StructType:
         raise ValueError("top-level schema must be a record")
     fields = []
     for f in avro_schema["fields"]:
-        name, nullable = _field_type(f["type"])
+        name, null_idx = _field_type(f["type"])
         fields.append(
-            T.StructField(f["name"], _PRIMITIVE_SPARK_TYPES[name], nullable)
+            T.StructField(
+                f["name"], _PRIMITIVE_SPARK_TYPES[name], null_idx is not None
+            )
         )
     return T.StructType(fields)
 
 
 def _record_reader(avro_schema: dict):
-    """Compile the schema to a list of (name, reader, nullable)."""
+    """Compile the schema to a list of (name, reader, null index)."""
     plan = []
     for f in avro_schema["fields"]:
-        tname, nullable = _field_type(f["type"])
-        plan.append((f["name"], _PRIMITIVE_READERS[tname], nullable))
+        tname, null_idx = _field_type(f["type"])
+        plan.append((f["name"], _PRIMITIVE_READERS[tname], null_idx))
 
     def read(buf: io.BytesIO) -> dict:
         row = {}
-        for name, rdr, nullable in plan:
-            if nullable:
-                # union index: 0 -> first branch; null branch yields None
+        for name, rdr, null_idx in plan:
+            if null_idx is not None:
+                # positional union index: the null branch's POSITION
+                # in the declared union, not always 0
                 idx = _read_varint(buf)
-                row[name] = None if idx == 0 else rdr(buf)
+                if idx not in (0, 1):
+                    raise ValueError(f"invalid union index {idx}")
+                row[name] = None if idx == null_idx else rdr(buf)
             else:
                 row[name] = rdr(buf)
         return row
@@ -327,10 +349,11 @@ def encode_record_bytes(record: dict, avro_schema: dict) -> bytes:
         (f["name"], *_field_type(f["type"])) for f in avro_schema["fields"]
     ]
     out = io.BytesIO()
-    for name, tname, nullable in plan:
+    for name, tname, null_idx in plan:
         v = record.get(name)
-        if nullable:
-            _write_varint(out, 0 if v is None else 1)
+        if null_idx is not None:
+            # positional: write the branch the value actually sits in
+            _write_varint(out, null_idx if v is None else 1 - null_idx)
             if v is None:
                 continue
         elif v is None:
@@ -388,10 +411,12 @@ def write_ocf_bytes(
         chunk = records[start:start + rows_per_block]
         block = io.BytesIO()
         for rec in chunk:
-            for name, tname, nullable in plan:
+            for name, tname, null_idx in plan:
                 v = rec.get(name)
-                if nullable:
-                    _write_varint(block, 0 if v is None else 1)
+                if null_idx is not None:
+                    _write_varint(
+                        block, null_idx if v is None else 1 - null_idx
+                    )
                     if v is None:
                         continue
                 elif v is None:

@@ -149,12 +149,18 @@ def screen_micro_batch(
         .select(F.col("new_doc_id").alias("doc_id"))
         .distinct()
     )
-    # within-batch: keep the smallest id of every near-dup pair
+    # within-batch: keep the smallest id of every near-dup pair.
+    # persist_shingles=False: this runs once per TRIGGER in a
+    # long-lived query, and the operator's internal cache can never
+    # be unpersisted from here — each call would leak a dead cache
+    # entry; the batch is small and checkpointed, so the re-shingle
+    # per branch is bounded.
     self_pairs = minhash_near_dup_pairs(
         batch_df,
         shingle_n=shingle_n,
         n_bands=n_bands,
         threshold=threshold,
+        persist_shingles=False,
     ).select(F.col("doc_b").alias("doc_id")).distinct()
     accepted = batch_df.join(
         vs_corpus.unionByName(self_pairs).distinct(),
@@ -163,20 +169,23 @@ def screen_micro_batch(
     )
     # idempotent per-batch write: replaying batch N overwrites its
     # own partition, never touches earlier ones
-    accepted.write.mode("overwrite").parquet(
-        f"{accepted_dir}/batch_id={batch_id}"
-    )
+    accepted_path = f"{accepted_dir}/batch_id={batch_id}"
+    accepted.write.mode("overwrite").parquet(accepted_path)
     if signature_dir is not None:
         # append-only signature maintenance: the accepted rows'
         # banded keys, same idempotent per-partition layout
         banded_signature_table(
-            spark.read.parquet(f"{accepted_dir}/batch_id={batch_id}"),
+            spark.read.parquet(accepted_path),
             shingle_n=shingle_n,
             n_bands=n_bands,
         ).write.mode("overwrite").parquet(
             f"{signature_dir}/incr/batch_id={batch_id}"
         )
-    return batch_df.count(), accepted.count()
+    # count the PARTITION JUST WRITTEN, not `accepted` — a second
+    # action on the lazy screen plan would re-run the whole bucket
+    # join + verify, doubling every trigger's cost; the parquet count
+    # resolves from footer metadata
+    return batch_df.count(), spark.read.parquet(accepted_path).count()
 
 
 def run_dedup_ingest_pipeline(

@@ -99,3 +99,54 @@ def test_curate_with_relative_quality_and_diversity(spark, sf_small):
         spark, sf_small, out_all2, quality_quantile=0.5, diversity_k=3
     ) == both
     assert both["curated_docs"] <= rel["curated_docs"]
+
+
+def test_diversity_cap_counts_survivors_not_raw_docs(spark, sf_small):
+    """Regression: the per-cell cap must be computed over SURVIVING
+    docs — drawing from the raw table lets already-dropped docs
+    consume cell slots, silently under-filling cells.  Every cell must
+    contribute exactly min(k, survivors-in-cell)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    out_base = tempfile.mkdtemp()
+    curate(spark, sf_small, out_base)
+    base_ids = spark.read.parquet(out_base).select("doc_id")
+    k = 3
+    out_d = tempfile.mkdtemp()
+    curate(spark, sf_small, out_d, diversity_k=k)
+    div_ids = {r.doc_id for r in spark.read.parquet(out_d).collect()}
+
+    emb = read_table(spark, sf_small, "embeddings")
+    cents = kmeans_centroids(emb, n_iter=2)
+    surv_cells = ivf_assign(
+        emb.join(
+            base_ids.select(F.col("doc_id").alias("vec_id")), "vec_id",
+            "left_semi",
+        ),
+        cents,
+        method="numpy",
+    )
+    expected = {
+        r.cell_id: min(k, r.n)
+        for r in surv_cells.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        r.cell_id: r.n
+        for r in surv_cells.filter(
+            F.col("vec_id").isin(list(div_ids))
+        )
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected

@@ -206,6 +206,10 @@ _AVRO_PROP_SCHEMA = {
         {"name": "a_bool", "type": ["null", "boolean"]},
         {"name": "a_bytes", "type": "bytes"},
         {"name": "an_int", "type": ["null", "int"]},
+        # null-SECOND union: the wire index is positional, so this
+        # branch order must round-trip too (regression: reader/writer
+        # once hard-coded null as branch 0)
+        {"name": "b_str", "type": ["string", "null"]},
     ],
 }
 
@@ -218,6 +222,7 @@ _avro_record = st.fixed_dictionaries(
         "a_bytes": st.binary(max_size=30),
         "an_int": st.none()
         | st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "b_str": st.none() | st.text(max_size=20),
     }
 )
 

@@ -318,6 +318,7 @@ def test_group_quantile_filter_is_per_group_and_tie_stable(spark):
     rows += [("tied", 200 + i, 1.0) for i in range(4)]  # all equal
     rows += [("hi", 300, None)]  # unscored row: never kept, never
     # distorts the threshold (percentile ignores nulls)
+    rows += [(None, 400 + i, float(i)) for i in range(4)]  # NULL group
     df = spark.createDataFrame(rows, "grp string, id long, score double")
     out = group_quantile_filter(df, "grp", "score", keep_frac=0.5)
     by = {}
@@ -330,6 +331,16 @@ def test_group_quantile_filter_is_per_group_and_tie_stable(spark):
     # all-tied group: threshold == the tied score, everything kept
     assert by["tied"] == {200, 201, 202, 203}
     assert 300 not in by["hi"]  # NULL score dropped, threshold intact
+    # a NULL group key is a real group (null-safe join), not a silent
+    # drop: its own top half survives
+    assert by[None] == {402, 403}
+    # keep_frac outside (0, 1] fails fast at the API boundary
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_frac"):
+        group_quantile_filter(df, "grp", "score", keep_frac=0.0)
+    with pytest.raises(ValueError, match="keep_frac"):
+        group_quantile_filter(df, "grp", "score", keep_frac=1.5)
     # deterministic across runs
     again = group_quantile_filter(df, "grp", "score", keep_frac=0.5)
     assert {tuple(r) for r in again.collect()} == {
