@@ -649,6 +649,40 @@ def q_quantile_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation report composing the dedup chain: MinHash pairs ->
+    transitive groups -> per-SOURCE duplicate contribution (docs a
+    group-level dedup would delete from each source).  The table a
+    pipeline operator reads before deciding which crawl/source to
+    down-weight or drop wholesale.  Oracle replays the full chain
+    (recursive-CTE components) and aggregates by source."""
+    from kafka_sparkstreaming_sbt_spark.operators.graph import (
+        dedup_report_by_key,
+    )
+
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, shingle_n=3, n_bands=8, threshold=0.5
+    ).select("doc_a", "doc_b")
+    groups = near_dup_groups(docs, pairs)
+    return dedup_report_by_key(docs, groups, key_col="source")
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasheet aggregation: per (source, lang) document/char/token
+    volumes and the exact-duplicate count — the release-notes table
+    every corpus ships (Datasheets for Datasets).  One scan, one
+    partial->final agg; the md5 distinct is exact (swap to
+    approx_count_distinct at 100 TB when ~2% error is fine)."""
+    from kafka_sparkstreaming_sbt_spark.operators.text import (
+        corpus_stats,
+    )
+
+    _utc(spark)
+    return corpus_stats(read_table(spark, sf_dir, "documents"))
+
+
 def q_incremental_semantic_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1582,6 +1616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
         "diverse_sample": q_diverse_sample,
         "quantile_filtered_docs": q_quantile_filtered_docs,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "corpus_stats": q_corpus_stats,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -1867,6 +1903,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.lang, d.n_chars
         FROM documents d JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
         WHERE CAST(d.n_chars AS DOUBLE) >= t.thresh
+        """,
+        "dup_rate_by_source": "WITH RECURSIVE "
+        + _MINHASH_CTES
+        + """,
+        p AS (SELECT doc_a, doc_b FROM pairs WHERE j >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM p
+        ),
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        ),
+        groups AS (
+          SELECT d.doc_id,
+                 LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS group_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN g.doc_id <> g.group_id
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_members,
+               ROUND(AVG(CASE WHEN g.doc_id <> g.group_id
+                              THEN CAST(1 AS DOUBLE)
+                              ELSE CAST(0 AS DOUBLE) END), 6) AS dup_rate
+        FROM documents d JOIN groups g ON g.doc_id = d.doc_id
+        GROUP BY d.source
+        """,
+        "corpus_stats": """
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+               ROUND(AVG(LENGTH(text)), 2) AS avg_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 AS total_tokens,
+               ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_tokens
+        FROM documents
+        GROUP BY source, lang
         """,
         "diverse_sample": """
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -179,3 +179,37 @@ def select_canonical(
         "canonical_id",
         (F.col(id_col) == F.col("canonical_id")).alias("keep"),
     )
+
+
+def dedup_report_by_key(
+    documents: DataFrame,
+    groups: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curation report: which slice of the corpus (source, crawl,
+    domain, language — any ``key_col``) is CONTRIBUTING the
+    near-duplicates.  Real pipelines act on this table — a source
+    with a high dup rate gets down-weighted or dropped wholesale
+    before the per-document pass spends compute on it.
+
+    Input ``groups`` is the (id, group_id) output of
+    ``near_dup_groups``; a doc is counted as a duplicate member when
+    it is a non-representative member of its component
+    (``id != group_id`` — exactly one survivor per group, so
+    ``n_dup_members`` is the number of docs a group-level dedup
+    would delete from that slice).
+
+    Cost at corpus scale: one co-partitioned join on the id key
+    (labels never carry text) and one partial->final aggregation on
+    ``key_col`` — group counts combine map-side, so a skewed slice
+    (one giant crawl) collapses to one row per partition before the
+    shuffle.
+    """
+    flagged = documents.select(id_col, key_col).join(groups, id_col)
+    is_dup = F.col(id_col) != F.col("group_id")
+    return flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_dup.cast("long")).alias("n_dup_members"),
+        F.round(F.avg(is_dup.cast("double")), 6).alias("dup_rate"),
+    )

@@ -465,3 +465,31 @@ def benchmark_overlap(
             ),
         )
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Datasheet aggregation: the per-slice summary every corpus
+    release ships (Datasheets for Datasets, Gebru et al. 2021) —
+    document / token / character volumes and the exact-duplicate
+    rate per (source, lang) slice.
+
+    One scan, one partial->final aggregation: every measure combines
+    map-side (counts, sums, and a distinct-count rewritten by
+    Catalyst into a two-stage expand+agg), so the shuffle carries
+    one row per slice per partition regardless of corpus size.  The
+    md5 distinct-count is exact; swap in ``approx_count_distinct``
+    when a 2% error is acceptable and the corpus is 100 TB.
+    """
+    toks = F.split(F.col(text_col), " ")
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(text_col)).alias("n_unique_docs"),
+        F.sum(F.length(text_col)).alias("total_chars"),
+        F.round(F.avg(F.length(text_col)), 2).alias("avg_chars"),
+        F.sum(F.size(toks).cast("long")).alias("total_tokens"),
+        F.round(F.avg(F.size(toks)), 2).alias("avg_tokens"),
+    )

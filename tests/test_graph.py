@@ -94,3 +94,27 @@ def test_select_canonical_keeps_highest_score(spark):
     # singleton keeps itself
     assert out[7].canonical_id == 7 and out[7].keep
     assert out[7].group_id == 7
+
+
+def test_dedup_report_by_key_counts_non_representatives(spark):
+    """Per-key dup counts: a doc counts as a duplicate member iff it
+    is a non-representative member of its component, so n_dup_members
+    is exactly the docs a group-level dedup would delete per key."""
+    from kafka_sparkstreaming_sbt_spark.operators.graph import (
+        dedup_report_by_key,
+        near_dup_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (7, "b")],
+        ["doc_id", "source"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    groups = near_dup_groups(docs, pairs)
+    out = {r.source: r for r in
+           dedup_report_by_key(docs, groups).collect()}
+    # component {1,2,3} survives as doc 1; doc 7 is a singleton
+    assert out["a"].n_docs == 2 and out["a"].n_dup_members == 1
+    assert out["a"].dup_rate == 0.5
+    assert out["b"].n_docs == 2 and out["b"].n_dup_members == 1
+    assert out["b"].dup_rate == 0.5
