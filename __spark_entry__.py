@@ -669,6 +669,27 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_report_by_key(docs, groups, key_col="source")
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment drawn from the near-dup GROUP representative
+    (md5 nibble of group_id) so no component straddles train/eval —
+    the leakage-safe variant of ``split_assignment``.  Oracle replays
+    the recursive-CTE components and applies the same ascii-nibble
+    CASE to group_id."""
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, shingle_n=3, n_bands=8, threshold=0.5
+    ).select("doc_a", "doc_b")
+    groups = near_dup_groups(docs, pairs)
+    return leakage_safe_split(docs.select("doc_id"), groups).select(
+        "doc_id", "group_id", "split"
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datasheet aggregation: per (source, lang) document/char/token
     volumes and the exact-duplicate count — the release-notes table
@@ -1618,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filtered_docs": q_quantile_filtered_docs,
         "dup_rate_by_source": q_dup_rate_by_source,
         "corpus_stats": q_corpus_stats,
+        "leakage_safe_split": q_leakage_safe_split,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -1934,6 +1956,40 @@ def oracle_sql() -> dict[str, str]:
                               ELSE CAST(0 AS DOUBLE) END), 6) AS dup_rate
         FROM documents d JOIN groups g ON g.doc_id = d.doc_id
         GROUP BY d.source
+        """,
+        "leakage_safe_split": "WITH RECURSIVE "
+        + _MINHASH_CTES
+        + """,
+        p AS (SELECT doc_a, doc_b FROM pairs WHERE j >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM p
+        ),
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        ),
+        groups AS (
+          SELECT d.doc_id,
+                 LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS group_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id
+        ),
+        nib AS (
+          SELECT doc_id, group_id,
+                 CASE WHEN ascii(substr(md5(group_id::VARCHAR), 1, 1)) <= 57
+                      THEN ascii(substr(md5(group_id::VARCHAR), 1, 1)) - 48
+                      ELSE ascii(substr(md5(group_id::VARCHAR), 1, 1)) - 87
+                 END AS n
+          FROM groups
+        )
+        SELECT doc_id, group_id,
+               CASE WHEN n < 13 THEN 'train'
+                    WHEN n < 15 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM nib
         """,
         "corpus_stats": """
         SELECT source, lang,

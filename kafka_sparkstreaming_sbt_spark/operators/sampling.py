@@ -254,3 +254,30 @@ def group_quantile_filter(
         .filter(F.col(score_col).cast("double") >= F.col("_thresh"))
         .drop("_grp", "_thresh")
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    train_upto: int = 13,
+    valid_upto: int = 15,
+) -> DataFrame:
+    """Train/valid/test assignment WITHOUT near-duplicate leakage:
+    the split nibble is drawn from the md5 of the GROUP representative
+    (``near_dup_groups`` label), not the document's own id, so every
+    member of a near-dup component lands in the SAME split — the
+    per-doc draw silently puts one copy of a duplicated page in train
+    and another in test, and the eval set is contaminated before any
+    decontamination pass runs.
+
+    Singletons are their own representative, so their assignment is
+    identical to :func:`with_split`; only grouped docs move (to their
+    representative's split).  Cost on top of the labels: one
+    co-partitioned join on the id key — the draw itself is a
+    zero-shuffle projection.
+    """
+    labeled = documents.join(groups, id_col)
+    return with_split(
+        labeled, "group_id", train_upto=train_upto, valid_upto=valid_upto
+    )

@@ -346,3 +346,37 @@ def test_group_quantile_filter_is_per_group_and_tie_stable(spark):
     assert {tuple(r) for r in again.collect()} == {
         tuple(r) for r in out.collect()
     }
+
+
+def test_leakage_safe_split_keeps_components_together(spark):
+    """Every member of a near-dup component gets the representative's
+    split (no train/test straddle); singletons match with_split of
+    their own id exactly."""
+    from kafka_sparkstreaming_sbt_spark.operators.graph import (
+        near_dup_groups,
+    )
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        leakage_safe_split,
+        with_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], ["doc_id"]
+    )
+    # two components {0..4} and {10,11}; the rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)],
+        ["doc_a", "doc_b"],
+    )
+    groups = near_dup_groups(docs, pairs)
+    out = {r.doc_id: r for r in
+           leakage_safe_split(docs, groups).collect()}
+    assert len({out[i].split for i in range(5)}) == 1
+    assert out[10].split == out[11].split
+    # splits land on >1 class over 40 ids (the draw is not constant)
+    assert len({r.split for r in out.values()}) > 1
+    # singleton assignment == plain with_split on its own id
+    plain = {r.doc_id: r.split
+             for r in with_split(docs, "doc_id").collect()}
+    for i in (20, 25, 33):
+        assert out[i].group_id == i and out[i].split == plain[i]
