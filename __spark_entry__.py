@@ -669,6 +669,30 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_report_by_key(docs, groups, key_col="source")
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class prototype vectors (nearest-class-mean / drift
+    monitoring primitive), emitted one row per (label, dim) so the
+    gate hashes scalars — the operator itself returns the assembled
+    array.  Oracle unnests WITH ORDINALITY and averages per dim."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb)
+    return cent.select(
+        "label",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.posexplode("centroid").alias("dim", "centroid_val"),
+    ).select(
+        "label",
+        "n_vectors",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("centroid_val", 6).alias("centroid_val"),
+    )
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split assignment drawn from the near-dup GROUP representative
     (md5 nibble of group_id) so no component straddles train/eval —
@@ -1640,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "corpus_stats": q_corpus_stats,
         "leakage_safe_split": q_leakage_safe_split,
+        "label_centroids": q_label_centroids,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -1956,6 +1981,20 @@ def oracle_sql() -> dict[str, str]:
                               ELSE CAST(0 AS DOUBLE) END), 6) AS dup_rate
         FROM documents d JOIN groups g ON g.doc_id = d.doc_id
         GROUP BY d.source
+        """,
+        "label_centroids": """
+        WITH ex AS (
+          SELECT label,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                   AS val
+          FROM embeddings
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(dim AS BIGINT) AS dim,
+               ROUND(AVG(val), 6) AS centroid_val
+        FROM ex GROUP BY label, dim
         """,
         "leakage_safe_split": "WITH RECURSIVE "
         + _MINHASH_CTES

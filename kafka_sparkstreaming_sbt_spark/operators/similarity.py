@@ -1785,3 +1785,38 @@ def _ivf_search(
     # probed candidate set (n_probe/n_cells of Q x N) is cut to
     # Q x k per map partition before the rank exchange
     return _ranked_topk_per_query(scored, k)
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-class prototype vectors: the mean embedding of every label
+    — class centroids for prototype / nearest-class-mean classifiers,
+    drift monitoring (compare today's centroids against yesterday's),
+    and per-slice embedding summaries in a datasheet.
+
+    Scale shape: posexplode to (label, dim, val) and partial->final
+    AVG per (label, dim) — NEVER collect_list of whole vectors (that
+    ships every vector through the shuffle and builds per-group
+    arrays of unbounded size).  Map-side combine collapses each
+    partition to n_labels x dim running sums before the exchange, so
+    shuffle volume is independent of corpus size; reassembly sorts
+    the dim structs of one label — a bounded, per-group array.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.avg(F.col("val").cast("double")).alias("mean_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("n_vectors").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+            lambda s: s.mean_val,
+        ).alias("centroid"),
+    )

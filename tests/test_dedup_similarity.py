@@ -878,3 +878,30 @@ def test_incremental_semantic_dedup_parity_random_geometries(spark):
                 ).collect()
             }
             assert inc == full, (case, method, threshold, n_cent)
+
+
+def test_label_centroids_matches_numpy_mean(spark):
+    """Assembled centroid == numpy column mean per label, dims in
+    order, n_vectors = rows per label."""
+    import numpy as np
+
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), ("a" if i % 3 else "b"),
+         [float(x) for x in rng.normal(size=5)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    out = {r.label: r for r in label_centroids(df).collect()}
+    for lbl in ("a", "b"):
+        vecs = np.array([v for _, l, v in rows if l == lbl])
+        assert out[lbl].n_vectors == len(vecs)
+        np.testing.assert_allclose(
+            np.array(out[lbl].centroid), vecs.mean(axis=0), atol=1e-9
+        )
