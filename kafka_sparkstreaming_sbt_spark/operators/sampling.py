@@ -233,8 +233,13 @@ def group_quantile_filter(
     Scale design: the threshold is the per-group EXACT interpolated
     percentile — a partial-aggregatable ``percentile`` over (group,
     score), so the corpus shuffles nothing and only tiny (group,
-    threshold) rows move; the filter is then a broadcast equi-join
-    back.  Deliberately NOT a ``percent_rank`` window: that would
+    threshold) rows move; the filter is then an equi-join back whose
+    strategy is LEFT TO AQE — the threshold table has one row per
+    group, a data-dependent cardinality, so a forced broadcast hint
+    would bet the driver's memory on ``group_col`` staying
+    low-cardinality (languages: fine; URLs: OOM).  AQE sees the
+    actual post-agg size at runtime and broadcasts exactly when it
+    is safe.  Deliberately NOT a ``percent_rank`` window: that would
     globally sort every group's rows just to throw most of them away.
     Exact (not approx_percentile) because the threshold is part of the
     correctness contract and `F.percentile` matches DuckDB's
@@ -248,7 +253,7 @@ def group_quantile_filter(
     ).withColumnRenamed(group_col, "_grp")
     return (
         df.join(
-            F.broadcast(thresholds),
+            thresholds,
             F.col(group_col).eqNullSafe(F.col("_grp")),
         )
         .filter(F.col(score_col).cast("double") >= F.col("_thresh"))

@@ -1553,6 +1553,11 @@ def ivf_kmeans_topk(
     large-Q callers opt in.  Results are identical either way
     (parity-tested).
     """
+    if isinstance(probe_frac, str) and probe_frac != "auto":
+        raise ValueError(
+            f"probe_frac must be a float in (0, 1] or the string "
+            f"'auto', got {probe_frac!r}"
+        )
     if n_cells is None:
         n_rows = _metadata_row_count(corpus)
         if n_rows is None:

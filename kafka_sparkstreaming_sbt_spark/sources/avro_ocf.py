@@ -104,14 +104,19 @@ _PRIMITIVE_SPARK_TYPES = {
 }
 
 
-def _field_type(ftype: Any) -> tuple[str, int | None]:
+def _field_type(ftype: Any) -> tuple[str, int | None, bool]:
     """Normalize a field's schema to (primitive name, null branch
-    index).  Accepts a primitive name, ``{"type": name}``, or a
-    two-branch nullable union in EITHER order — the union index on
-    the wire is positional, so ``["string", "null"]`` encodes null as
-    branch 1, not 0; conflating the two silently misreads every
-    value (and the trailing-bytes guard would then null out whole
-    records).  ``None`` means not nullable."""
+    index, is-union).  Accepts a primitive name, ``{"type": name}``,
+    a SINGLE-branch union like ``["string"]``, or a two-branch
+    nullable union in EITHER order — the union index on the wire is
+    positional, so ``["string", "null"]`` encodes null as branch 1,
+    not 0; conflating the two silently misreads every value (and the
+    trailing-bytes guard would then null out whole records).  A null
+    branch index of ``None`` means not nullable — but per the Avro
+    spec EVERY union encodes a branch-index varint, even one-branch
+    unions, so ``is_union`` is tracked separately: a ``["string"]``
+    field still carries a leading 0 on the wire, and decoding it as
+    a bare primitive would misalign every following field."""
     if isinstance(ftype, dict):
         ftype = ftype["type"]
     if isinstance(ftype, list):
@@ -122,10 +127,10 @@ def _field_type(ftype: Any) -> tuple[str, int | None]:
         null_idx = branches.index("null") if "null" in branches else None
         if non_null[0] not in _PRIMITIVE_READERS:
             raise ValueError(f"unsupported avro type {non_null[0]!r}")
-        return non_null[0], null_idx
+        return non_null[0], null_idx, True
     if ftype not in _PRIMITIVE_READERS:
         raise ValueError(f"unsupported avro type {ftype!r}")
-    return ftype, None
+    return ftype, None, False
 
 
 def spark_schema_for(avro_schema: dict) -> T.StructType:
@@ -134,7 +139,7 @@ def spark_schema_for(avro_schema: dict) -> T.StructType:
         raise ValueError("top-level schema must be a record")
     fields = []
     for f in avro_schema["fields"]:
-        name, null_idx = _field_type(f["type"])
+        name, null_idx, _ = _field_type(f["type"])
         fields.append(
             T.StructField(
                 f["name"], _PRIMITIVE_SPARK_TYPES[name], null_idx is not None
@@ -147,16 +152,23 @@ def _record_reader(avro_schema: dict):
     """Compile the schema to a list of (name, reader, null index)."""
     plan = []
     for f in avro_schema["fields"]:
-        tname, null_idx = _field_type(f["type"])
-        plan.append((f["name"], _PRIMITIVE_READERS[tname], null_idx))
+        tname, null_idx, in_union = _field_type(f["type"])
+        plan.append((f["name"], _PRIMITIVE_READERS[tname], null_idx, in_union))
 
     def read(buf: io.BytesIO) -> dict:
         row = {}
-        for name, rdr, null_idx in plan:
-            if null_idx is not None:
-                # positional union index: the null branch's POSITION
-                # in the declared union, not always 0
+        for name, rdr, null_idx, in_union in plan:
+            if in_union:
+                # positional union index — present for EVERY union
+                # per the spec, including one-branch unions; the null
+                # branch's POSITION in the declared union, not
+                # always 0
                 idx = _read_varint(buf)
+                if null_idx is None:
+                    if idx != 0:
+                        raise ValueError(f"invalid union index {idx}")
+                    row[name] = rdr(buf)
+                    continue
                 if idx not in (0, 1):
                     raise ValueError(f"invalid union index {idx}")
                 row[name] = None if idx == null_idx else rdr(buf)
@@ -349,17 +361,32 @@ def encode_record_bytes(record: dict, avro_schema: dict) -> bytes:
         (f["name"], *_field_type(f["type"])) for f in avro_schema["fields"]
     ]
     out = io.BytesIO()
-    for name, tname, null_idx in plan:
-        v = record.get(name)
-        if null_idx is not None:
-            # positional: write the branch the value actually sits in
-            _write_varint(out, null_idx if v is None else 1 - null_idx)
-            if v is None:
-                continue
-        elif v is None:
-            raise ValueError(f"null in non-nullable field {name}")
-        _PRIMITIVE_WRITERS[tname](out, v)
+    for name, tname, null_idx, in_union in plan:
+        _write_field(out, record.get(name), name, tname, null_idx, in_union)
     return out.getvalue()
+
+
+def _write_field(
+    out: io.BytesIO,
+    v: Any,
+    name: str,
+    tname: str,
+    null_idx: int | None,
+    in_union: bool,
+) -> None:
+    """One field's wire bytes — shared by the body and OCF encoders.
+    Unions always get their positional branch-index varint (one-branch
+    unions emit 0), matching the reader and the Avro spec."""
+    if in_union and null_idx is not None:
+        # positional: write the branch the value actually sits in
+        _write_varint(out, null_idx if v is None else 1 - null_idx)
+        if v is None:
+            return
+    elif v is None:
+        raise ValueError(f"null in non-nullable field {name}")
+    elif in_union:
+        _write_varint(out, 0)  # one-branch union still indexes
+    _PRIMITIVE_WRITERS[tname](out, v)
 
 
 # --------------------------------------------------------------- encoder --
@@ -411,17 +438,10 @@ def write_ocf_bytes(
         chunk = records[start:start + rows_per_block]
         block = io.BytesIO()
         for rec in chunk:
-            for name, tname, null_idx in plan:
-                v = rec.get(name)
-                if null_idx is not None:
-                    _write_varint(
-                        block, null_idx if v is None else 1 - null_idx
-                    )
-                    if v is None:
-                        continue
-                elif v is None:
-                    raise ValueError(f"null in non-nullable field {name}")
-                _PRIMITIVE_WRITERS[tname](block, v)
+            for name, tname, null_idx, in_union in plan:
+                _write_field(
+                    block, rec.get(name), name, tname, null_idx, in_union
+                )
         payload = block.getvalue()
         if codec == "deflate":
             payload = zlib.compress(payload)[2:-4]  # raw deflate body

@@ -306,3 +306,12 @@ def test_auto_probe_matches_fixed_on_isotropic(spark, sf_small):
     # isotropic: must probe a large fraction to hit 0.9 — the tuned
     # value stays in the same regime as the hand-calibrated 2/3
     assert chosen >= n_live // 2, (chosen, n_live)
+
+
+def test_probe_frac_typo_raises_clear_error(spark):
+    """A string probe_frac other than 'auto' (e.g. 'Auto') must fail
+    with a clear ValueError, not fall through to float arithmetic
+    and die with an opaque TypeError."""
+    emb = _clustered_corpus(spark, n_clusters=2, per_cluster=5)
+    with pytest.raises(ValueError, match="probe_frac"):
+        ivf_kmeans_topk(emb, emb.limit(1), probe_frac="Auto")

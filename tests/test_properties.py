@@ -210,6 +210,11 @@ _AVRO_PROP_SCHEMA = {
         # branch order must round-trip too (regression: reader/writer
         # once hard-coded null as branch 0)
         {"name": "b_str", "type": ["string", "null"]},
+        # ONE-branch union: the spec still encodes a branch-index
+        # varint (always 0) — decoding it as a bare primitive
+        # misaligns every following field (regression: _field_type
+        # once normalized ["long"] to plain "long")
+        {"name": "c_one", "type": ["long"]},
     ],
 }
 
@@ -223,8 +228,38 @@ _avro_record = st.fixed_dictionaries(
         "an_int": st.none()
         | st.integers(min_value=-(2**31), max_value=2**31 - 1),
         "b_str": st.none() | st.text(max_size=20),
+        "c_one": st.integers(min_value=-(2**63), max_value=2**63 - 1),
     }
 )
+
+
+def test_avro_one_branch_union_wire_format():
+    """A ["string"] union field carries a leading branch-index 0 on
+    the wire per the Avro spec — byte-compatible with standard Avro
+    writers, and nulls in it are rejected (no null branch)."""
+    import io
+
+    import pytest
+
+    from kafka_sparkstreaming_sbt_spark.sources.avro_ocf import (
+        _record_reader,
+        encode_record_bytes,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "one",
+        "fields": [{"name": "s", "type": ["string"]}],
+    }
+    body = encode_record_bytes({"s": "hi"}, schema)
+    # zigzag varint 0, then length-2 string
+    assert body == b"\x00\x04hi"
+    assert _record_reader(schema)(io.BytesIO(body)) == {"s": "hi"}
+    # a nonzero branch index is corrupt data, not a silent misread
+    with pytest.raises(ValueError, match="union index"):
+        _record_reader(schema)(io.BytesIO(b"\x02\x04hi"))
+    with pytest.raises(ValueError, match="non-nullable"):
+        encode_record_bytes({"s": None}, schema)
 
 
 @given(st.lists(_avro_record, max_size=30))
