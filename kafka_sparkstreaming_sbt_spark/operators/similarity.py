@@ -875,6 +875,49 @@ def incremental_semantic_dedup(
     )
 
 
+def assignment_quality(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Mean cosine between each vector and its NEAREST centroid — the
+    quantizer-fit scalar behind centroid-staleness detection (VERDICT
+    r6 #3): the incremental SemDeDup path assumes frozen centroids,
+    and as the ingested distribution drifts away from them this
+    number is the thing that silently decays (vectors land in cells
+    whose centroid barely resembles them, so true near-dups stop
+    sharing cells and recall rots).  Callers compare the metric on
+    TODAY'S batch against the baseline recorded when the quantizer
+    was built; the gap is the drift signal.
+
+    Scale shape: identical to :func:`ivf_assign`'s scored join —
+    broadcast centroids, per-row ``max`` combined map-side, then a
+    single global ``avg`` — so cost is one pass over ``corpus`` x C
+    dot products with ONE scalar row collected.  Returns ``nan`` for
+    an empty corpus (callers skip the drift check on empty batches).
+    Cosines rounded to 6 dp like every other verdict in this module.
+    """
+    cent = centroids.select(
+        F.col("cell_id"),
+        F.col("c_vec"),
+        _norm(F.col("c_vec")).alias("cent_norm"),
+    )
+    scored = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("v_norm"),
+    ).join(F.broadcast(cent))
+    cos = F.round(
+        _dot(F.col(vec_col), F.col("c_vec"))
+        / (F.col("v_norm") * F.col("cent_norm")),
+        6,
+    )
+    best = scored.groupBy(id_col).agg(F.max(cos).alias("best_cos"))
+    row = best.agg(F.avg("best_cos").alias("q")).collect()[0]
+    return float("nan") if row.q is None else float(row.q)
+
+
 def diverse_sample(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -1178,6 +1221,12 @@ def _kmeans_round_numpy(
             np.add.at(sums, idx, v)
             counts += np.bincount(idx, minlength=n_cells)
         live = np.nonzero(counts)[0]
+        if not len(live):
+            # an EMPTY partition (tiny corpus spread over more
+            # partitions than rows) must yield nothing: an empty
+            # frame's vsum column infers float64 dtype, which Arrow
+            # cannot convert to list<double> and the task dies
+            return
         yield pd.DataFrame(
             {
                 "cell_id": ids[live],

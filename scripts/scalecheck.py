@@ -875,6 +875,155 @@ def run_event_scale(
     return d
 
 
+def synth_orders(spark: SparkSession, n_orders: int) -> DataFrame:
+    """TPC-H-shaped orders: customers ~ n/10 (so per-customer order
+    history grows realistically with scale), dates across 4 years."""
+    df = spark.range(n_orders).withColumnRenamed("id", "o_orderkey")
+    k = F.col("o_orderkey")
+    n_cust = max(1000, n_orders // 10)
+    return df.select(
+        "o_orderkey",
+        F.pmod(F.xxhash64(F.lit("cust"), k), F.lit(n_cust)).alias(
+            "o_custkey"
+        ),
+        F.date_add(
+            F.lit("2022-01-01").cast("date"),
+            F.pmod(F.xxhash64(F.lit("day"), k), F.lit(1460)).cast("int"),
+        ).alias("o_orderdate"),
+        (
+            F.pmod(F.xxhash64(F.lit("price"), k), F.lit(500_000)) / 100.0
+        ).alias("o_totalprice"),
+    )
+
+
+def synth_lineitem(spark: SparkSession, n_orders: int) -> DataFrame:
+    """3 lines per order (quantity 1-50 each, so order totals span
+    3-150 and a HAVING > 130 cut is genuinely selective)."""
+    df = spark.range(n_orders * 3).withColumnRenamed("id", "line_id")
+    k = F.col("line_id")
+    return df.select(
+        (k % n_orders).alias("l_orderkey"),
+        (F.pmod(F.xxhash64(F.lit("qty"), k), F.lit(50)) + 1)
+        .cast("double")
+        .alias("l_quantity"),
+        (
+            F.pmod(F.xxhash64(F.lit("px"), k), F.lit(90_000)) / 100.0
+            + 100.0
+        ).alias("l_extendedprice"),
+        (F.pmod(F.xxhash64(F.lit("dc"), k), F.lit(11)) / 100.0).alias(
+            "l_discount"
+        ),
+    ).drop("line_id")
+
+
+def synth_relational_dims(spark: SparkSession, n_cust: int):
+    """customer / nation / region with TPC-H shapes."""
+    customer = spark.range(n_cust).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("id")).alias("c_name"),
+        F.pmod(F.xxhash64(F.lit("nat"), F.col("id")), F.lit(25)).alias(
+            "c_nationkey"
+        ),
+    )
+    nation = spark.range(25).select(
+        F.col("id").alias("n_nationkey"),
+        F.concat(F.lit("NATION_"), F.col("id")).alias("n_name"),
+        (F.col("id") % 5).alias("n_regionkey"),
+    )
+    region = spark.createDataFrame(
+        [
+            (0, "AFRICA"),
+            (1, "AMERICA"),
+            (2, "ASIA"),
+            (3, "EUROPE"),
+            (4, "MIDDLE EAST"),
+        ],
+        "r_regionkey long, r_name string",
+    )
+    return customer, nation, region
+
+
+def run_relational_scale(
+    spark: SparkSession, n_orders: int, scratch: str, audits: list
+) -> dict:
+    """VERDICT r6 #5: the join/window/rollup family under 10x scale —
+    SCALECHECK stressed documents/embeddings/events but analytics.py
+    had only ever run at sf0.1.  Times the four representative plan
+    shapes (broadcast-dim fact join + agg, per-key RANGE window,
+    agg-then-join-back HAVING, double partial->final cohort agg) with
+    the same near-linearity + straggler gates as every other
+    section."""
+    from kafka_sparkstreaming_sbt_spark.operators.analytics import (
+        cohort_retention,
+        large_orders,
+        revenue_by_nation,
+        rolling_customer_spend,
+    )
+
+    d = {"n_orders": n_orders}
+    n_cust = max(1000, n_orders // 10)
+    opath = f"{scratch}/orders_{n_orders}"
+    lpath = f"{scratch}/lineitem_{n_orders}"
+    cpath = f"{scratch}/customer_{n_orders}"
+    synth_orders(spark, n_orders).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(opath)
+    synth_lineitem(spark, n_orders).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(lpath)
+    synth_relational_dims(spark, n_cust)[0].repartition(4).write.mode(
+        "overwrite"
+    ).parquet(cpath)
+    orders = spark.read.parquet(opath)
+    lineitem = spark.read.parquet(lpath)
+    customer = spark.read.parquet(cpath)
+    _, nation, region = synth_relational_dims(spark, n_cust)
+
+    since = _max_stage_id(spark)
+    rev = revenue_by_nation(lineitem, orders, customer, nation, region)
+    d["revenue_wall_s"] = round(timed_noop(rev), 2)
+    # one region = 5 nations; every nation must appear at this scale
+    d["revenue_rows"] = rev.count()
+    audits.append(
+        (f"revenue_by_nation @ {n_orders}", straggler_audit(spark, since))
+    )
+
+    since = _max_stage_id(spark)
+    roll = rolling_customer_spend(orders, days=90)
+    d["rolling_wall_s"] = round(timed_noop(roll), 2)
+    d["rolling_rows_ok"] = roll.count() == n_orders  # window: 1:1 rows
+    audits.append(
+        (
+            f"rolling_customer_spend @ {n_orders}",
+            straggler_audit(spark, since),
+        )
+    )
+
+    since = _max_stage_id(spark)
+    lo = large_orders(orders, customer, lineitem, min_qty=130.0)
+    d["large_orders_wall_s"] = round(timed_noop(lo), 2)
+    n_large = lo.count()
+    d["large_orders_rows"] = n_large
+    # the HAVING must be selective but non-degenerate: 3 draws from
+    # 1..50 exceed 130 a few % of the time at any scale
+    d["large_orders_selective"] = 0 < n_large < n_orders // 2
+    audits.append(
+        (f"large_orders @ {n_orders}", straggler_audit(spark, since))
+    )
+
+    since = _max_stage_id(spark)
+    coh = cohort_retention(orders)
+    d["cohort_wall_s"] = round(timed_noop(coh), 2)
+    bad = coh.filter(
+        (F.col("retention_rate") > 1.0) | (F.col("retention_rate") <= 0.0)
+    ).count()
+    d["cohort_rate_violations"] = bad
+    audits.append(
+        (f"cohort_retention @ {n_orders}", straggler_audit(spark, since))
+    )
+    return d
+
+
 # ---------------------------------------------------------------- report
 
 
@@ -898,11 +1047,17 @@ def main() -> int:
     ap.add_argument("--event-scales", default="1000000,10000000")
     ap.add_argument("--embed-scales", default="20000,200000")
     ap.add_argument("--asof-rows", type=int, default=3_000_000)
+    ap.add_argument("--relational-scales", default="1000000,10000000")
     ap.add_argument("--out", default=str(REPO / "SCALECHECK.md"))
     ap.add_argument("--skip-uncapped", action="store_true")
     args = ap.parse_args()
     doc_scales = [int(x) for x in args.doc_scales.split(",")]
     event_scales = [int(x) for x in args.event_scales.split(",")]
+    relational_scales = (
+        [int(x) for x in args.relational_scales.split(",")]
+        if args.relational_scales
+        else []
+    )
     embed_scales = (
         [int(x) for x in args.embed_scales.split(",")]
         if args.embed_scales
@@ -949,6 +1104,10 @@ def main() -> int:
             run_event_scale(spark, n, scratch, audits)
             for n in event_scales
         ]
+        rel_results = [
+            run_relational_scale(spark, n, scratch, audits)
+            for n in relational_scales
+        ]
         asof_result = (
             run_asof_hot_key(spark, args.asof_rows, scratch)
             if args.asof_rows
@@ -982,6 +1141,35 @@ def main() -> int:
             ev_factor,
         ),
     ]
+    if rel_results:
+        r_small, r_big = rel_results[0], rel_results[-1]
+        rel_factor = relational_scales[-1] // relational_scales[0]
+        scaling += [
+            scaling_row(
+                "revenue_by_nation (Q5 shape)",
+                r_small["revenue_wall_s"],
+                r_big["revenue_wall_s"],
+                rel_factor,
+            ),
+            scaling_row(
+                "rolling_customer_spend (RANGE window)",
+                r_small["rolling_wall_s"],
+                r_big["rolling_wall_s"],
+                rel_factor,
+            ),
+            scaling_row(
+                "large_orders (Q18 HAVING)",
+                r_small["large_orders_wall_s"],
+                r_big["large_orders_wall_s"],
+                rel_factor,
+            ),
+            scaling_row(
+                "cohort_retention (double agg)",
+                r_small["cohort_wall_s"],
+                r_big["cohort_wall_s"],
+                rel_factor,
+            ),
+        ]
     if emb_results:
         em_small, em_big = emb_results[0], emb_results[-1]
         emb_factor = embed_scales[-1] // embed_scales[0]
@@ -1035,6 +1223,29 @@ def main() -> int:
             all(e["salt_mismatches"] == 0 for e in event_results),
         ),
     ]
+    for r in rel_results:
+        n = r["n_orders"]
+        checks += [
+            (
+                f"revenue_by_nation covers all 5 region nations @ {n:,} "
+                f"({r['revenue_rows']} rows)",
+                r["revenue_rows"] == 5,
+            ),
+            (
+                f"rolling window emits exactly 1 row per order @ {n:,}",
+                bool(r["rolling_rows_ok"]),
+            ),
+            (
+                f"large_orders HAVING is selective @ {n:,} "
+                f"({r['large_orders_rows']:,} rows)",
+                bool(r["large_orders_selective"]),
+            ),
+            (
+                f"cohort retention_rate in (0,1] @ {n:,} "
+                f"({r['cohort_rate_violations']} violations)",
+                r["cohort_rate_violations"] == 0,
+            ),
+        ]
     if uncapped is not None:
         checks.append(
             (
@@ -1336,6 +1547,29 @@ def main() -> int:
                 f"({i['parity_mismatches']}/"
                 f"{i['parity_mismatches_materialized']} mismatches).",
             ]
+    if rel_results:
+        lines += [
+            "",
+            "## Relational scale-stress (joins / windows / rollups)",
+            "",
+            "TPC-H-shaped synthetic orders (3 lineitems each, "
+            "customers ~ orders/10) through the four representative "
+            "analytics plan shapes — broadcast-dim fact join + agg "
+            "(Q5), per-customer RANGE-frame window, "
+            "aggregate-then-join-back HAVING (Q18), and the "
+            "double partial->final cohort matrix:",
+            "",
+            "| n_orders | revenue_by_nation (s) | "
+            "rolling_customer_spend (s) | large_orders (s) | "
+            "cohort_retention (s) |",
+            "| --- | --- | --- | --- | --- |",
+            *[
+                f"| {r['n_orders']:,} | {r['revenue_wall_s']} | "
+                f"{r['rolling_wall_s']} | {r['large_orders_wall_s']} | "
+                f"{r['cohort_wall_s']} |"
+                for r in rel_results
+            ],
+        ]
     lines += [
         "",
         "## Skewed aggregation",
@@ -1402,6 +1636,7 @@ def main() -> int:
                 "ivf_auto_probe": auto_probe_result,
                 "incremental_semdedup": inc_sem_result,
                 "events": event_results,
+                "relational": rel_results,
                 "asof_hot_key": asof_result,
             },
             indent=2,

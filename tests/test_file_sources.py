@@ -407,3 +407,76 @@ def test_parse_transactions_avro_feeds_the_pipeline(spark):
     rows = agg.collect()
     assert {r.transaction_id for r in rows} == {"t0", "t1", "t2"}
     assert sorted(r.window_total_spent for r in rows) == [10.0] * 6
+
+
+def test_schema_id_aware_decode_two_generations_one_stream(spark):
+    """Schema-id dispatch (VERDICT r6 #7): two writer-schema
+    generations coexisting in one stream each decode with THEIR
+    schema; the output is the by-name union (missing fields null),
+    unknown ids go to the dead-letter path, and conflicting types
+    across generations fail loudly at plan time."""
+    import pytest as _pytest
+
+    from kafka_sparkstreaming_sbt_spark.sources.avro import (
+        with_confluent_frame,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.avro_ocf import (
+        decode_avro_payloads_by_id,
+        encode_record_bytes,
+    )
+
+    gen1 = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "amount", "type": "double"},
+        ],
+    }
+    gen2 = {  # additive evolution: new field, same shared types
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "amount", "type": "double"},
+            {"name": "currency", "type": ["null", "string"]},
+        ],
+    }
+    frames = [
+        (b"\x00" + (1).to_bytes(4, "big")
+         + encode_record_bytes({"id": 1, "amount": 2.5}, gen1),),
+        (b"\x00" + (2).to_bytes(4, "big")
+         + encode_record_bytes(
+             {"id": 2, "amount": 7.0, "currency": "EUR"}, gen2),),
+        (b"\x00" + (1).to_bytes(4, "big")
+         + encode_record_bytes({"id": 3, "amount": -1.0}, gen1),),
+        # UNKNOWN generation: registered nowhere -> dead-letter nulls
+        (b"\x00" + (9).to_bytes(4, "big")
+         + encode_record_bytes({"id": 4, "amount": 0.0}, gen1),),
+    ]
+    df = spark.createDataFrame(frames, "value binary")
+    out = decode_avro_payloads_by_id(
+        with_confluent_frame(df), {1: gen1, 2: gen2},
+        keep_cols=("schema_id",),
+    )
+    assert [f.name for f in out.schema.fields] == [
+        "schema_id", "id", "amount", "currency",
+    ]
+    rows = sorted(out.collect(), key=lambda r: (r.id is None, r.id or 0))
+    assert [(r.schema_id, r.id, r.amount, r.currency) for r in rows] == [
+        (1, 1, 2.5, None),
+        (2, 2, 7.0, "EUR"),
+        (1, 3, -1.0, None),
+        (9, None, None, None),  # unknown id: dead-letter, id kept
+    ]
+
+    # conflicting shared-field types are a plan-time hard error
+    bad = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "amount", "type": "string"}],
+    }
+    with _pytest.raises(ValueError, match="conflicting types"):
+        decode_avro_payloads_by_id(
+            with_confluent_frame(df), {1: gen1, 2: bad}
+        )

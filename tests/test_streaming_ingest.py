@@ -109,6 +109,49 @@ def test_replay_of_a_batch_is_idempotent_and_self_blind(spark, dirs):
     assert {r.doc_id for r in spark.read.parquet(acc).collect()} == {11}
 
 
+def test_materialize_rebuilds_partial_base_without_success_marker(
+    spark, dirs
+):
+    """A crash mid-overwrite leaves a READABLE but incomplete
+    ``base`` dir; the skip must key on the committer's ``_SUCCESS``
+    marker, not readability — otherwise corpus docs with missing
+    signatures are never screened and their duplicates are admitted
+    forever."""
+    import os
+
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        materialize_corpus_signatures,
+    )
+
+    sig, _, _ = dirs
+    corpus = spark.createDataFrame(
+        [(0, T["c0"]), (1, T["u1"])], "doc_id long, text string"
+    )
+    # simulate the crash: a valid parquet dir holding only doc 0's
+    # signatures, with no _SUCCESS marker
+    materialize_corpus_signatures(
+        corpus.filter("doc_id = 0"), sig
+    )
+    os.remove(f"{sig}/base/_SUCCESS")
+    materialize_corpus_signatures(corpus, sig)
+    base_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sig}/base")
+        .select("doc_id").distinct().collect()
+    }
+    assert base_ids == {0, 1}  # rebuilt, not skipped
+    # and with the marker present the skip holds (idempotent start)
+    materialize_corpus_signatures(
+        corpus.filter("doc_id = 0"), sig
+    )
+    still = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sig}/base")
+        .select("doc_id").distinct().collect()
+    }
+    assert still == {0, 1}  # untouched: marker gated the skip
+
+
 def test_streaming_ingest_with_materialized_signatures(spark, dirs):
     """The signature_dir path must produce the SAME accept/reject
     decisions as the self-contained screen while maintaining the
@@ -160,3 +203,194 @@ def test_streaming_ingest_with_materialized_signatures(spark, dirs):
         import shutil
 
         shutil.rmtree(sig, ignore_errors=True)
+
+
+# ----------------------------------------------------- lake compaction --
+
+
+def _unique_text(i):
+    """Texts with fully disjoint vocabularies: Jaccard 0 between any
+    two, so accept/reject verdicts are engineered exactly."""
+    return " ".join(f"tok{i}x{j}" for j in range(10))
+
+
+def _run_screened_waves(spark, acc, sig, n_waves, compact_every=None):
+    """Drive the foreachBatch body directly for ``n_waves`` batches —
+    wave i carries one unique doc (id 100+i), one copy of wave
+    i-2's unique (id 300+i, must be rejected vs the ACCEPTED lake),
+    and one copy of the static corpus doc (id 500+i).  Returns the
+    per-wave (n, accepted) counts."""
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        compact_batch_partitions,
+        materialize_corpus_signatures,
+        screen_micro_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, T["c0"])], "doc_id long, text string"
+    )
+    materialize_corpus_signatures(corpus, sig)
+    counts = []
+    for i in range(n_waves):
+        rows = [(100 + i, _unique_text(i)), (500 + i, T["c0"])]
+        if i >= 2:
+            rows.append((300 + i, _unique_text(i - 2)))
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        if compact_every and i > 0 and i % compact_every == 0:
+            compact_batch_partitions(spark, acc, i)
+            compact_batch_partitions(spark, f"{sig}/incr", i)
+        counts.append(
+            screen_micro_batch(batch, i, corpus, acc, signature_dir=sig)
+        )
+    return counts
+
+
+def test_compaction_preserves_verdicts_bounds_partitions_and_replay(
+    spark, dirs
+):
+    """VERDICT r6 #1 done-criteria: ~20 micro-batches with mid-stream
+    compaction must (a) produce IDENTICAL accept verdicts to the
+    uncompacted run, (b) keep the lake's partition count bounded at
+    ~compact_every+1 instead of one-per-trigger-forever, and (c) keep
+    post-compaction batch replay idempotent."""
+    import tempfile
+
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        _list_batch_ids,
+        screen_micro_batch,
+    )
+
+    acc_a, acc_b, _ = dirs
+    sig_a = tempfile.mkdtemp(prefix="siga_")
+    sig_b = tempfile.mkdtemp(prefix="sigb_")
+    try:
+        n = 20
+        plain = _run_screened_waves(spark, acc_a, sig_a, n)
+        compacted = _run_screened_waves(
+            spark, acc_b, sig_b, n, compact_every=5
+        )
+        # (a) verdict parity, per wave and in the lake
+        assert plain == compacted
+        ids_a = {r.doc_id for r in spark.read.parquet(acc_a).collect()}
+        ids_b = {r.doc_id for r in spark.read.parquet(acc_b).collect()}
+        assert ids_a == ids_b == {100 + i for i in range(n)}
+        # (b) bounded partition count: folds at 5/10/15 leave
+        # {14, 15..19}; the plain run keeps all 20
+        assert len(_list_batch_ids(spark, acc_b)) <= 6
+        assert len(_list_batch_ids(spark, f"{sig_b}/incr")) <= 6
+        assert len(_list_batch_ids(spark, acc_a)) == n
+        # signature lake parity too (doc ids, ignoring batch labels)
+        sig_ids_a = {
+            r.doc_id
+            for r in spark.read.parquet(f"{sig_a}/incr")
+            .select("doc_id").distinct().collect()
+        }
+        sig_ids_b = {
+            r.doc_id
+            for r in spark.read.parquet(f"{sig_b}/incr")
+            .select("doc_id").distinct().collect()
+        }
+        assert sig_ids_a == sig_ids_b == ids_a
+        # (c) replay of the LAST batch (post-compaction) is idempotent
+        corpus = spark.createDataFrame(
+            [(0, T["c0"])], "doc_id long, text string"
+        )
+        last = spark.createDataFrame(
+            [
+                (100 + n - 1, _unique_text(n - 1)),
+                (500 + n - 1, T["c0"]),
+                (300 + n - 1, _unique_text(n - 3)),
+            ],
+            "doc_id long, text string",
+        )
+        replay = screen_micro_batch(
+            last, n - 1, corpus, acc_b, signature_dir=sig_b
+        )
+        assert replay == compacted[-1]
+        assert {
+            r.doc_id for r in spark.read.parquet(acc_b).collect()
+        } == ids_b
+    finally:
+        shutil.rmtree(sig_a, ignore_errors=True)
+        shutil.rmtree(sig_b, ignore_errors=True)
+
+
+def test_compaction_crash_recovery_both_phases(spark, dirs):
+    """The write-ahead protocol: an orphan staging dir WITHOUT its
+    _SUCCESS marker rolls back (lake untouched); one WITH the marker
+    rolls forward (deletes + rename completed by recovery) — and
+    either way the lake's row set is exactly what it was."""
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        _list_batch_ids,
+        recover_compaction,
+        screen_micro_batch,
+    )
+
+    acc, _, _ = dirs
+    corpus = spark.createDataFrame(
+        [(0, T["c0"])], "doc_id long, text string"
+    )
+    for i in range(4):
+        batch = spark.createDataFrame(
+            [(100 + i, _unique_text(i))], "doc_id long, text string"
+        )
+        screen_micro_batch(batch, i, corpus, acc)
+    before = {tuple(r) for r in spark.read.parquet(acc).collect()}
+
+    # crash DURING the staging write: partial dir, no marker
+    staged = (
+        spark.read.parquet(acc).filter(F.col("batch_id") < 3)
+        .drop("batch_id")
+    )
+    staged.write.mode("overwrite").parquet(f"{acc}/_compact/upto=3")
+    import os
+
+    os.remove(f"{acc}/_compact/upto=3/_SUCCESS")
+    recover_compaction(spark, acc)
+    assert not os.path.exists(f"{acc}/_compact")
+    assert _list_batch_ids(spark, acc) == [0, 1, 2, 3]  # rolled back
+    assert {tuple(r) for r in spark.read.parquet(acc).collect()} == before
+
+    # crash AFTER the staging write committed (marker present) but
+    # before the deletes/rename: recovery rolls FORWARD
+    staged.write.mode("overwrite").parquet(f"{acc}/_compact/upto=3")
+    recover_compaction(spark, acc)
+    assert not os.path.exists(f"{acc}/_compact")
+    assert _list_batch_ids(spark, acc) == [2, 3]  # folded into 2
+    assert {tuple(r) for r in spark.read.parquet(acc).collect()} == {
+        (d, t, 2 if b < 3 else b) for d, t, b in before
+    }
+
+
+def test_streaming_pipeline_compacts_mid_stream(spark, dirs):
+    """End-to-end through the real streaming engine: compact_every
+    folds committed partitions mid-stream and verdicts still hold."""
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        _list_batch_ids,
+    )
+
+    src, acc, ckpt = dirs
+    corpus = spark.createDataFrame(
+        [(0, T["c0"])], "doc_id long, text string"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(src)
+    )
+    q = run_dedup_ingest_pipeline(
+        stream, corpus, acc, ckpt, compact_every=2,
+    )
+    try:
+        for i in range(4):
+            rows = [(100 + i, _unique_text(i)), (500 + i, T["c0"])]
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {
+        r.doc_id for r in spark.read.parquet(acc).collect()
+    } == {100, 101, 102, 103}
+    # fold ran at batch 2 (0,1 -> 1): strictly fewer than one
+    # partition per trigger
+    assert len(_list_batch_ids(spark, acc)) < 4
