@@ -116,6 +116,16 @@ from kafka_sparkstreaming_sbt_spark.operators.text import (  # noqa: E402
     token_stats,
     unigram_lm_scores,
 )
+from kafka_sparkstreaming_sbt_spark.operators.quantize import (  # noqa: E402
+    ivf_pq_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_rerank,
+    pq_topk,
+    quantization_scale,
+    quantize_embeddings,
+    quantized_topk,
+)
 from kafka_sparkstreaming_sbt_spark.operators.windows import (  # noqa: E402
     windowed_spending,
 )
@@ -205,6 +215,60 @@ _MINHASH_CTES = _MINHASH_SIG_CTES + """,
                   FROM cand
                   JOIN docs a ON a.doc_id = cand.doc_a
                   JOIN docs b ON b.doc_id = cand.doc_b)
+"""
+
+
+#: Shared CTE chain replaying operators.quantize: double-cast vectors
+#: `e`, unit vectors `u`, the global int8 grid scale `s`, and int
+#: codes `c` — every downstream comparison is integer arithmetic
+#: (order-free sums), so no float-tie caveat applies past `c`.
+_QUANT_CTES = """
+        e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n
+                FROM e),
+        u AS (SELECT vec_id, list_transform(v, x -> x / n) AS unit
+              FROM nrm WHERE n > 0),
+        s AS (SELECT MAX(list_aggregate(
+                       list_transform(unit, x -> abs(x)), 'max'))
+                       AS q_scale FROM u),
+        c AS (SELECT vec_id,
+                     list_transform(unit, x -> CAST(GREATEST(-127,
+                       LEAST(127, FLOOR(x * 127.0 / s.q_scale + 0.5)))
+                       AS INT)) AS codes
+              FROM u, s)
+"""
+
+#: Extension: deterministic 4x16 PQ codebooks (md5-rank picked rows,
+#: seed 42), subspace slices `sl`, and the argmin encode `best` —
+#: mirrors pq_codebooks(method="deterministic") + pq_encode.  Integer
+#: squared L2 via the dot-product identity (exact: values ~1e6).
+_PQ_CTES = _QUANT_CTES + """,
+        rk AS (SELECT vec_id,
+                      row_number() OVER (
+                        ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'),
+                                 vec_id) AS rk
+               FROM c),
+        subs AS (SELECT unnest(generate_series(0, 3)) AS m),
+        bk AS (SELECT subs.m AS subspace, CAST(rk.rk - 1 AS INT) AS code,
+                      c.codes[subs.m*16+1 : subs.m*16+16] AS c_codes
+               FROM rk JOIN c USING (vec_id) CROSS JOIN subs
+               WHERE rk.rk <= 16),
+        sl AS (SELECT c.vec_id, subs.m AS subspace,
+                      c.codes[subs.m*16+1 : subs.m*16+16] AS sub
+               FROM c CROSS JOIN subs),
+        dd AS (SELECT sl.vec_id, sl.subspace, bk.code,
+                      CAST(list_dot_product(sl.sub, sl.sub)
+                           - 2 * list_dot_product(sl.sub, bk.c_codes)
+                           + list_dot_product(bk.c_codes, bk.c_codes)
+                        AS BIGINT) AS d
+               FROM sl JOIN bk ON bk.subspace = sl.subspace),
+        best AS (SELECT vec_id, subspace, code, d,
+                        row_number() OVER (
+                          PARTITION BY vec_id, subspace
+                          ORDER BY d, code) AS rn
+                 FROM dd)
 """
 
 
@@ -541,6 +605,106 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     out = ivf_kmeans_topk(emb, emb.filter(F.col("vec_id") < 100), k=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _codes_str(col: str) -> F.Column:
+    """Int-code array as a comma string — arrays canonicalize
+    differently across the driver's pandas bridge (numpy repr vs
+    list repr), scalars don't."""
+    return F.array_join(
+        F.transform(F.col(col), lambda c: c.cast("string")), ","
+    )
+
+
+def q_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding corpus onto its own
+    global grid: (vec_id, codes_str, int_norm) — 4x smaller scan bytes
+    for the ANN scan stage; exact integer arithmetic downstream."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id", _codes_str("codes").alias("codes_str"), "int_norm"
+    )
+
+
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 in the int8 domain for the first 20 vectors
+    — ranking by exact integer dot product (recall vs the float tier
+    gated in tests/test_quantize.py; SQL and BLAS tiers bit-equal)."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    # numpy tier: bit-identical to SQL (integer ranking arithmetic),
+    # so the BLAS path can face the oracle directly — unlike the
+    # float ANN gates, which must stay on their SQL tiers
+    out = quantized_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=10, method="numpy"
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode with deterministic (md5-picked)
+    codebooks, 4 subspaces x 16 codes: (vec_id, pq_str) — 4 bytes per
+    vector, the 64x compression of the coded ANN scan stage."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, n_subspaces=4, n_codes=16, seed=42)
+    # numpy encode is bit-identical (int argmin, same tie-break) and
+    # skips the interpreted N x M x K zip_with aggregates
+    out = pq_encode(emb, books, method="numpy")
+    return out.select("vec_id", _codes_str("pq_codes").alias("pq_str"))
+
+
+def q_pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production PQ search shape: ADC scan over 4x16
+    deterministic codebooks for a top-50 candidate pool (exact integer
+    lookup-table distances), then exact float re-rank of only those
+    candidates to the final top-10 — compressed-domain scan + raw-read
+    of a vanishing fraction."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = pq_codebooks(emb, n_subspaces=4, n_codes=16, seed=42)
+    scale = quantization_scale(emb)
+    # both stages on the BLAS tiers — bit-identical to SQL by the
+    # integer contract, so the oracle still hash-gates them
+    enc = pq_encode(emb, books, scale=scale, method="numpy")
+    cand = pq_topk(enc, queries, books, scale, k=50, method="numpy")
+    out = pq_rerank(cand, emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (faiss IVFADC shape): k-means coarse cells prune the
+    candidate set, kmeans-trained int codebooks score survivors via
+    ADC, exact re-rank of the top-100 pool.  K-means cell means and
+    codebooks are float-summation-order sensitive across engines, so
+    the driver records a rows-only check; the recall gate lives in
+    tests/test_quantize.py (recall@10 vs brute force >= 0.7)."""
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cand = ivf_pq_topk(
+        emb, queries, k=100, n_subspaces=8, n_codes=64, seed=42
+    )
+    out = pq_rerank(cand, emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_boilerplate_cleaned_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frequency-based boilerplate removal (RefinedWeb line-wise
+    correction over 8-token chunks): spans in >= 3 distinct docs are
+    removed from EVERY doc, docs reassembled."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        remove_common_chunks,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return remove_common_chunks(docs, chunk_tokens=8, min_docs=3)
 
 
 def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1551,6 +1715,10 @@ NON_SQL_QUERIES: set[str] = {
     "ivf_kmeans_topk",
     "approx_distinct_users",
     "approx_value_quantiles",
+    # k-means coarse cells + kmeans-trained codebooks (same
+    # float-summation reasoning as ivf_kmeans_topk); recall gate in
+    # tests/test_quantize.py
+    "ivf_pq_topk",
 }
 
 
@@ -1665,10 +1833,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "leakage_safe_split": q_leakage_safe_split,
         "label_centroids": q_label_centroids,
+        "quantized_embeddings": q_quantized_embeddings,
+        "quantized_topk": q_quantized_topk,
+        "pq_codes": q_pq_codes,
+        "pq_topk_rerank": q_pq_topk_rerank,
+        "boilerplate_cleaned_docs": q_boilerplate_cleaned_docs,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
     }
 
 
@@ -3115,5 +3289,110 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_custkey, CAST(n_months AS BIGINT) AS n_months,
                slope, intercept
         FROM per WHERE n_months >= 3
+        """,
+        "quantized_embeddings": "WITH "
+        + _QUANT_CTES
+        + """
+        SELECT vec_id, array_to_string(codes, ',') AS codes_str,
+               CAST(list_aggregate(
+                 list_transform(codes, x -> CAST(x AS BIGINT) * x),
+                 'sum') AS BIGINT) AS int_norm
+        FROM c
+        """,
+        "quantized_topk": "WITH "
+        + _QUANT_CTES
+        + """,
+        sc AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                      CAST(list_dot_product(q.codes, n.codes) AS BIGINT)
+                        AS int_dot
+               FROM c q JOIN c n
+                 ON q.vec_id < 20 AND q.vec_id <> n.vec_id)
+        SELECT query_id, neighbor_id, int_dot,
+               CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY int_dot DESC, neighbor_id) AS BIGINT)
+                 AS rank
+        FROM sc QUALIFY rank <= 10
+        """,
+        "pq_codes": "WITH "
+        + _PQ_CTES
+        + """
+        SELECT vec_id,
+               string_agg(CAST(code AS VARCHAR), ','
+                          ORDER BY subspace) AS pq_str
+        FROM best WHERE rn = 1 GROUP BY vec_id
+        """,
+        # ADC candidate scan (exact integer lookup-table distances,
+        # order-free SUM) -> top-50 pool -> exact float re-rank, the
+        # same sequential-double cosine as ann_cosine_topk's oracle
+        "pq_topk_rerank": "WITH "
+        + _PQ_CTES
+        + """,
+        corp AS (SELECT vec_id, subspace, code
+                 FROM best WHERE rn = 1),
+        lut AS (SELECT sl.vec_id AS query_id, sl.subspace, bk.code,
+                       CAST(list_dot_product(sl.sub, sl.sub)
+                            - 2 * list_dot_product(sl.sub, bk.c_codes)
+                            + list_dot_product(bk.c_codes, bk.c_codes)
+                         AS BIGINT) AS d
+                FROM sl JOIN bk ON bk.subspace = sl.subspace
+                WHERE sl.vec_id < 10),
+        adc AS (SELECT l.query_id, p.vec_id AS neighbor_id,
+                       CAST(SUM(l.d) AS BIGINT) AS pq_dist
+                FROM corp p
+                JOIN lut l ON l.subspace = p.subspace
+                          AND l.code = p.code
+                WHERE p.vec_id <> l.query_id
+                GROUP BY 1, 2),
+        cand AS (SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY pq_dist, neighbor_id) AS crn
+                 FROM adc QUALIFY crn <= 50),
+        rr AS (SELECT cand.query_id, cand.neighbor_id,
+                      ROUND(list_dot_product(q.v, n.v)
+                            / (sqrt(list_dot_product(q.v, q.v))
+                               * sqrt(list_dot_product(n.v, n.v))), 6)
+                        AS cosine
+               FROM cand
+               JOIN e q ON q.vec_id = cand.query_id
+               JOIN e n ON n.vec_id = cand.neighbor_id)
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+                 AS rank
+        FROM rr QUALIFY rank <= 10
+        """,
+        # 8-token disjoint chunks (chunk_dedup_docs' CTE), document
+        # frequency via two-phase distinct, spans in >= 3 docs removed
+        # from every doc
+        "boilerplate_cleaned_docs": """
+        WITH t AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+          FROM documents
+        ),
+        sdoc AS (SELECT doc_id, toks, len(toks) AS n
+                 FROM t WHERE len(toks) > 0),
+        ee AS (SELECT doc_id, toks,
+                      unnest(generate_series(0, n - 1, 8)) AS start
+               FROM sdoc),
+        cc AS (SELECT doc_id, CAST(start // 8 AS BIGINT) AS chunk_index,
+                      array_to_string(toks[start + 1 : start + 8], ' ')
+                        AS chunk_text
+               FROM ee),
+        dfq AS (SELECT chunk_text, COUNT(DISTINCT doc_id) AS dfc
+                FROM cc GROUP BY 1),
+        flag AS (SELECT cc.doc_id, cc.chunk_index, cc.chunk_text,
+                        (dfq.dfc < 3) AS keep
+                 FROM cc JOIN dfq USING (chunk_text)),
+        reb AS (SELECT doc_id,
+                       string_agg(chunk_text, ' ' ORDER BY chunk_index)
+                         FILTER (WHERE keep) AS clean_text,
+                       COUNT(*) AS n_chunks,
+                       COUNT(*) - COUNT(*) FILTER (WHERE keep)
+                         AS n_removed
+                FROM flag GROUP BY doc_id)
+        SELECT doc_id, COALESCE(clean_text, '') AS clean_text,
+               CAST(n_chunks AS BIGINT) AS n_chunks,
+               CAST(n_removed AS BIGINT) AS n_removed
+        FROM reb
         """,
     }

@@ -136,6 +136,74 @@ def drop_duplicate_chunks(
     )
 
 
+def remove_common_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 8,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency-based boilerplate removal (the RefinedWeb/CCNet
+    "line-wise correction"): every ``chunk_tokens``-token span that
+    occurs in at least ``min_docs`` DISTINCT documents is treated as
+    boilerplate (nav bars, headers, license banners, cookie notices)
+    and removed from **every** document — including the first
+    occurrence, which is what distinguishes this from
+    :func:`drop_duplicate_chunks`' C4 first-wins rule: boilerplate is
+    noise everywhere, not content somewhere.  Documents are reassembled
+    from surviving chunks in order; returns
+    ``(doc_id, clean_text, n_chunks, n_removed)``.
+
+    Scale shape: chunking is zero-shuffle codegen; the document
+    frequency needs chunk rows DISTINCT on (chunk, doc) first —
+    ``count(distinct doc)`` in one agg would carry every occurrence
+    row into the shuffle, the two-phase distinct-then-count keeps the
+    per-chunk shuffle load at one row per (chunk, doc) with map-side
+    combine (the ``corpus_stats`` two-phase-distinct pattern).  The
+    flag join back is an equi-join on the chunk key, co-partitioned
+    with the count's exchange; the common-chunk table is usually small
+    (boilerplate is by definition a thin head of the distribution) but
+    its cardinality is data-dependent, so no forced broadcast — AQE
+    picks from the realized size.  Reassembly is the same single
+    doc-keyed agg as :func:`drop_duplicate_chunks`."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    chunks = chunk_documents(
+        df, chunk_tokens, chunk_tokens, text_col, id_col
+    ).select(id_col, "chunk_index", "chunk_text")
+    doc_freq = (
+        chunks.select(id_col, "chunk_text")
+        .distinct()
+        .groupBy("chunk_text")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    common = doc_freq.filter(F.col("_df") >= min_docs).select(
+        "chunk_text", F.lit(True).alias("_boiler")
+    )
+    flagged = chunks.join(common, "chunk_text", "left").select(
+        id_col,
+        "chunk_index",
+        "chunk_text",
+        F.coalesce(~F.col("_boiler"), F.lit(True)).alias("_keep"),
+    )
+    cells = F.array_sort(
+        F.collect_list(F.struct("chunk_index", "_keep", "chunk_text"))
+    )
+    clean = F.array_join(
+        F.transform(
+            F.filter(cells, lambda s: s._keep), lambda s: s.chunk_text
+        ),
+        " ",
+    )
+    return flagged.groupBy(id_col).agg(
+        clean.alias("clean_text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        (
+            F.count(F.lit(1)) - F.sum(F.col("_keep").cast("long"))
+        ).alias("n_removed"),
+    )
+
+
 def _hex_val(h, pos: int):
     """0-15 value of hex char ``pos`` (1-based) of column ``h`` from
     its ascii code — engine-portable arithmetic (Spark and DuckDB

@@ -161,3 +161,52 @@ def test_drop_duplicate_chunks_negative_ids(spark):
     assert out[-5].clean_text == span and out[-5].n_dropped == 0
     assert out[7].clean_text == "" and out[7].n_dropped == 1
     assert out[1 << 40].clean_text == "" and out[1 << 40].n_dropped == 1
+
+
+def test_remove_common_chunks_strips_boilerplate_everywhere(spark):
+    """A span in >= min_docs distinct docs disappears from ALL of
+    them (no first-occurrence survivor — the contrast with
+    drop_duplicate_chunks); rarer spans survive, and within-doc
+    repetition alone does not trip the document-frequency threshold."""
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        remove_common_chunks,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rare = " ".join(f"r{i}" for i in range(8))
+    solo = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + solo),
+            (2, boiler + " " + rare),
+            (3, boiler),
+            (4, rare),
+            # within-doc repetition: 3 occurrences but doc-freq 1
+            (5, solo + " " + solo + " " + solo),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_common_chunks(
+            docs, chunk_tokens=8, min_docs=3
+        ).collect()
+    }
+    assert out[1].clean_text == solo
+    assert out[2].clean_text == rare
+    assert out[3].clean_text == ""  # pure boilerplate doc empties
+    assert out[3].n_removed == 1
+    assert out[4].clean_text == rare  # doc-freq 2 < 3: kept
+    assert out[5].n_removed == 0  # within-doc repeats don't count
+    assert out[5].n_chunks == 3
+
+
+def test_remove_common_chunks_threshold_validation(spark):
+    import pytest
+
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        remove_common_chunks,
+    )
+
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_common_chunks(_docs(spark, [(1, "a b")]), min_docs=1)
