@@ -117,6 +117,7 @@ from kafka_sparkstreaming_sbt_spark.operators.text import (  # noqa: E402
     unigram_lm_scores,
 )
 from kafka_sparkstreaming_sbt_spark.operators.quantize import (  # noqa: E402
+    _scale_value,
     ivf_pq_topk,
     pq_codebooks,
     pq_encode,
@@ -649,10 +650,14 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector, the 64x compression of the coded ANN scan stage."""
     _utc(spark)
     emb = read_table(spark, sf_dir, "embeddings")
-    books = pq_codebooks(emb, n_subspaces=4, n_codes=16, seed=42)
+    # collect the 1-row grid scale once: codebooks and encode both
+    # consume it, and left implicit each would re-run the scale agg
+    scale = _scale_value(quantization_scale(emb))
+    books = pq_codebooks(emb, n_subspaces=4, n_codes=16, seed=42,
+                         scale=scale)
     # numpy encode is bit-identical (int argmin, same tie-break) and
     # skips the interpreted N x M x K zip_with aggregates
-    out = pq_encode(emb, books, method="numpy")
+    out = pq_encode(emb, books, scale=scale, method="numpy")
     return out.select("vec_id", _codes_str("pq_codes").alias("pq_str"))
 
 
@@ -665,8 +670,9 @@ def q_pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    books = pq_codebooks(emb, n_subspaces=4, n_codes=16, seed=42)
-    scale = quantization_scale(emb)
+    scale = _scale_value(quantization_scale(emb))
+    books = pq_codebooks(emb, n_subspaces=4, n_codes=16, seed=42,
+                         scale=scale)
     # both stages on the BLAS tiers — bit-identical to SQL by the
     # integer contract, so the oracle still hash-gates them
     enc = pq_encode(emb, books, scale=scale, method="numpy")

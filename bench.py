@@ -414,6 +414,13 @@ _CHAIN_QUERIES = (
     "leakage_safe_split",
 )
 
+#: second chain family: the PQ queries each re-derive the
+#: scale->codebooks->encode prefix (self-containment is the gate
+#: contract); pq_codes IS that shared prefix, so its wall is the
+#: chain cost and the members' deltas are what each adds on top
+_PQ_CHAIN_ROOT = "pq_codes"
+_PQ_CHAIN_QUERIES = ("pq_codes", "pq_topk_rerank", "ivf_pq_topk")
+
 
 def _common_vs_prev(timings: dict[str, float]):
     """(prev artifact name, sum-ratio over common queries) vs the
@@ -436,6 +443,10 @@ def _common_vs_prev(timings: dict[str, float]):
                 data = json.load(f)
         except (OSError, ValueError):
             continue
+        # the driver wraps our stdout line: the real payload lives
+        # under "parsed" (verified shape of the committed BENCH_r06)
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
         q = data.get("queries")
         if isinstance(q, dict) and q:
             best_n, prev = int(m.group(1)), q
@@ -447,11 +458,11 @@ def _common_vs_prev(timings: dict[str, float]):
         if isinstance(prev.get(k), (int, float))
     ]
     if not common:
-        return f"BENCH_r{best_n}", None
+        return f"BENCH_r{best_n:02d}", None
     ratio = sum(timings[k] for k in common) / max(
         sum(prev[k] for k in common), 1e-9
     )
-    return f"BENCH_r{best_n}", round(ratio, 3)
+    return f"BENCH_r{best_n:02d}", round(ratio, 3)
 
 
 def main() -> None:
@@ -552,6 +563,8 @@ def main() -> None:
         full["common_vs_prev_ratio"] = prev_ratio
     if _CHAIN_ROOT in timings:
         full["chain_shared_cost_sec"] = timings[_CHAIN_ROOT]
+    if _PQ_CHAIN_ROOT in timings:
+        full["pq_chain_shared_cost_sec"] = timings[_PQ_CHAIN_ROOT]
     # per-query detail only (too wide for the stdout line)
     full_detail_extras = {
         "query_loadavg": query_loads,
@@ -562,6 +575,11 @@ def main() -> None:
             k: round(timings[k] - timings[_CHAIN_ROOT], 3)
             for k in _CHAIN_QUERIES
             if k in timings and _CHAIN_ROOT in timings
+        },
+        "pq_chain_member_delta_sec": {
+            k: round(timings[k] - timings[_PQ_CHAIN_ROOT], 3)
+            for k in _PQ_CHAIN_QUERIES
+            if k in timings and _PQ_CHAIN_ROOT in timings
         },
     }
     # Full per-query detail goes to a repo file; the stdout line must
