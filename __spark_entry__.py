@@ -713,6 +713,111 @@ def q_boilerplate_cleaned_docs(
     return remove_common_chunks(docs, chunk_tokens=8, min_docs=3)
 
 
+def _dsir_frames(spark: SparkSession, sf_dir: str):
+    """The DSIR gate setup: 'src0' documents are the TARGET domain,
+    everything else is the raw pool (the usual DSIR deployment:
+    a curated seed corpus steering selection over a crawl)."""
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    return raw, target
+
+
+def q_wet_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET codec round trip, fully distributed: documents
+    serialize into per-source WET archives (gzip-per-record, the
+    Common Crawl layout) inside applyInPandas, then the real parser
+    reads the bytes back via mapInPandas.  The oracle is the identity
+    projection of documents — any framing, Content-Length, or utf-8
+    defect breaks the hash."""
+    _utc(spark)
+    import pandas as pd
+
+    from kafka_sparkstreaming_sbt_spark.sources.warc import (
+        parse_warc_records,
+        wet_bytes,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (f"http://corpus.example/{d}", t)
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {
+                "path": [f"mem://{key[0]}.warc.wet.gz"],
+                "content": [wet_bytes(recs, compress=True)],
+            }
+        )
+
+    files = docs.groupBy("source").applyInPandas(
+        build, "path string, content binary"
+    )
+    recs = parse_warc_records(files)
+    return recs.filter(
+        F.col("error").isNull() & (F.col("warc_type") == "conversion")
+    ).select(
+        F.regexp_extract(
+            F.col("target_uri"), r"corpus\.example/(\d+)", 1
+        )
+        .cast("long")
+        .alias("doc_id"),
+        F.col("text").alias("text_out"),
+        "content_length",
+    )
+
+
+def q_dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed
+    unigram+bigram bucket counts, add-1-smoothed target/raw
+    multinomials, per-doc log ratio as an integer micro-nat sum —
+    order-independent, so the DuckDB oracle hash-gates every value."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.dsir import (
+        bucket_log_ratio,
+        dsir_log_weights,
+        hashed_ngram_counts,
+    )
+
+    raw, target = _dsir_frames(spark, sf_dir)
+    rf = hashed_ngram_counts(raw, n_buckets=512)
+    tf = hashed_ngram_counts(target, n_buckets=512)
+    return dsir_log_weights(rf, bucket_log_ratio(tf, rf, 512))
+
+
+def q_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality filter analog: multinomial NB over
+    hashed unigram+bigram buckets, trained in two aggregations
+    (label: lang='en' as the "keep" class), scored as integer
+    micro-nat log-odds — training AND scoring fully oracle-replayed."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.classify import (
+        nb_score,
+        nb_train,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    model = nb_train(labeled, "label", n_buckets=512)
+    return nb_score(docs, model, n_buckets=512)
+
+
+def q_dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: Gumbel-top-100 over the importance weights —
+    sampling-without-replacement proportional to exp(log_weight),
+    deterministic via the md5 Gumbel draw."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.dsir import dsir_select
+
+    raw, target = _dsir_frames(spark, sf_dir)
+    return dsir_select(raw, target, 100, n_buckets=512)
+
+
 def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram (8-bit signatures)."""
     _utc(spark)
@@ -1709,6 +1814,71 @@ def _sql_hex8(col: str) -> str:
     return val
 
 
+def _sql_hex4(col: str) -> str:
+    """DuckDB expression: first 4 hex chars of md5 column ``col`` as
+    an integer 0..65535 (the DSIR bucket draw — mirrors Spark's
+    ``conv(substring(md5(...), 1, 4), 16, 10)``)."""
+    val = "0"
+    for i in range(1, 5):
+        nib = (
+            f"CASE WHEN ascii(substr({col}, {i}, 1)) <= 57 "
+            f"THEN ascii(substr({col}, {i}, 1)) - 48 "
+            f"ELSE ascii(substr({col}, {i}, 1)) - 87 END"
+        )
+        val = f"({val} * 16 + {nib})"
+    return val
+
+
+def _dsir_cte() -> str:
+    """Shared DuckDB prefix replaying the DSIR pipeline exactly:
+    unigram+bigram build, md5-hex4 bucket hash mod 512, per-(doc,
+    bucket) counts, add-1-smoothed target/raw bucket multinomials
+    ('src0' is the target domain), and per-doc integer micro-nat
+    weights (integer sums — order-independent, hash-gateable)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS t
+          FROM documents
+        ),
+        ngr AS (
+          SELECT doc_id, source,
+                 unnest(list_concat(t,
+                     list_transform(range(1, len(t)),
+                                    i -> t[i] || '_' || t[i + 1]))) AS ng
+          FROM toks
+        ),
+        hb AS (SELECT doc_id, source, md5('7:' || ng) AS m FROM ngr),
+        feats AS (
+          SELECT doc_id, source,
+                 CAST({_sql_hex4('m')} % 512 AS INTEGER) AS bucket,
+                 COUNT(*) AS cnt
+          FROM hb GROUP BY 1, 2, 3
+        ),
+        tf AS (SELECT bucket, SUM(cnt) AS c_t FROM feats
+               WHERE source = 'src0' GROUP BY 1),
+        rfb AS (SELECT bucket, SUM(cnt) AS c_r FROM feats
+                WHERE source <> 'src0' GROUP BY 1),
+        nt AS (SELECT COALESCE(SUM(cnt), 0) AS n_t FROM feats
+               WHERE source = 'src0'),
+        nr AS (SELECT COALESCE(SUM(cnt), 0) AS n_r FROM feats
+               WHERE source <> 'src0'),
+        spine AS (SELECT unnest(range(512)) AS bucket),
+        ratio AS (
+          SELECT spine.bucket,
+                 CAST(ROUND((ln((COALESCE(c_t, 0) + 1.0) / (n_t + 512.0))
+                           - ln((COALESCE(c_r, 0) + 1.0) / (n_r + 512.0)))
+                            * 1000000) AS BIGINT) AS ratio_micro
+          FROM spine LEFT JOIN tf USING (bucket)
+                     LEFT JOIN rfb USING (bucket), nt, nr
+        ),
+        w AS (
+          SELECT doc_id, CAST(SUM(cnt * ratio_micro) AS BIGINT) AS w_micro
+          FROM feats JOIN ratio USING (bucket)
+          WHERE source <> 'src0' GROUP BY 1
+        )
+    """
+
+
 #: queries() entries with no oracle_sql twin — the driver records a
 #: weaker rows-only check for these.  ivf_kmeans_topk: k-means cell
 #: means are float-summation-order sensitive across engines, so its
@@ -1844,6 +2014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_topk_rerank": q_pq_topk_rerank,
         "boilerplate_cleaned_docs": q_boilerplate_cleaned_docs,
+        "dsir_doc_weights": q_dsir_doc_weights,
+        "dsir_selected_docs": q_dsir_selected_docs,
+        "nb_quality_scores": q_nb_quality_scores,
+        "wet_roundtrip_docs": q_wet_roundtrip_docs,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -3400,5 +3574,90 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_chunks AS BIGINT) AS n_chunks,
                CAST(n_removed AS BIGINT) AS n_removed
         FROM reb
+        """,
+        "dsir_doc_weights": _dsir_cte()
+        + """
+        SELECT doc_id, w_micro,
+               ROUND(w_micro / 1000000.0, 6) AS log_weight
+        FROM w
+        """,
+        # Gumbel-top-k resampling: the perturbation is an md5-hex8
+        # uniform pushed through -ln(-ln u), quantized to micro-nats —
+        # the selection key is a plain BIGINT, replayed exactly
+        "dsir_selected_docs": _dsir_cte()
+        + f"""
+        , g AS (
+          SELECT doc_id, w_micro,
+                 md5('7:' || CAST(doc_id AS VARCHAR)) AS m
+          FROM w
+        ),
+        sel AS (
+          SELECT doc_id,
+                 ROUND(w_micro / 1000000.0, 6) AS log_weight,
+                 w_micro + CAST(ROUND(-ln(-ln(({_sql_hex8('m')} + 0.5)
+                                / 4294967296.0)) * 1000000) AS BIGINT)
+                   AS sel_micro
+          FROM g
+        )
+        SELECT doc_id, log_weight, sel_micro
+        FROM sel ORDER BY sel_micro DESC, doc_id LIMIT 100
+        """,
+        # NB training replayed in SQL: per-(class, bucket) counts,
+        # add-1 smoothing, integer micro-nat weights + doc-count prior
+        "nb_quality_scores": f"""
+        WITH toks AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS t
+          FROM documents
+        ),
+        ngr AS (
+          SELECT doc_id, lang,
+                 unnest(list_concat(t,
+                     list_transform(range(1, len(t)),
+                                    i -> t[i] || '_' || t[i + 1]))) AS ng
+          FROM toks
+        ),
+        hb AS (SELECT doc_id, lang, md5('7:' || ng) AS m FROM ngr),
+        feats AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 CAST({_sql_hex4('m')} % 512 AS INTEGER) AS bucket,
+                 COUNT(*) AS cnt
+          FROM hb GROUP BY 1, 2, 3
+        ),
+        pcb AS (SELECT y, bucket, SUM(cnt) AS c FROM feats GROUP BY 1, 2),
+        np_ AS (SELECT COALESCE(SUM(c), 0) AS n_p FROM pcb WHERE y = 1),
+        nn_ AS (SELECT COALESCE(SUM(c), 0) AS n_n FROM pcb WHERE y = 0),
+        dpn AS (SELECT COUNT(*) FILTER (WHERE lang = 'en') AS d_p,
+                       COUNT(*) FILTER (WHERE lang <> 'en') AS d_n
+                FROM documents),
+        spine AS (SELECT unnest(range(512)) AS bucket),
+        wb AS (
+          SELECT spine.bucket,
+                 CAST(ROUND((ln((COALESCE(pb.c, 0) + 1.0) / (n_p + 512.0))
+                           - ln((COALESCE(nb2.c, 0) + 1.0) / (n_n + 512.0)))
+                            * 1000000) AS BIGINT) AS w_micro
+          FROM spine
+          LEFT JOIN (SELECT bucket, c FROM pcb WHERE y = 1) pb
+            USING (bucket)
+          LEFT JOIN (SELECT bucket, c FROM pcb WHERE y = 0) nb2
+            USING (bucket), np_, nn_
+        ),
+        prior AS (SELECT CAST(ROUND(ln((d_p + 1.0) / (d_n + 1.0))
+                                    * 1000000) AS BIGINT) AS pm
+                  FROM dpn),
+        ev AS (SELECT doc_id, CAST(SUM(cnt * w_micro) AS BIGINT) AS evid
+               FROM feats JOIN wb USING (bucket) GROUP BY 1)
+        SELECT doc_id, evid + pm AS score_micro,
+               ROUND((evid + pm) / 1000000.0, 6) AS log_odds,
+               CASE WHEN evid + pm > 0 THEN 1 ELSE 0 END AS predicted
+        FROM ev, prior
+        """,
+        # identity projection: the Spark side earns equality by
+        # surviving the full WET encode->gzip->parse round trip
+        # (strlen = BYTE length in DuckDB, the Content-Length unit)
+        "wet_roundtrip_docs": """
+        SELECT doc_id, text AS text_out,
+               CAST(strlen(text) AS BIGINT) AS content_length
+        FROM documents
         """,
     }
