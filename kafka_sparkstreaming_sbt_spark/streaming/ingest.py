@@ -346,6 +346,10 @@ def run_dedup_ingest_pipeline(
     signature_dir: str | None = None,
     compact_every: int | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    quality_model: DataFrame | None = None,
+    quality_threshold: float = 0.0,
+    quality_n_buckets: int = 1024,
+    quality_seed: int = 7,
 ) -> StreamingQuery:
     """Start the streaming ingest screen.
 
@@ -369,7 +373,15 @@ def run_dedup_ingest_pipeline(
     so accept verdicts and replay idempotence are untouched (tested:
     tests/test_streaming_ingest.py).
     ``on_batch(batch_id, n_batch, n_accepted)`` is an observability
-    hook (counts only, no data)."""
+    hook (counts only, no data).
+    ``quality_model`` (optional): a trained :func:`classify.nb_train`
+    frame — each micro-batch is quality-screened BEFORE the dedup
+    screen (reject-cheapest-first: the model is a broadcast-bounded
+    join, the dedup screen shingles + bucket-joins, so filtering
+    first shrinks the expensive stage's input; the CCNet ordering).
+    ``quality_n_buckets``/``quality_seed`` must match training.
+    ``n_batch`` reported to ``on_batch`` stays the RAW batch size, so
+    ``n_accepted / n_batch`` prices both screens together."""
     spark = corpus_docs.sparkSession
     # finish any compaction a crash interrupted BEFORE the first
     # screen reads the lake (the write-ahead recovery contract)
@@ -379,6 +391,9 @@ def run_dedup_ingest_pipeline(
         materialize_corpus_signatures(
             corpus_docs, signature_dir, shingle_n, n_bands
         )
+    if quality_model is not None:
+        # the model is read on every trigger: pin the tiny frame once
+        quality_model = quality_model.localCheckpoint(eager=True)
 
     def screen(batch_df: DataFrame, batch_id: int) -> None:
         if (
@@ -398,13 +413,30 @@ def run_dedup_ingest_pipeline(
                     spark, f"{signature_dir}/incr", batch_id,
                     target_file_bytes,
                 )
+        n_raw = None
+        if quality_model is not None:
+            from kafka_sparkstreaming_sbt_spark.operators.classify import (
+                quality_filter,
+            )
+
+            # count the raw batch before filtering (one cheap action
+            # on the file-source batch) so the hook prices the
+            # quality screen too
+            n_raw = batch_df.count()
+            batch_df = quality_filter(
+                batch_df,
+                quality_model,
+                threshold_nats=quality_threshold,
+                n_buckets=quality_n_buckets,
+                seed=quality_seed,
+            )
         n, a = screen_micro_batch(
             batch_df, batch_id, corpus_docs, accepted_dir,
             threshold, shingle_n, n_bands,
             signature_dir=signature_dir,
         )
         if on_batch is not None:
-            on_batch(batch_id, n, a)
+            on_batch(batch_id, n_raw if n_raw is not None else n, a)
 
     return (
         stream_docs.writeStream.foreachBatch(screen)

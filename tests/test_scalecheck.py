@@ -189,3 +189,20 @@ def test_clustered_corpus_geometry(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_selection_scale_section_gates_at_tiny_scale(spark, tmp_path):
+    """run_selection_scale's quality gates must hold on the same
+    synthetic layout at test speed: the boilerplate 'domain' seed
+    pulls the remaining boilerplate docs to the top of the DSIR
+    ranking, and NB separates boilerplate-ness near-perfectly."""
+    from scalecheck import run_selection_scale
+
+    n = 4000
+    synth_documents(spark, n).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / f"docs_{n}"))
+    d = run_selection_scale(spark, n, str(tmp_path))
+    assert d["dsir_on_domain_frac"] >= 0.95, d
+    assert d["nb_accuracy"] >= 0.999, d
+    assert d["dsir_n_selected"] > 0

@@ -394,3 +394,60 @@ def test_streaming_pipeline_compacts_mid_stream(spark, dirs):
     # fold ran at batch 2 (0,1 -> 1): strictly fewer than one
     # partition per trigger
     assert len(_list_batch_ids(spark, acc)) < 4
+
+
+def test_quality_model_screens_before_dedup(spark, dirs):
+    """quality_model= composition: spam-scored docs are rejected by
+    the NB screen, survivors still dedup vs corpus and prior batches,
+    and the replay contract is untouched."""
+    from kafka_sparkstreaming_sbt_spark.operators.classify import (
+        nb_train,
+    )
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        screen_micro_batch,
+    )
+
+    src, acc, ckpt = dirs
+    spam = "buy click spam buy click spam buy click spam buy"
+    seed = spark.createDataFrame(
+        [(1000 + i, T["c0"], 1) for i in range(5)]
+        + [(2000 + i, spam, 0) for i in range(5)],
+        "doc_id long, text string, label int",
+    )
+    model = nb_train(seed, "label", n_buckets=256)
+    corpus = spark.createDataFrame(
+        [(0, T["c0"])], "doc_id long, text string"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(src)
+    )
+    seen = []
+    q = run_dedup_ingest_pipeline(
+        stream, corpus, acc, ckpt,
+        on_batch=lambda bid, n, a: seen.append((bid, n, a)),
+        quality_model=model, quality_n_buckets=256,
+    )
+    try:
+        # 10: corpus dup (clean text, killed by dedup); 11: clean
+        # unique (accepted); 12: spam unique (killed by quality)
+        wave = spark.createDataFrame(
+            [(10, T["c0"]), (11, T["u1"]), (12, spam)],
+            "doc_id long, text string",
+        )
+        wave.coalesce(1).write.mode("append").json(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(acc)
+    assert {r.doc_id for r in out.collect()} == {11}
+    # the hook reports the RAW batch size (3), pricing both screens
+    non_empty = [s for s in seen if s[1] > 0]
+    assert non_empty == [(0, 3, 1)]
+    # replaying the batch (same id) is still idempotent
+    filtered = wave.filter(F.col("doc_id") != 12)
+    n, a = screen_micro_batch(filtered, 0, corpus, acc)
+    assert (n, a) == (2, 1)
+    assert {
+        r.doc_id for r in spark.read.parquet(acc).collect()
+    } == {11}
