@@ -401,6 +401,25 @@ def ivf_kmeans_recall(spark, sf_dir: str) -> float:
     return round(len(exact & approx) / len(exact), 4) if exact else 1.0
 
 
+def pq_rerank_recall(spark, sf_dir: str) -> float:
+    """Measured recall@10 of the PQ ADC + exact-re-rank path vs the
+    exact brute-force neighbors — the compressed-domain twin of
+    :func:`ivf_kmeans_recall`, tracked per round so codebook or pool
+    regressions are visible in the artifact, not just at SCALECHECK
+    scale."""
+    qs = entry_mod.queries()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["ann_cosine_topk"](spark, sf_dir).collect()
+        if r["query_id"] < 10  # pq_topk_rerank queries vec_id < 10
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["pq_topk_rerank"](spark, sf_dir).collect()
+    }
+    return round(len(exact & approx) / len(exact), 4) if exact else 1.0
+
+
 # The four gate queries that REPLAY the MinHash-pairs -> connected-
 # components chain from scratch (self-containment is the gate
 # contract): near_dup_groups IS the bare chain, the others are chain +
@@ -523,6 +542,7 @@ def main() -> None:
         query_loads[name] = _loadavg()
 
     recall = ivf_kmeans_recall(spark, sf_dir)
+    pq_recall = pq_rerank_recall(spark, sf_dir)
     spark.catalog.clearCache()
     # best of 2, the same discipline as the batch queries' min-of-3:
     # micro-batch scheduling variance is +/-40% run-to-run (measured
@@ -550,6 +570,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
         "ivf_kmeans_recall_at_10": recall,
+        "pq_rerank_recall_at_10": pq_recall,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
         "sentinel_start_sec": sentinel_start,
