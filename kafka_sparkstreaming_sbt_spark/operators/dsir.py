@@ -60,9 +60,10 @@ def hashed_ngram_counts(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     seed: int = 7,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document hashed unigram+bigram counts:
-    ``(id, bucket, cnt)`` — the DSIR feature map.
+    ``(id, *carry_cols, bucket, cnt)`` — the DSIR feature map.
 
     Tokens are the single-space split (the corpus-wide tokenizer
     contract); bigrams join adjacent tokens with ``_``.  The n-gram
@@ -70,7 +71,14 @@ def hashed_ngram_counts(
     flattens them, and the md5 bucket hash runs on the flat rows
     (codegen) — then one partial→final count on (doc, bucket).  Shuffle
     volume is at most tokens-per-doc rows per doc, usually far less
-    after map-side combine (buckets repeat within a doc)."""
+    after map-side combine (buckets repeat within a doc).
+
+    ``carry_cols`` ride through the explode and the grouping —
+    per-document attributes (a label, a source) are functionally
+    dependent on the id, so carrying them is free and spares the
+    consumer an id-keyed join back to the corpus (measured: the NB
+    trainer's label join was 8 sort-merge joins across re-executed
+    branches before this)."""
     if not 2 <= n_buckets <= 65536:
         raise ValueError(
             f"n_buckets must be in [2, 65536], got {n_buckets}"
@@ -85,11 +93,15 @@ def hashed_ngram_counts(
     )
     ngrams = F.concat(toks, bigrams)
     flat = df.select(
-        F.col(id_col), F.explode(ngrams).alias("_ng")
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.explode(ngrams).alias("_ng"),
     ).select(
-        id_col, _bucket(F.col("_ng"), n_buckets, seed).alias("bucket")
+        id_col,
+        *carry_cols,
+        _bucket(F.col("_ng"), n_buckets, seed).alias("bucket"),
     )
-    return flat.groupBy(id_col, "bucket").agg(
+    return flat.groupBy(id_col, *carry_cols, "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
 

@@ -358,7 +358,24 @@ def _quantized_topk_numpy(cq: DataFrame, qq: DataFrame, k: int) -> DataFrame:
             pdf = pdf.sort_values("neighbor_id", kind="mergesort")
             nid = pdf["neighbor_id"].to_numpy()
             v = np.stack(pdf["c_codes"].to_numpy()).astype(np.int64)
-            dot = v @ qmat.T  # (B, Q) exact int64
+            # integer matmul never hits BLAS; every partial sum is an
+            # integer bounded by dim·max|v|·max|q|, so route through
+            # sgemm/dgemm when that bound is exactly representable
+            # (2^24 / 2^53) — bit-identical, ~4× faster (same
+            # discipline as _pq_encode_numpy)
+            m_v = int(np.abs(v).max()) if v.size else 0
+            m_q = int(np.abs(qmat).max()) if qmat.size else 0
+            bound = v.shape[1] * max(m_v, 1) * max(m_q, 1)
+            if bound < (1 << 24):
+                dot = (
+                    v.astype(np.float32) @ qmat.T.astype(np.float32)
+                ).astype(np.int64)
+            elif bound < (1 << 53):
+                dot = (
+                    v.astype(np.float64) @ qmat.T.astype(np.float64)
+                ).astype(np.int64)
+            else:
+                dot = v @ qmat.T  # (B, Q) exact int64
             mask = nid[:, None] == qids[None, :]
             kk = min(k, dot.shape[0])
             # floats only to host -inf sentinels; values stay integral

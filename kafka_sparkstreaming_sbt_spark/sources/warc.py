@@ -43,18 +43,47 @@ _EPOCH_DATE = "2000-01-01T00:00:00Z"
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress concatenated gzip members (the standard WARC
     layout: one member per record) into one byte stream; plain
-    whole-file gzip is the single-member case."""
-    out = io.BytesIO()
-    pos = 0
-    while pos < len(data):
-        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.write(d.decompress(data[pos:]))
-        out.write(d.flush())
-        consumed = len(data[pos:]) - len(d.unused_data)
-        if consumed <= 0:
+    whole-file gzip is the single-member case.
+
+    Quadratic traps, both hit at Common Crawl member counts (~30K
+    members per segment): a ``data[pos:]`` bytes slice per member
+    copies the whole remainder (O(bytes²) — measured 0.2 MB/s), and
+    CPython's ``gzip.decompress`` does the same internally
+    (``data[fp.tell():]`` + a fresh ``unused_data`` bytes object per
+    member — measured 1.2 ms/record at 31K members vs 70 µs at 3K).
+    This loop instead feeds ONE decompressobj fixed-size chunks and
+    hands the small ``unused_data`` tail to a fresh object at each
+    member boundary — O(total bytes), and a damaged member simply
+    ends the stream with everything before it intact."""
+    out: list[bytes] = []
+    mv = memoryview(data)
+    pos, chunk = 0, 1 << 20
+    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+    pending: bytes | memoryview = b""
+    while True:
+        if len(pending):
+            feed, pending = pending, b""
+        elif pos < len(mv):
+            feed = mv[pos : pos + chunk]
+            pos += chunk
+        else:
             break
-        pos += consumed
-    return out.getvalue()
+        try:
+            out.append(d.decompress(feed))
+        except zlib.error:
+            break  # damaged member: keep what decoded cleanly
+        if d.eof:
+            # next member starts inside this chunk's tail (small)
+            pending = d.unused_data
+            d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+    try:
+        out.append(d.flush())
+    except zlib.error:
+        pass
+    result = b"".join(out)
+    if not result and data:
+        raise OSError("no decodable gzip member")
+    return result
 
 
 def iter_warc_records(data: bytes) -> Iterator[dict]:
@@ -162,9 +191,20 @@ def parse_warc_records(
                 if rows:
                     yield pd.DataFrame(rows)
 
-    return files.select("path", "content").mapInPandas(
-        parse, _RECORD_SCHEMA
+    from kafka_sparkstreaming_sbt_spark.plans import (
+        parallelize_for_compute,
     )
+
+    # binaryFile packs files into 128 MB partitions by BYTES — right
+    # for I/O, wrong for a CPU-bound parse over many small segments
+    # (32 × 170 KB files land in ONE partition and run
+    # single-threaded; measured 5.4 s -> 1.5 s at 20K pages).  The
+    # rebalance moves each file's bytes once; at Common Crawl's
+    # ~150 MB segment size files already map 1:1 to partitions and
+    # the repartition is a near-no-op.
+    return parallelize_for_compute(
+        files.select("path", "content")
+    ).mapInPandas(parse, _RECORD_SCHEMA)
 
 
 def read_wet(

@@ -386,6 +386,82 @@ def run_doc_scale(
     return d
 
 
+def run_wet_scale(spark: SparkSession, n_pages: int, scratch: str) -> dict:
+    """WARC/WET ingest at scale: synthesize ``n_pages`` pages as
+    per-record-gzip WET archives (the Common Crawl layout, 32
+    segments) and measure the parse leg — pages/s and MB/s through
+    ``binaryFile`` + the pure-Python record parser.  Generation runs
+    DISTRIBUTED (one applyInPandas task per segment writes its file;
+    local FS here models the shared filesystem executors write on a
+    cluster); the measured leg is the read side only.  Gates: every
+    page parses (count == n_pages, zero dead letters) and wall stays
+    near-linear across scales."""
+    import os
+
+    import pandas as pd
+
+    from kafka_sparkstreaming_sbt_spark.sources.warc import (
+        parse_warc_records,
+        read_wet,
+        wet_bytes,
+    )
+
+    n_files = 32
+    seg_dir = f"{scratch}/wet_{n_pages}"
+    os.makedirs(seg_dir, exist_ok=True)
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(key[0])
+        pdf = pdf.sort_values("id")
+        recs = [
+            (
+                f"http://crawl.example/{int(i)}",
+                f"page {int(i)} body " + "tok ".join(
+                    str((int(i) * 31 + j) % 997) for j in range(40)
+                ),
+            )
+            for i in pdf["id"]
+        ]
+        with open(f"{seg_dir}/seg{seg:05d}.warc.wet.gz", "wb") as f:
+            f.write(wet_bytes(recs, compress=True))
+        return pd.DataFrame({"seg": [seg], "n": [len(recs)]})
+
+    made = (
+        spark.range(n_pages)
+        .withColumn("seg", (F.col("id") % n_files).cast("int"))
+        .groupBy("seg")
+        .applyInPandas(build, "seg int, n long")
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    total_bytes = sum(
+        os.path.getsize(f"{seg_dir}/{f}") for f in os.listdir(seg_dir)
+    )
+
+    t0 = time.perf_counter()
+    parsed = read_wet(spark, seg_dir).count()
+    wall = round(time.perf_counter() - t0, 2)
+    dead = (
+        parse_warc_records(
+            spark.read.format("binaryFile").load(seg_dir)
+        )
+        .filter(F.col("error").isNotNull())
+        .count()
+    )
+    return {
+        "n_pages": n_pages,
+        "generated": int(made),
+        "parsed": parsed,
+        "dead_letters": dead,
+        "gzip_mb": round(total_bytes / 1024 / 1024, 1),
+        "parse_wall_s": wall,
+        "pages_per_sec": round(n_pages / max(wall, 1e-9), 0),
+        "mb_per_sec": round(
+            total_bytes / 1024 / 1024 / max(wall, 1e-9), 1
+        ),
+    }
+
+
 def run_selection_scale(
     spark: SparkSession, n_docs: int, scratch: str
 ) -> dict:
@@ -939,21 +1015,32 @@ def run_incremental_semdedup_check(
     cents = kmeans_centroids(corpus, n_iter=2)
     cells_path = f"{scratch}/cells_{n_vecs}"
 
-    t0 = time.perf_counter()
-    full = semantic_dedup(
-        emb, cents, threshold=EMB_THRESHOLD,
-        max_cell_size=EMB_CELL_CAP, method="numpy",
-    )
-    full.write.mode("overwrite").parquet(f"{scratch}/sd_full_{n_vecs}")
-    full_wall = round(time.perf_counter() - t0, 2)
+    # each wall is the MIN of 2 runs (the bench.py noise discipline):
+    # the materialized-beats-full gate compares walls a few hundred ms
+    # apart at this scale, and a single-shot timing flips it on
+    # ambient noise (observed: 8.08 vs 7.65 s on a re-run whose prior
+    # measurement read 15.72 vs 18.28)
+    def _min2(fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 2)
 
-    t0 = time.perf_counter()
-    inc = incremental_semantic_dedup(
-        batch, corpus, cents, threshold=EMB_THRESHOLD,
-        max_cell_size=EMB_CELL_CAP, method="numpy",
+    full_wall = _min2(
+        lambda: semantic_dedup(
+            emb, cents, threshold=EMB_THRESHOLD,
+            max_cell_size=EMB_CELL_CAP, method="numpy",
+        ).write.mode("overwrite").parquet(f"{scratch}/sd_full_{n_vecs}")
     )
-    inc.write.mode("overwrite").parquet(f"{scratch}/sd_inc_{n_vecs}")
-    inc_wall = round(time.perf_counter() - t0, 2)
+
+    inc_wall = _min2(
+        lambda: incremental_semantic_dedup(
+            batch, corpus, cents, threshold=EMB_THRESHOLD,
+            max_cell_size=EMB_CELL_CAP, method="numpy",
+        ).write.mode("overwrite").parquet(f"{scratch}/sd_inc_{n_vecs}")
+    )
 
     # materialize the corpus assignment exactly as a daily job would:
     # it is the full run's own output restricted to corpus rows
@@ -962,16 +1049,15 @@ def run_incremental_semdedup_check(
     ).select("vec_id", "cell_id").write.mode("overwrite").parquet(
         cells_path
     )
-    t0 = time.perf_counter()
-    inc_mat = incremental_semantic_dedup(
-        batch, corpus, cents, threshold=EMB_THRESHOLD,
-        max_cell_size=EMB_CELL_CAP, method="numpy",
-        corpus_cells=spark.read.parquet(cells_path),
+    inc_mat_wall = _min2(
+        lambda: incremental_semantic_dedup(
+            batch, corpus, cents, threshold=EMB_THRESHOLD,
+            max_cell_size=EMB_CELL_CAP, method="numpy",
+            corpus_cells=spark.read.parquet(cells_path),
+        ).write.mode("overwrite").parquet(
+            f"{scratch}/sd_incmat_{n_vecs}"
+        )
     )
-    inc_mat.write.mode("overwrite").parquet(
-        f"{scratch}/sd_incmat_{n_vecs}"
-    )
-    inc_mat_wall = round(time.perf_counter() - t0, 2)
 
     full_batch_rows = spark.read.parquet(
         f"{scratch}/sd_full_{n_vecs}"
@@ -1212,6 +1298,7 @@ def main() -> int:
     ap.add_argument("--embed-scales", default="20000,200000")
     ap.add_argument("--asof-rows", type=int, default=3_000_000)
     ap.add_argument("--relational-scales", default="1000000,10000000")
+    ap.add_argument("--wet-scales", default="100000,1000000")
     ap.add_argument("--out", default=str(REPO / "SCALECHECK.md"))
     ap.add_argument("--skip-uncapped", action="store_true")
     args = ap.parse_args()
@@ -1225,6 +1312,11 @@ def main() -> int:
     embed_scales = (
         [int(x) for x in args.embed_scales.split(",")]
         if args.embed_scales
+        else []
+    )
+    wet_scales = (
+        [int(x) for x in args.wet_scales.split(",")]
+        if args.wet_scales
         else []
     )
 
@@ -1245,6 +1337,9 @@ def main() -> int:
         )
         sel_results = [
             run_selection_scale(spark, n, scratch) for n in doc_scales
+        ]
+        wet_results = [
+            run_wet_scale(spark, n, scratch) for n in wet_scales
         ]
         emb_results = [
             run_embedding_scale(spark, n, scratch, audits)
@@ -1329,6 +1424,17 @@ def main() -> int:
                 doc_factor,
             ),
         ]
+    if wet_results:
+        w_small, w_big = wet_results[0], wet_results[-1]
+        wet_factor = w_big["n_pages"] // w_small["n_pages"]
+        scaling.append(
+            scaling_row(
+                "read_wet (gzip parse)",
+                w_small["parse_wall_s"],
+                w_big["parse_wall_s"],
+                wet_factor,
+            )
+        )
     if rel_results:
         r_small, r_big = rel_results[0], rel_results[-1]
         rel_factor = relational_scales[-1] // relational_scales[0]
@@ -1425,6 +1531,15 @@ def main() -> int:
                 s["nb_accuracy"] >= 0.999,
             )
             for s in sel_results
+        ],
+        *[
+            (
+                f"WET parse complete @ {w['n_pages']:,}: "
+                f"{w['parsed']:,} parsed, {w['dead_letters']} dead",
+                w["parsed"] == w["n_pages"]
+                and w["dead_letters"] == 0,
+            )
+            for w in wet_results
         ],
     ]
     for r in rel_results:
@@ -1697,6 +1812,24 @@ def main() -> int:
                 for s in sel_results
             ],
         ]
+    if wet_results:
+        lines += [
+            "",
+            "## WET ingest scale-stress (Common Crawl layout)",
+            "",
+            "Per-record-gzip WET segments (32 files), generated "
+            "distributed, parsed via binaryFile + the pure-Python "
+            "record parser (file = parallelism unit):",
+            "",
+            "| n_pages | gzip MiB | parse wall (s) | pages/s | MiB/s |",
+            "| --- | --- | --- | --- | --- |",
+            *[
+                f"| {w['n_pages']:,} | {w['gzip_mb']} | "
+                f"{w['parse_wall_s']} | {w['pages_per_sec']:,.0f} | "
+                f"{w['mb_per_sec']} |"
+                for w in wet_results
+            ],
+        ]
     if emb_results:
         lines += [
             "",
@@ -1902,6 +2035,7 @@ def main() -> int:
             {
                 "documents": doc_results,
                 "selection": sel_results,
+                "wet": wet_results,
                 "uncapped": uncapped,
                 "embeddings": emb_results,
                 "ivf_search": ivf_result,

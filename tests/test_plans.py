@@ -221,6 +221,12 @@ _BOUNDED_NESTED_LOOP = {
     "unigram_lm_score",  # 1-row corpus-total scalar, same pattern
     "bigram_pmi",  # two 1-row count scalars, same pattern
     "mixture_sample",  # 1-row max-rate scalar vs per-group counts
+    # DSIR/NB: 1-row corpus-total scalars (n_t/n_r, n_p/n_n, prior)
+    # cross-joined into the <= n_buckets-row ratio/model tables —
+    # bounded by construction on both sides, the tf_idf pattern
+    "dsir_doc_weights",
+    "dsir_selected_docs",
+    "nb_quality_scores",
 }
 
 
