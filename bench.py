@@ -406,16 +406,43 @@ def pq_rerank_recall(spark, sf_dir: str) -> float:
     exact brute-force neighbors — the compressed-domain twin of
     :func:`ivf_kmeans_recall`, tracked per round so codebook or pool
     regressions are visible in the artifact, not just at SCALECHECK
-    scale."""
+    scale.
+
+    Measured on the PRODUCTION configuration (M=8/K=256 kmeans
+    codebooks, 0.1%-of-corpus candidate pool) — NOT the
+    `pq_topk_rerank` gate query, whose deliberately tiny 4×16
+    deterministic codebooks exist for oracle replayability and hold
+    only ~0.13 recall (first landing of this probe measured exactly
+    that and read as a regression when nothing had changed)."""
+    from kafka_sparkstreaming_sbt_spark.operators.quantize import (
+        _scale_value,
+        pq_codebooks,
+        pq_encode,
+        pq_rerank,
+        pq_topk,
+        quantization_scale,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+    from pyspark.sql import functions as F
+
     qs = entry_mod.queries()
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in qs["ann_cosine_topk"](spark, sf_dir).collect()
-        if r["query_id"] < 10  # pq_topk_rerank queries vec_id < 10
+        if r["query_id"] < 10
     }
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    scale = _scale_value(quantization_scale(emb))
+    books = pq_codebooks(
+        emb, 8, 256, method="kmeans", seed=42, scale=scale
+    ).localCheckpoint(eager=True)
+    enc = pq_encode(emb, books, scale=scale, method="numpy")
+    pool = max(100, emb.count() // 1000)
+    cand = pq_topk(enc, queries, books, scale, k=pool, method="numpy")
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in qs["pq_topk_rerank"](spark, sf_dir).collect()
+        for r in pq_rerank(cand, emb, queries, k=10).collect()
     }
     return round(len(exact & approx) / len(exact), 4) if exact else 1.0
 
