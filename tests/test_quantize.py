@@ -221,3 +221,21 @@ def test_quantize_sql_numpy_bit_identical(spark, emb):
     a = norm(quantize_embeddings(both, scale=scale))
     b = norm(quantize_embeddings(both, scale=scale, method="numpy"))
     assert a == b
+
+
+def test_pq_encode_wide_grid_still_bit_identical(emb):
+    """bits=16 pushes the distance bound past the f32-exact window:
+    the GEMM dispatch must fall through to f64 (or int64) and stay
+    bit-identical to the SQL struct-min argmin."""
+    books16 = pq_codebooks(emb, n_subspaces=4, n_codes=16, bits=16)
+    a = sorted(
+        (r["vec_id"], tuple(r["pq_codes"]))
+        for r in pq_encode(emb, books16, bits=16).collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(r["pq_codes"]))
+        for r in pq_encode(
+            emb, books16, bits=16, method="numpy"
+        ).collect()
+    )
+    assert a == b
