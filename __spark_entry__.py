@@ -770,6 +770,27 @@ def q_wet_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 query-time top-k retrieval over the document
+    corpus (operators/retrieval.py): query-term pushdown BEFORE the
+    postings shuffle, doc length as a zero-shuffle per-row map, the
+    avgdl/N scalar kept lazy via a broadcast cross join, and a
+    TakeOrderedAndProject cut — no global sort, no unpartitioned
+    window.  Per-term contributions quantized to integer micro-units
+    so the per-doc sum is accumulation-order-independent and the
+    DuckDB oracle hash-gates every value."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = bm25_topk(
+        docs, ["customer", "merge", "scan", "spark"], k=20
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): hashed
     unigram+bigram bucket counts, add-1-smoothed target/raw
@@ -2018,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selected_docs": q_dsir_selected_docs,
         "nb_quality_scores": q_nb_quality_scores,
         "wet_roundtrip_docs": q_wet_roundtrip_docs,
+        "bm25_topk": q_bm25_topk,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -3659,5 +3681,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, text AS text_out,
                CAST(strlen(text) AS BIGINT) AS content_length
         FROM documents
+        """,
+        # float literals are ::DOUBLE because DuckDB parses 1.2 as
+        # DECIMAL(2,1) (exact) while Spark's lit(1.2) is the binary
+        # double — the two differ in the last ulp and break the hash
+        "bm25_topk": """
+        WITH q(token) AS (
+          SELECT unnest(['customer', 'merge', 'scan', 'spark'])
+        ),
+        base AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                 string_split(text, ' ') AS toks
+          FROM documents
+        ),
+        stats AS (SELECT COUNT(*) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) AS total_dl
+                  FROM base),
+        tf AS (
+          SELECT t.doc_id, t.dl, t.token, COUNT(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS token FROM base) t
+          JOIN q USING (token)
+          GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT tf.doc_id,
+                 CAST(ROUND(
+                   ln(1.0::DOUBLE + (stats.n_docs - dfreq.df
+                                     + 0.5::DOUBLE)
+                                    / (dfreq.df + 0.5::DOUBLE))
+                   * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+                   / (tf.tf + 1.2::DOUBLE
+                        * (1.0::DOUBLE - 0.75::DOUBLE
+                           + (0.75::DOUBLE * tf.dl)
+                             / (stats.total_dl / stats.n_docs)))
+                   * 1000000) AS BIGINT) AS c
+          FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+               CAST(SUM(c) AS BIGINT) AS score_micro,
+               ROUND(SUM(c) / 1000000.0, 6) AS score,
+               row_number() OVER (ORDER BY SUM(c) DESC, doc_id)
+                 AS rank
+        FROM contrib GROUP BY doc_id
+        QUALIFY rank <= 20
         """,
     }

@@ -1,0 +1,91 @@
+"""BM25 query-time retrieval (operators/retrieval.py): scoring
+semantics on a hand-checkable corpus, the query-term pushdown /
+no-window plan shape, and cross-engine determinism of the integer
+micro-unit score (the oracle-parity hash gate runs in
+tests/test_oracle_parity.py's registry sweep via ``bm25_topk``)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark spark spark scan"),
+        (2, "spark merge"),
+        (3, "table row filter batch"),
+        (4, "merge merge merge merge merge merge merge merge"),
+        (5, "spark"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def test_scores_match_closed_form(corpus):
+    got = {
+        r["doc_id"]: r
+        for r in bm25_scores(corpus, ["spark", "merge"]).collect()
+    }
+    # docs 3 has no query term -> absent
+    assert set(got) == {1, 2, 4, 5}
+    n, avgdl = 5, (4 + 2 + 4 + 8 + 1) / 5
+    # doc 2 hits both terms; contributions quantized to micro-units
+    exp = sum(
+        round(_bm25(1, df, n, 2, avgdl) * 1e6)
+        for df in (3, 2)  # spark df=3, merge df=2
+    )
+    assert got[2]["n_hit_terms"] == 2
+    assert got[2]["score_micro"] == exp
+    assert got[2]["score"] == round(exp / 1e6, 6)
+    # doc 5: single 'spark' in the shortest doc
+    assert got[5]["score_micro"] == round(_bm25(1, 3, n, 1, avgdl) * 1e6)
+
+
+def test_topk_rank_is_total_order(corpus):
+    top = bm25_topk(corpus, ["spark", "merge"], k=3).collect()
+    assert [r["rank"] for r in top] == [1, 2, 3]
+    micro = [r["score_micro"] for r in top]
+    assert micro == sorted(micro, reverse=True)
+
+
+def test_duplicate_query_terms_are_deduped(corpus):
+    once = bm25_scores(corpus, ["spark"]).collect()
+    twice = bm25_scores(corpus, ["spark", "spark"]).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+
+def test_empty_query_rejected(corpus):
+    with pytest.raises(ValueError):
+        bm25_scores(corpus, [])
+
+
+def test_plan_pushdown_and_no_window(spark, sf_small):
+    """The postings explode is filtered to query terms BEFORE the
+    (doc, term) shuffle, the cut is TakeOrderedAndProject, and there
+    is no window operator anywhere in the plan."""
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    docs = read_table(spark, sf_small, "documents")
+    plan = (
+        bm25_topk(docs, ["spark", "scan"], k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # the term filter is a per-row array op under the scan-side
+    # project (filter(...array_contains...)), not a post-shuffle one
+    assert "array_contains" in plan
