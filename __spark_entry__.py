@@ -791,6 +791,30 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_bloom_screened_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast Bloom-filter exact-dedup screen (operators/bloom.py):
+    the >=400 batch is screened against the <400 corpus by content —
+    one corpus pass builds the bitmap (codegen'd xxhash64 double
+    hashing, per-partition Arrow bit-sets, two-level OR fan-in), the
+    batch test is map-only, and only the bloom-positive slice enters
+    the exact confirm anti-join.  Semantics are EXACT (no false
+    negatives), so the oracle is a plain NOT IN."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.bloom import (
+        bloom_screen,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = bloom_screen(
+        docs.filter(F.col("doc_id") >= 400).select("doc_id", "text"),
+        docs.filter(F.col("doc_id") < 400).select("text"),
+        "text",
+        expected_items=400,
+        fpp=0.01,
+    )
+    return out.select("doc_id", F.md5("text").alias("content_hash"))
+
+
 def q_dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): hashed
     unigram+bigram bucket counts, add-1-smoothed target/raw
@@ -2040,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_scores": q_nb_quality_scores,
         "wet_roundtrip_docs": q_wet_roundtrip_docs,
         "bm25_topk": q_bm25_topk,
+        "bloom_screened_docs": q_bloom_screened_docs,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -3725,5 +3750,12 @@ def oracle_sql() -> dict[str, str]:
                  AS rank
         FROM contrib GROUP BY doc_id
         QUALIFY rank <= 20
+        """,
+        "bloom_screened_docs": """
+        SELECT doc_id, md5(text) AS content_hash
+        FROM documents
+        WHERE doc_id >= 400
+          AND text NOT IN (SELECT text FROM documents
+                           WHERE doc_id < 400)
         """,
     }
