@@ -791,6 +791,49 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (operators/cdc.py snapshot_diff): the
+    <450 snapshot vs a >=50 snapshot whose every 10th doc carries a
+    ' v2' edit — emits only the |delta| (added / removed / changed
+    keys with content hashes), each side collapsed to (key, md5) in
+    the scan so no payload bytes cross the one full-outer join."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 450).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") >= 50).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat("text", F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new, ["doc_id"], ["text"])
+
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: every document weighted 1/|near-dup group| so each
+    distinct content contributes unit mass to the training mixture —
+    the down-weighting alternative to hard near-dup deletion.
+    Composes the MinHash chain -> connected components -> one
+    partial->final group count; oracle replays the chain with a
+    recursive CTE."""
+    from kafka_sparkstreaming_sbt_spark.operators.graph import (
+        soft_dedup_weights,
+    )
+
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, shingle_n=3, n_bands=8, threshold=0.5
+    ).select("doc_a", "doc_b")
+    return soft_dedup_weights(docs, pairs)
+
+
 def q_bloom_screened_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast Bloom-filter exact-dedup screen (operators/bloom.py):
     the >=400 batch is screened against the <400 corpus by content —
@@ -2065,6 +2108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip_docs": q_wet_roundtrip_docs,
         "bm25_topk": q_bm25_topk,
         "bloom_screened_docs": q_bloom_screened_docs,
+        "corpus_diff": q_corpus_diff,
+        "soft_dedup_weights": q_soft_dedup_weights,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -3757,5 +3802,56 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id >= 400
           AND text NOT IN (SELECT text FROM documents
                            WHERE doc_id < 400)
+        """,
+        "corpus_diff": """
+        WITH old AS (
+          SELECT doc_id, md5(text) AS old_hash
+          FROM documents WHERE doc_id < 450
+        ),
+        new AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                          ELSE text END) AS new_hash
+          FROM documents WHERE doc_id >= 50
+        ),
+        j AS (
+          SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                 o.old_hash, n.new_hash,
+                 CASE WHEN o.old_hash IS NULL THEN 'added'
+                      WHEN n.new_hash IS NULL THEN 'removed'
+                      WHEN o.old_hash <> n.new_hash THEN 'changed'
+                 END AS status
+          FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        )
+        SELECT doc_id, status, old_hash, new_hash
+        FROM j WHERE status IS NOT NULL
+        """,
+        "soft_dedup_weights": "WITH RECURSIVE "
+        + _MINHASH_CTES
+        + """,
+        p AS (SELECT doc_a, doc_b FROM pairs WHERE j >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM p
+        ),
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        ),
+        groups AS (
+          SELECT d.doc_id,
+                 LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS group_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id
+        ),
+        sizes AS (
+          SELECT group_id, CAST(COUNT(*) AS BIGINT) AS group_size
+          FROM groups GROUP BY 1
+        )
+        SELECT g.doc_id, g.group_id, s.group_size,
+               ROUND(1.0::DOUBLE / s.group_size, 6) AS weight
+        FROM groups g JOIN sizes s USING (group_id)
         """,
     }

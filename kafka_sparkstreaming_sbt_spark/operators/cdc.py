@@ -44,6 +44,56 @@ def latest_by_key(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Dataset-version diff: what changed between two corpus
+    snapshots — ``(keys..., status, old_hash, new_hash)`` with status
+    'added' (key only in new), 'removed' (key only in old), or
+    'changed' (key in both, compared content differs).  Unchanged
+    keys are absent, so the output is |delta|-sized, not
+    |corpus|-sized — the property that makes a 100 TB version diff
+    consumable.
+
+    Scale shape: each side collapses to (key, content-hash) IN THE
+    SCAN (md5 over the compared columns — no payload bytes cross the
+    shuffle, just 32-hex hashes), then ONE full-outer join on the
+    key.  Co-locate it for free by bucketing both snapshot lakes on
+    the key (sources/files.py:write_bucketed).
+
+    The hash is ``md5(concat_ws(US, compare_cols...))`` — concat_ws
+    skips NULLs (identically in DuckDB, which keeps the oracle
+    engine-stable), so a NULL column and an empty string collide;
+    pass pre-normalized columns if that distinction matters.
+    """
+    sep = "\x1f"  # ASCII unit separator — vanishingly rare in data
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.md5(F.concat_ws(sep, *compare_cols)).alias(alias),
+        )
+
+    j = hashed(old, "old_hash").join(
+        hashed(new, "new_hash"), key_cols, "full_outer"
+    )
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_hash") != F.col("new_hash"), F.lit("changed")
+        )
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*key_cols, "status", "old_hash", "new_hash")
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key_cols: list[str],

@@ -181,6 +181,40 @@ def select_canonical(
     )
 
 
+def soft_dedup_weights(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SOFT dedup: instead of deleting near-duplicates, weight every
+    document by ``1 / |its dedup group|`` so each distinct piece of
+    content contributes unit mass to the training mixture regardless
+    of how many copies the crawl collected — the down-weighting
+    variant of SemDeDup-style curation (hard-delete loses benign
+    template variation; soft weights keep it at fair mass).
+
+    Returns ``(id, group_id, group_size, weight)`` for EVERY
+    document (singletons get weight 1.0).  Weight is an exact
+    integer reciprocal rounded to 6 dp, so the value is
+    engine-stable and the gate query hash-matches.
+
+    Cost on top of the component labels: one partial->final count on
+    ``group_id`` and one broadcast-friendly join of the (group, size)
+    table back onto the labels — sizes combine map-side, so a viral
+    document (one giant group) collapses before the shuffle.
+    """
+    groups = near_dup_groups(documents, pairs, id_col=id_col)
+    sizes = groups.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return groups.join(sizes, "group_id").select(
+        id_col,
+        "group_id",
+        "group_size",
+        F.round(F.lit(1.0) / F.col("group_size"), 6).alias("weight"),
+    )
+
+
 def dedup_report_by_key(
     documents: DataFrame,
     groups: DataFrame,

@@ -118,3 +118,23 @@ def test_dedup_report_by_key_counts_non_representatives(spark):
     assert out["a"].dup_rate == 0.5
     assert out["b"].n_docs == 2 and out["b"].n_dup_members == 1
     assert out["b"].dup_rate == 0.5
+
+
+def test_soft_dedup_weights_unit_mass_per_group(spark):
+    """Each component's weights sum to ~1 (unit content mass) and
+    singletons get exactly 1.0."""
+    from kafka_sparkstreaming_sbt_spark.operators.graph import (
+        soft_dedup_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    out = {r.doc_id: r for r in soft_dedup_weights(docs, pairs).collect()}
+    assert set(out) == {1, 2, 3, 7}
+    for d in (1, 2, 3):
+        assert out[d].group_id == 1
+        assert out[d].group_size == 3
+        assert out[d].weight == round(1 / 3, 6)
+    assert out[7].group_size == 1 and out[7].weight == 1.0

@@ -380,3 +380,25 @@ def test_leakage_safe_split_keeps_components_together(spark):
              for r in with_split(docs, "doc_id").collect()}
     for i in (20, 25, 33):
         assert out[i].group_id == i and out[i].split == plain[i]
+
+
+def test_snapshot_diff_emits_only_the_delta(spark):
+    """Dataset-version diff (operators/cdc.py): added / removed /
+    changed keys only — unchanged keys are absent, hashes expose
+    which side differs."""
+    from kafka_sparkstreaming_sbt_spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], ["k", "v"]
+    )
+    out = {r.k: r for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert set(out) == {1, 3, 4}  # 2 unchanged -> absent
+    assert out[1].status == "removed" and out[1].new_hash is None
+    assert out[4].status == "added" and out[4].old_hash is None
+    assert out[3].status == "changed"
+    assert out[3].old_hash != out[3].new_hash
