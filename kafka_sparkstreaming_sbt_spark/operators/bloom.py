@@ -96,13 +96,8 @@ def build_bloom(
     fpp: float = 0.01,
     max_bitmap_bytes: int = DEFAULT_MAX_BITMAP_BYTES,
 ) -> tuple[bytes, int, int]:
-    """One corpus pass -> ``(bitmap, n_bits, n_hashes)``.
-
-    Plan: codegen'd double-hash projection, mapInArrow per-partition
-    bit-set (one bitmap row per partition), two-level OR fan-in
-    (``_FAN_IN`` bitmaps per task), one-row collect.  The only
-    driver-side data is the final bitmap — which is the deliverable.
-    """
+    """Size for ``expected_items``/``fpp``, then one corpus pass ->
+    ``(bitmap, n_bits, n_hashes)``; see :func:`build_bloom_bitmap`."""
     n_bits, n_hashes = bloom_params(expected_items, fpp)
     n_bytes = n_bits // 8
     if n_bytes > max_bitmap_bytes:
@@ -112,6 +107,27 @@ def build_bloom(
             f"{max_bitmap_bytes}-byte broadcast budget; raise fpp, "
             "shard the corpus, or raise max_bitmap_bytes"
         )
+    return (
+        build_bloom_bitmap(df, key_col, n_bits, n_hashes),
+        n_bits,
+        n_hashes,
+    )
+
+
+def build_bloom_bitmap(
+    df: DataFrame, key_col: str, n_bits: int, n_hashes: int
+) -> bytes:
+    """One pass over ``df`` -> the raw bitmap for FIXED parameters —
+    the form an incrementally-maintained filter needs: bitmaps built
+    with the same (n_bits, n_hashes) OR-compose, so a lake can store
+    one bitmap per accepted batch and a reader can fold them.
+
+    Plan: codegen'd double-hash projection, mapInArrow per-partition
+    bit-set (one bitmap row per partition), two-level OR fan-in
+    (``_FAN_IN`` bitmaps per task), one-row collect.  The only
+    driver-side data is the final bitmap — which is the deliverable.
+    """
+    n_bytes = n_bits // 8
     import pyarrow as pa
 
     hashes = _with_hashes(df, key_col)
@@ -162,8 +178,8 @@ def build_bloom(
         .collect()
     )
     if not rows:  # empty corpus -> empty filter (all-new batches)
-        return bytes(n_bytes), n_bits, n_hashes
-    return bytes(rows[0]["bitmap"]), n_bits, n_hashes
+        return bytes(n_bytes)
+    return bytes(rows[0]["bitmap"])
 
 
 def with_bloom_flag(

@@ -233,6 +233,172 @@ def materialize_corpus_signatures(
     ).write.mode("overwrite").parquet(base)
 
 
+# ------------------------------------------------ exact prefilter --
+#
+# Most duplicates a crawl delivers are EXACT copies; shingling them
+# through the near-dup screen pays the expensive path for rows a
+# content-hash lookup would have killed.  The exact prefilter drops
+# them first (reject-cheapest-first, same ordering argument as the
+# quality screen) using two materialized lake artifacts under
+# ``exact_dir``, maintained with the SAME batch_id layout and
+# strict-inequality replay contract as everything else here:
+#
+#   bloom/base              one (n_bits, n_hashes, bitmap) row — the
+#                           static corpus's Bloom filter
+#   bloom/incr/batch_id=N   one bitmap row per accepted batch (same
+#                           parameters, so a reader OR-folds them)
+#   hashes/base             (h,) md5 of every static-corpus text
+#   hashes/incr/batch_id=N  md5 of batch N's accepted texts
+#
+# Per trigger: bloom rows < N OR-fold into one broadcast bitmap, the
+# batch takes a map-only membership test, and only the bloom-POSITIVE
+# slice enters the exact confirm anti-join against the hash table —
+# so the screen is exact (no false drops) yet never rescans corpus
+# text.  Bloom false positives cost one extra hash-join row, nothing
+# else; survivors still flow through the near-dup screen, which is
+# what catches non-exact duplicates.
+
+
+def materialize_exact_screen(
+    corpus_docs: DataFrame,
+    exact_dir: str,
+    expected_items: int,
+    fpp: float = 0.01,
+) -> None:
+    """One-time base artifacts for the exact prefilter: the static
+    corpus's content-hash table and Bloom bitmap.  ``expected_items``
+    should budget for corpus + expected accepted growth — the bitmap
+    parameters are FROZEN here so every later batch's incr bitmap
+    OR-composes.  Both writes are ``_SUCCESS``-gated like the
+    signature base (a readable-but-partial dir is rebuilt)."""
+    from kafka_sparkstreaming_sbt_spark.operators.bloom import (
+        bloom_params,
+        build_bloom_bitmap,
+    )
+
+    spark = corpus_docs.sparkSession
+    hashes_base = f"{exact_dir}/hashes/base"
+    if not _success_marker_exists(spark, hashes_base):
+        corpus_docs.select(
+            F.md5("text").alias("h")
+        ).write.mode("overwrite").parquet(hashes_base)
+    bloom_base = f"{exact_dir}/bloom/base"
+    if not _success_marker_exists(spark, bloom_base):
+        n_bits, n_hashes = bloom_params(expected_items, fpp)
+        bitmap = build_bloom_bitmap(corpus_docs, "text", n_bits, n_hashes)
+        spark.createDataFrame(
+            [(n_bits, n_hashes, bytearray(bitmap))],
+            "n_bits long, n_hashes long, bitmap binary",
+        ).coalesce(1).write.mode("overwrite").parquet(bloom_base)
+
+
+def _load_exact_bloom(
+    spark, exact_dir: str, before_batch: int
+) -> tuple[bytes, int, int]:
+    """The corpus Bloom filter as of batches < ``before_batch``:
+    base bitmap OR'd with each earlier accepted batch's bitmap.
+    Driver-side OR over a handful of rows — compaction
+    (:func:`fold_bloom_partitions`) keeps the row count bounded."""
+    import numpy as np
+
+    base = spark.read.parquet(f"{exact_dir}/bloom/base").collect()[0]
+    bm = np.frombuffer(bytes(base.bitmap), dtype=np.uint8).copy()
+    prior = _prior_partitions(
+        spark, f"{exact_dir}/bloom/incr", before_batch
+    )
+    if prior is not None:
+        for r in prior.select("bitmap").collect():
+            bm |= np.frombuffer(bytes(r.bitmap), dtype=np.uint8)
+    return bm.tobytes(), int(base.n_bits), int(base.n_hashes)
+
+
+def exact_screen_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    exact_dir: str,
+) -> DataFrame:
+    """Drop batch rows whose text is an EXACT copy of anything in the
+    corpus-as-of-batch N (static + accepted < N): bloom negatives pass
+    map-only; positives are confirmed against the materialized hash
+    table.  Exact — a bloom false positive survives the confirm."""
+    from kafka_sparkstreaming_sbt_spark.operators.bloom import (
+        with_bloom_flag,
+    )
+
+    spark = batch_df.sparkSession
+    bloom = _load_exact_bloom(spark, exact_dir, batch_id)
+    flagged = with_bloom_flag(batch_df, "text", bloom)
+    negatives = flagged.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
+    positives = flagged.filter(F.col("bloom_maybe")).drop("bloom_maybe")
+    hashes = spark.read.parquet(f"{exact_dir}/hashes/base")
+    prior = _prior_partitions(spark, f"{exact_dir}/hashes/incr", batch_id)
+    if prior is not None:
+        hashes = hashes.unionByName(prior.select("h"))
+    confirmed = positives.join(
+        hashes, F.md5(positives["text"]) == hashes["h"], "left_anti"
+    )
+    return negatives.unionByName(confirmed)
+
+
+def _write_exact_incr(
+    spark, exact_dir: str, batch_id: int, accepted_path: str
+) -> None:
+    """Exact-screen maintenance for one accepted batch: its texts'
+    md5 rows and its OR-composable bloom bitmap, both under the
+    idempotent ``batch_id=N`` overwrite layout."""
+    from kafka_sparkstreaming_sbt_spark.operators.bloom import (
+        build_bloom_bitmap,
+    )
+
+    accepted = spark.read.parquet(accepted_path)
+    accepted.select(F.md5("text").alias("h")).write.mode(
+        "overwrite"
+    ).parquet(f"{exact_dir}/hashes/incr/batch_id={batch_id}")
+    base = spark.read.parquet(f"{exact_dir}/bloom/base").select(
+        "n_bits", "n_hashes"
+    ).collect()[0]
+    bitmap = build_bloom_bitmap(
+        accepted, "text", int(base.n_bits), int(base.n_hashes)
+    )
+    spark.createDataFrame(
+        [(bytearray(bitmap),)], "bitmap binary"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{exact_dir}/bloom/incr/batch_id={batch_id}"
+    )
+
+
+def fold_bloom_partitions(
+    spark, path: str, upto_batch: int
+) -> None:
+    """Compaction for the bloom incr dir: OR the ``batch_id <
+    upto_batch`` bitmap rows into ONE row — bounding what
+    :func:`_load_exact_bloom` must collect per trigger — under the
+    same staged write-ahead protocol as
+    :func:`compact_batch_partitions` (covered only when
+    checkpoint-committed, ``_SUCCESS`` as the commit record,
+    :func:`recover_compaction` rolls forward or back)."""
+    import numpy as np
+
+    recover_compaction(spark, path)
+    covered = [k for k in _list_batch_ids(spark, path) if k < upto_batch]
+    if len(covered) <= 1:
+        return
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("batch_id") < upto_batch)
+        .select("bitmap")
+        .collect()
+    )
+    acc = np.frombuffer(bytes(rows[0].bitmap), dtype=np.uint8).copy()
+    for r in rows[1:]:
+        acc |= np.frombuffer(bytes(r.bitmap), dtype=np.uint8)
+    staging = f"{path}/_compact/upto={upto_batch}"
+    spark.createDataFrame(
+        [(bytearray(acc.tobytes()),)], "bitmap binary"
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    _commit_compaction(spark, path, upto_batch)
+
+
 def screen_micro_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -242,12 +408,22 @@ def screen_micro_batch(
     shingle_n: int = 3,
     n_bands: int = 8,
     signature_dir: str | None = None,
+    exact_dir: str | None = None,
 ) -> tuple[int, int]:
     """One micro-batch of the ingest screen (the foreachBatch body,
     exposed for direct testing of the replay contract): screen
     ``batch_df`` against the static corpus + accepted partitions
     STRICTLY before ``batch_id``, write survivors idempotently to
-    ``accepted_dir/batch_id=N``.  Returns (n_batch, n_accepted).
+    ``accepted_dir/batch_id=N``.  Returns (n_batch, n_accepted) —
+    n_batch counts rows ENTERING this screen (before the optional
+    exact prefilter).
+
+    With ``exact_dir`` (see :func:`materialize_exact_screen`) exact
+    copies of corpus/accepted content are dropped FIRST via the
+    bloom-prefiltered hash screen — map-only for bloom negatives,
+    one hash anti-join for the positive slice — so the expensive
+    shingle/bucket-join path only ever sees content that is at most
+    a NEAR duplicate.
 
     With ``signature_dir`` (see :func:`materialize_corpus_signatures`)
     the corpus side of the bucket join reads MATERIALIZED banded keys
@@ -283,6 +459,13 @@ def screen_micro_batch(
     # screen, final anti-join); micro-batches are small by
     # construction, so materialize once
     batch_df = batch_df.localCheckpoint(eager=True)
+    n_in = batch_df.count()
+    if exact_dir is not None:
+        # exact copies die here (cheap); survivors re-materialize so
+        # the three near-dup consumers don't replay the hash screen
+        batch_df = exact_screen_batch(
+            batch_df, batch_id, exact_dir
+        ).localCheckpoint(eager=True)
     vs_corpus = (
         incremental_near_dup(
             batch_df,
@@ -327,11 +510,13 @@ def screen_micro_batch(
         ).write.mode("overwrite").parquet(
             f"{signature_dir}/incr/batch_id={batch_id}"
         )
+    if exact_dir is not None:
+        _write_exact_incr(spark, exact_dir, batch_id, accepted_path)
     # count the PARTITION JUST WRITTEN, not `accepted` — a second
     # action on the lazy screen plan would re-run the whole bucket
     # join + verify, doubling every trigger's cost; the parquet count
     # resolves from footer metadata
-    return batch_df.count(), spark.read.parquet(accepted_path).count()
+    return n_in, spark.read.parquet(accepted_path).count()
 
 
 def run_dedup_ingest_pipeline(
@@ -350,6 +535,9 @@ def run_dedup_ingest_pipeline(
     quality_threshold: float = 0.0,
     quality_n_buckets: int = 1024,
     quality_seed: int = 7,
+    exact_dir: str | None = None,
+    bloom_expected_items: int = 1_000_000,
+    bloom_fpp: float = 0.01,
 ) -> StreamingQuery:
     """Start the streaming ingest screen.
 
@@ -381,7 +569,14 @@ def run_dedup_ingest_pipeline(
     first shrinks the expensive stage's input; the CCNet ordering).
     ``quality_n_buckets``/``quality_seed`` must match training.
     ``n_batch`` reported to ``on_batch`` stays the RAW batch size, so
-    ``n_accepted / n_batch`` prices both screens together."""
+    ``n_accepted / n_batch`` prices both screens together.
+    ``exact_dir`` (recommended when the stream carries exact re-crawls):
+    drop exact copies BEFORE the near-dup screen via the materialized
+    bloom + content-hash artifacts (:func:`materialize_exact_screen`;
+    ``bloom_expected_items`` budgets corpus + expected growth, frozen
+    at first materialization) — semantics unchanged (the near-dup
+    screen would catch exact copies too, at shingling price), verdicts
+    identical, tested."""
     spark = corpus_docs.sparkSession
     # finish any compaction a crash interrupted BEFORE the first
     # screen reads the lake (the write-ahead recovery contract)
@@ -390,6 +585,12 @@ def run_dedup_ingest_pipeline(
         recover_compaction(spark, f"{signature_dir}/incr")
         materialize_corpus_signatures(
             corpus_docs, signature_dir, shingle_n, n_bands
+        )
+    if exact_dir is not None:
+        recover_compaction(spark, f"{exact_dir}/hashes/incr")
+        recover_compaction(spark, f"{exact_dir}/bloom/incr")
+        materialize_exact_screen(
+            corpus_docs, exact_dir, bloom_expected_items, bloom_fpp
         )
     if quality_model is not None:
         # the model is read on every trigger: pin the tiny frame once
@@ -413,6 +614,14 @@ def run_dedup_ingest_pipeline(
                     spark, f"{signature_dir}/incr", batch_id,
                     target_file_bytes,
                 )
+            if exact_dir is not None:
+                compact_batch_partitions(
+                    spark, f"{exact_dir}/hashes/incr", batch_id,
+                    target_file_bytes,
+                )
+                fold_bloom_partitions(
+                    spark, f"{exact_dir}/bloom/incr", batch_id
+                )
         n_raw = None
         if quality_model is not None:
             from kafka_sparkstreaming_sbt_spark.operators.classify import (
@@ -434,6 +643,7 @@ def run_dedup_ingest_pipeline(
             batch_df, batch_id, corpus_docs, accepted_dir,
             threshold, shingle_n, n_bands,
             signature_dir=signature_dir,
+            exact_dir=exact_dir,
         )
         if on_batch is not None:
             on_batch(batch_id, n_raw if n_raw is not None else n, a)

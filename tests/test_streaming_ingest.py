@@ -451,3 +451,143 @@ def test_quality_model_screens_before_dedup(spark, dirs):
     assert {
         r.doc_id for r in spark.read.parquet(acc).collect()
     } == {11}
+
+
+def _run_exact_waves(spark, acc, exact, n_waves, expected_items=10000,
+                     fpp=0.01, fold_every=None):
+    """Drive the screen with the exact prefilter enabled — wave i
+    carries one unique doc (100+i), one EXACT copy of wave i-2's
+    unique (300+i), one exact copy of the static corpus doc (500+i),
+    and from wave 1 on a NEAR-dup of the corpus doc (700+i, one token
+    changed — must be caught by the near-dup screen, proving the
+    exact prefilter doesn't swallow the near path)."""
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        fold_bloom_partitions,
+        materialize_exact_screen,
+        screen_micro_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, T["c0"])], "doc_id long, text string"
+    )
+    near_c0 = T["c0"].replace("alpha", "altered")
+    materialize_exact_screen(corpus, exact, expected_items, fpp)
+    counts = []
+    for i in range(n_waves):
+        rows = [(100 + i, _unique_text(i)), (500 + i, T["c0"])]
+        if i >= 1:
+            rows.append((700 + i, near_c0))
+        if i >= 2:
+            rows.append((300 + i, _unique_text(i - 2)))
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        if fold_every and i > 0 and i % fold_every == 0:
+            fold_bloom_partitions(spark, f"{exact}/bloom/incr", i)
+        counts.append(
+            screen_micro_batch(batch, i, corpus, acc, exact_dir=exact)
+        )
+    return counts
+
+
+def test_exact_prefilter_preserves_verdicts(spark, dirs):
+    """The bloom+hash exact screen must not change WHO is accepted —
+    only where exact copies die (cheap hash screen vs shingling).
+    Near-dups (not exact) must still be caught downstream, and a
+    saturated bloom (tiny capacity -> ~every probe positive) must
+    still be exact via the confirm join."""
+    import tempfile
+
+    acc_a, exact_a = tempfile.mkdtemp(), tempfile.mkdtemp()
+    acc_b = tempfile.mkdtemp()
+    acc_c, exact_c = tempfile.mkdtemp(), tempfile.mkdtemp()
+    import shutil
+
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        screen_micro_batch,
+    )
+
+    try:
+        counts = _run_exact_waves(spark, acc_a, exact_a, 5)
+        # baseline: same waves, no exact prefilter
+        corpus = spark.createDataFrame(
+            [(0, T["c0"])], "doc_id long, text string"
+        )
+        near_c0 = T["c0"].replace("alpha", "altered")
+        base_counts = []
+        for i in range(5):
+            rows = [(100 + i, _unique_text(i)), (500 + i, T["c0"])]
+            if i >= 1:
+                rows.append((700 + i, near_c0))
+            if i >= 2:
+                rows.append((300 + i, _unique_text(i - 2)))
+            batch = spark.createDataFrame(
+                rows, "doc_id long, text string"
+            )
+            base_counts.append(screen_micro_batch(batch, i, corpus, acc_b))
+        assert counts == base_counts
+        a = {r.doc_id for r in spark.read.parquet(acc_a).collect()}
+        b = {r.doc_id for r in spark.read.parquet(acc_b).collect()}
+        assert a == b
+        # uniques in, every exact copy out, first near-dup of corpus
+        # rejected by the near screen (701 carries Jaccard ~0.8 text)
+        assert {100, 101, 102, 103, 104} <= a
+        assert not any(500 <= d < 600 for d in a)
+        assert not any(300 <= d < 400 for d in a)
+        assert not any(700 <= d < 800 for d in a)
+        # saturated bloom: capacity 1 -> dense bitmap, fp-heavy, but
+        # the confirm join keeps it exact
+        _run_exact_waves(
+            spark, acc_c, exact_c, 4, expected_items=1, fpp=0.5
+        )
+        c = {r.doc_id for r in spark.read.parquet(acc_c).collect()}
+        assert c == {100, 101, 102, 103}  # uniques only, no extras
+    finally:
+        for d in (acc_a, exact_a, acc_b, acc_c, exact_c):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_exact_prefilter_replay_and_fold(spark, dirs):
+    """Replaying a batch with its exact-screen incr artifacts already
+    written must be idempotent (strict-inequality: its own bloom/hash
+    partitions are excluded), and fold_bloom_partitions must collapse
+    the incr rows to one while preserving verdicts."""
+    import shutil
+    import tempfile
+
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        _list_batch_ids,
+        screen_micro_batch,
+    )
+
+    acc, exact = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        _run_exact_waves(spark, acc, exact, 6, fold_every=3)
+        # bloom incr rows stay bounded: folds at 3 covered 0..2
+        bloom_ids = _list_batch_ids(spark, f"{exact}/bloom/incr")
+        assert len(bloom_ids) <= 4  # fold(3) -> {2} + 3,4,5
+        before = sorted(
+            (r.doc_id, r.batch_id)
+            for r in spark.read.parquet(acc).collect()
+        )
+        # replay batch 5 (its incr artifacts exist): same verdicts
+        corpus = spark.createDataFrame(
+            [(0, T["c0"])], "doc_id long, text string"
+        )
+        near_c0 = T["c0"].replace("alpha", "altered")
+        batch5 = spark.createDataFrame(
+            [
+                (105, _unique_text(5)),
+                (505, T["c0"]),
+                (705, near_c0),
+                (305, _unique_text(3)),
+            ],
+            "doc_id long, text string",
+        )
+        screen_micro_batch(batch5, 5, corpus, acc, exact_dir=exact)
+        after = sorted(
+            (r.doc_id, r.batch_id)
+            for r in spark.read.parquet(acc).collect()
+        )
+        assert before == after
+    finally:
+        for d in (acc, exact):
+            shutil.rmtree(d, ignore_errors=True)
