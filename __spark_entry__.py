@@ -791,6 +791,64 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/profile.py): per-column rows /
+    nulls / exact distincts / native-typed min-max over the documents
+    table in one scan + one bounded distinct pass per column (no
+    Expand replay); the profile is itself a joinable table."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.profile import (
+        profile_columns,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return profile_columns(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval (operators/retrieval.py
+    rrf_fuse): reciprocal-rank fusion of the BM25 top-50 (lexical
+    leg) with the cosine top-50 around doc 7's embedding (dense leg,
+    vec_id keys the same corpus).  The fusion unions two bounded
+    top-k lists, one partial->final integer sum per doc_id, and a
+    TakeOrderedAndProject cut — exact nano-unit arithmetic so the
+    DuckDB oracle hash-gates every fused score."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lexical = bm25_topk(
+        docs, ["customer", "merge", "scan", "spark"], k=50
+    ).select("doc_id", "rank")
+    dense = cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 7), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    out = rrf_fuse([lexical, dense], k=20)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/skew.py key_skew_report): the
+    10 heaviest event user_ids with row counts and corpus share — the
+    pre-launch measurement that decides between a plain shuffle, AQE
+    skew splitting, and explicit salting.  One partial->final count
+    agg + a broadcast scalar total + TakeOrderedAndProject."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    out = key_skew_report(events, "user_id", top_n=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-version diff (operators/cdc.py snapshot_diff): the
     <450 snapshot vs a >=50 snapshot whose every 10th doc carries a
@@ -2110,6 +2168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screened_docs": q_bloom_screened_docs,
         "corpus_diff": q_corpus_diff,
         "soft_dedup_weights": q_soft_dedup_weights,
+        "table_profile": q_table_profile,
+        "hybrid_retrieval_rrf": q_hybrid_retrieval,
+        "key_skew_report": q_key_skew_report,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -3825,6 +3886,101 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, status, old_hash, new_hash
         FROM j WHERE status IS NOT NULL
+        """,
+        "table_profile": " UNION ALL ".join(
+            f"""
+        SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM documents
+        """
+            for c in ("doc_id", "text", "lang", "source", "n_chars")
+        ),
+        "hybrid_retrieval_rrf": """
+        WITH q(token) AS (
+          SELECT unnest(['customer', 'merge', 'scan', 'spark'])
+        ),
+        base AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                 string_split(text, ' ') AS toks
+          FROM documents
+        ),
+        stats AS (SELECT COUNT(*) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) AS total_dl
+                  FROM base),
+        tf AS (
+          SELECT t.doc_id, t.dl, t.token, COUNT(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS token FROM base) t
+          JOIN q USING (token)
+          GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT tf.doc_id,
+                 CAST(ROUND(
+                   ln(1.0::DOUBLE + (stats.n_docs - dfreq.df
+                                     + 0.5::DOUBLE)
+                                    / (dfreq.df + 0.5::DOUBLE))
+                   * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+                   / (tf.tf + 1.2::DOUBLE
+                        * (1.0::DOUBLE - 0.75::DOUBLE
+                           + (0.75::DOUBLE * tf.dl)
+                             / (stats.total_dl / stats.n_docs)))
+                   * 1000000) AS BIGINT) AS c
+          FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+        ),
+        bm AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY SUM(c) DESC, doc_id)
+                   AS rank
+          FROM contrib GROUP BY doc_id
+          QUALIFY rank <= 50
+        ),
+        e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS v
+              FROM embeddings),
+        dq AS (SELECT v FROM e WHERE vec_id = 7),
+        cos AS (
+          SELECT c.vec_id AS doc_id,
+                 ROUND(list_dot_product(dq.v, c.v)
+                       / (sqrt(list_dot_product(dq.v, dq.v))
+                          * sqrt(list_dot_product(c.v, c.v))), 6)
+                   AS cosine
+          FROM e c, dq WHERE c.vec_id <> 7
+        ),
+        de AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY cosine DESC, doc_id)
+                   AS rank
+          FROM cos QUALIFY rank <= 50
+        ),
+        rrf AS (
+          SELECT doc_id, 1000000000 // (60 + rank) AS contrib
+          FROM bm
+          UNION ALL
+          SELECT doc_id, 1000000000 // (60 + rank) AS contrib
+          FROM de
+        )
+        SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS rrf_nano,
+               CAST(COUNT(*) AS BIGINT) AS n_legs,
+               row_number() OVER (ORDER BY SUM(contrib) DESC, doc_id)
+                 AS rank
+        FROM rrf GROUP BY doc_id
+        QUALIFY rank <= 20
+        """,
+        "key_skew_report": """
+        WITH c AS (SELECT user_id, COUNT(*) AS n_rows
+                   FROM events GROUP BY user_id),
+        t AS (SELECT COUNT(*) AS total FROM events)
+        SELECT user_id, CAST(c.n_rows AS BIGINT) AS n_rows,
+               ROUND(c.n_rows / t.total, 6) AS share,
+               row_number() OVER (ORDER BY c.n_rows DESC, user_id)
+                 AS rank
+        FROM c, t QUALIFY rank <= 10
         """,
         "soft_dedup_weights": "WITH RECURSIVE "
         + _MINHASH_CTES

@@ -458,6 +458,7 @@ _CHAIN_QUERIES = (
     "canonical_docs",
     "dup_rate_by_source",
     "leakage_safe_split",
+    "soft_dedup_weights",
 )
 
 #: second chain family: the PQ queries each re-derive the

@@ -155,3 +155,66 @@ def bm25_topk(
         [("score_micro", "desc"), (id_col, "asc")],
         k,
     )
+
+
+#: RRF nano-unit numerator: floor(1e9 / (rrf_k + rank)) keeps ~7
+#: significant digits for any rank a retrieval leg emits, as exact
+#: integer arithmetic on both engines (no double division anywhere)
+_RRF_NANO = 1_000_000_000
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    k: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval legs — the
+    standard way to combine a sparse (BM25) and a dense (embedding
+    cosine) ranking without score calibration (Cormack et al., SIGIR
+    2009: fused(d) = sum over legs of 1 / (rrf_k + rank_leg(d));
+    items absent from a leg contribute nothing).
+
+    Each ``legs[i]`` needs only ``(id_col, rank_col)``; extra columns
+    are dropped.  The contribution is computed as the exact integer
+    ``floor(1e9 / (rrf_k + rank))`` so the per-id sum is
+    accumulation-order-independent and cross-engine hash-stable (the
+    module's micro-unit discipline).  Output per fused id:
+    ``(id_col, rrf_nano, n_legs, rank)`` ranked on ``rrf_nano``
+    descending with ascending-id ties — a total order.
+
+    Scale shape: the legs carry all the heavy lifting (each is
+    already a bounded top-k); the fusion itself unions legs x k rows,
+    one partial->final sum on ``id_col``, and a
+    ``TakeOrderedAndProject`` cut — no join back to the corpus, no
+    global sort.  At 100 TB the fused input is still legs x k rows.
+    """
+    if not legs:
+        raise ValueError("legs must be non-empty")
+    if k <= 0 or rrf_k < 0:
+        raise ValueError("k must be positive and rrf_k non-negative")
+    slim = [
+        leg.select(
+            F.col(id_col),
+            (
+                F.lit(_RRF_NANO)
+                / (F.lit(rrf_k) + F.col(rank_col).cast("long"))
+            )
+            .cast("long")
+            .alias("contrib"),
+        )
+        for leg in legs
+    ]
+    allc = slim[0]
+    for s in slim[1:]:
+        allc = allc.unionByName(s)
+    fused = allc.groupBy(id_col).agg(
+        F.sum("contrib").alias("rrf_nano"),
+        F.count(F.lit(1)).alias("n_legs"),
+    )
+    return global_topk_with_rank(
+        fused,
+        [("rrf_nano", "desc"), (id_col, "asc")],
+        k,
+    )

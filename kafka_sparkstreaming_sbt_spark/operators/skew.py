@@ -97,3 +97,45 @@ def salted_sum(
         F.sum(value_col).alias("_partial")
     )
     return partial.groupBy(*key_cols).agg(F.sum("_partial").alias(out_col))
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top_n: int = 10,
+) -> DataFrame:
+    """The "should I salt this key?" diagnostic: the ``top_n``
+    heaviest keys with their row counts and corpus share — the
+    measurement that decides between a plain shuffle, AQE skew
+    splitting, and an explicit :func:`salted_join` /
+    :func:`salted_sum` before a 100 TB job is launched (a 30%-hot
+    key is invisible at sf0.01 and a straggler at scale; this report
+    is how it gets caught in the plan-review, not the postmortem).
+
+    Output per heavy key: ``(key..., n_rows, share, rank)`` —
+    ``share`` rounded to 6 dp, ranked by descending count with
+    ascending-key ties (a total order, so the cut is deterministic).
+
+    Scale shape: ONE partial->final count aggregation on the key (the
+    exact shuffle the real job would do, so the report costs no more
+    than one run of the job's cheapest possible form), a broadcast
+    cross join for the total (scalar, kept lazy), and a
+    ``TakeOrderedAndProject`` cut — no global sort, no collect.
+    """
+    from .topk import global_topk_with_rank
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not keys or top_n <= 0:
+        raise ValueError("key_cols must be non-empty, top_n positive")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    shared = counts.join(F.broadcast(total)).select(
+        *keys,
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+    )
+    return global_topk_with_rank(
+        shared,
+        [("n_rows", "desc")] + [(c, "asc") for c in keys],
+        top_n,
+    )

@@ -227,6 +227,11 @@ _BOUNDED_NESTED_LOOP = {
     "dsir_doc_weights",
     "dsir_selected_docs",
     "nb_quality_scores",
+    "bm25_topk",  # 2-row avgdl/N scalar joined lazily (tf_idf pattern)
+    # bm25 leg's scalar + the <= 1-row broadcast query-vector cross
+    # join of the dense leg — both bounded by construction
+    "hybrid_retrieval_rrf",
+    "key_skew_report",  # 1-row corpus-total scalar, tf_idf pattern
 }
 
 

@@ -89,3 +89,65 @@ def test_plan_pushdown_and_no_window(spark, sf_small):
     # the term filter is a per-row array op under the scan-side
     # project (filter(...array_contains...)), not a post-shuffle one
     assert "array_contains" in plan
+
+
+# ---- reciprocal-rank fusion -------------------------------------
+
+
+def _rrf_nano(*ranks, rrf_k=60):
+    return sum(1_000_000_000 // (rrf_k + r) for r in ranks)
+
+
+def test_rrf_fuse_matches_closed_form(spark):
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    den = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id long, rank long"
+    )
+    got = {
+        r.doc_id: (r.rrf_nano, r.n_legs, r.rank)
+        for r in rrf_fuse([lex, den], k=10).collect()
+    }
+    # doc 20: ranks (2, 1) -> top; doc 10: (1, 3); singles 30, 40
+    exp_scores = {
+        10: _rrf_nano(1, 3),
+        20: _rrf_nano(2, 1),
+        30: _rrf_nano(3),
+        40: _rrf_nano(2),
+    }
+    assert {d: s for d, (s, _, _) in got.items()} == exp_scores
+    assert got[20][1] == 2 and got[30][1] == 1
+    order = sorted(got, key=lambda d: got[d][2])
+    assert order == sorted(
+        exp_scores, key=lambda d: (-exp_scores[d], d)
+    )
+
+
+def test_rrf_fuse_cut_and_tie_break(spark):
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    # identical single-leg ranks -> tie on score, broken by doc_id asc
+    leg = spark.createDataFrame(
+        [(5, 1), (3, 1), (9, 2)], "doc_id long, rank long"
+    )
+    rows = rrf_fuse([leg], k=2).orderBy("rank").collect()
+    assert [r.doc_id for r in rows] == [3, 5]
+
+
+def test_rrf_fuse_validates_inputs(spark):
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    leg = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
+    with pytest.raises(ValueError):
+        rrf_fuse([leg], k=0)

@@ -101,3 +101,34 @@ def test_salted_join_salt_on_deterministic_under_repartition(spark):
         return sorted((r.k, r.rid, r.w) for r in out.collect())
 
     assert run(frozen.repartition(3)) == run(frozen.repartition(17))
+
+
+def test_key_skew_report_finds_the_hot_key(spark):
+    from kafka_sparkstreaming_sbt_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    rows = [("hot", i) for i in range(60)] + [
+        (f"u{i % 4}", i) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, v long")
+    rep = key_skew_report(df, "user_id", top_n=3).orderBy("rank").collect()
+    assert rep[0].user_id == "hot"
+    assert rep[0].n_rows == 60 and rep[0].share == 0.6
+    assert len(rep) == 3 and rep[0].rank == 1
+    # ties among u0..u3 (10 rows each) break by ascending key
+    assert [r.user_id for r in rep[1:]] == ["u0", "u1"]
+
+
+def test_key_skew_report_validates_inputs(spark):
+    import pytest as _pytest
+
+    from kafka_sparkstreaming_sbt_spark.operators.skew import (
+        key_skew_report,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "user_id string, v long")
+    with _pytest.raises(ValueError):
+        key_skew_report(df, [], top_n=3)
+    with _pytest.raises(ValueError):
+        key_skew_report(df, "user_id", top_n=0)
