@@ -386,6 +386,137 @@ def run_doc_scale(
     return d
 
 
+def run_bloom_scale(
+    spark: SparkSession, n_docs: int, scratch: str,
+    batch_docs: int = 20_000,
+) -> dict:
+    """Bloom exact-screen economics — the operator's actual claim,
+    measured: once the bitmap + hash table exist (the streaming
+    screen materializes them in the lake, streaming/ingest.py), the
+    per-batch cost scales with the ~33-byte/doc HASH ARTIFACT the
+    exact-confirm join scans, not with the ~KB/doc corpus TEXT the
+    plain anti-join re-scans — bloom negatives (the bulk of a
+    healthy batch) never join at all.  This runner is called at two
+    corpus scales with the SAME ``batch_docs`` so main() can gate
+    (a) the artifact-vs-text byte ratio on disk and (b) that the
+    screen's per-batch wall grows no faster than the baseline's
+    across a 10x corpus (r7 measured 1.6x vs 2.9x).  Absolute
+    screen-vs-anti-join wall is NOT gated: at harness scale the
+    whole corpus sits in page cache, making the baseline's re-scan
+    nearly free — the trade a 100 TB corpus inverts.  Hard gates per
+    corpus: exact verdict parity with the baseline on every batch,
+    measured fp within 3x the 1% target, and the DETERMINISTIC slice
+    gate — the exact confirm join may touch only the positive slice
+    (true dups + ~fpp of the new docs)."""
+    from kafka_sparkstreaming_sbt_spark.operators.bloom import (
+        build_bloom,
+        with_bloom_flag,
+    )
+
+    d = {"n_docs": n_docs, "batch_docs": batch_docs}
+    corpus_path = f"{scratch}/bloomdocs_{n_docs}"
+    synth_documents(spark, n_docs).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path).select("doc_id", "text")
+
+    # one-time artifacts (what the ingest screen materializes)
+    t0 = time.perf_counter()
+    bloom = build_bloom(corpus, "text", expected_items=n_docs, fpp=0.01)
+    d["bloom_build_wall_s"] = round(time.perf_counter() - t0, 2)
+    d["bloom_bitmap_mb"] = round(len(bloom[0]) / 1e6, 2)
+    hash_path = f"{scratch}/bloomhash_{n_docs}"
+    t0 = time.perf_counter()
+    corpus.select(F.md5("text").alias("h")).write.mode(
+        "overwrite"
+    ).parquet(hash_path)
+    d["hash_build_wall_s"] = round(time.perf_counter() - t0, 2)
+    d["corpus_bytes"] = _dir_bytes(corpus_path)
+    d["hash_bytes"] = _dir_bytes(hash_path)
+    hashes = spark.read.parquet(hash_path)
+
+    # 3 ingest batches of FIXED size (same across corpus scales so
+    # per-batch walls compare): half exact re-crawls of corpus
+    # uniques (the same slice each batch — duplicate detection does
+    # not care), half genuinely new texts that vary per batch
+    nb2 = batch_docs // 2
+    lo = n_docs * 6 // 10  # inside the unique-text region
+    if lo + nb2 > n_docs:
+        raise ValueError("corpus too small for the fixed batch size")
+    screen_walls, base_walls = [], []
+    parity_ok, n_pos_total, n_pos_max = True, 0, 0
+    for b in range(3):
+        dups = (
+            corpus.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + nb2)
+            ).select(
+                (F.col("doc_id") + 20 * n_docs).alias("doc_id"), "text"
+            )
+        )
+        news = spark.range(nb2).select(
+            (F.col("id") + (10 + b) * n_docs).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(BODY_TOKENS - 1)),
+                    lambda j: _tok(F.lit(f"new{b}"), F.col("id"), j),
+                ),
+            ).alias("text"),
+        )
+        batch = dups.unionByName(news).localCheckpoint(eager=True)
+
+        t0 = time.perf_counter()
+        # ONE bloom pass per batch, materialized — both the negative
+        # fast path and the positive confirm slice then read the
+        # checkpointed flag instead of re-running the mapInArrow test
+        # (exactly what the ingest screen's foreachBatch does)
+        flagged = with_bloom_flag(batch, "text", bloom).localCheckpoint(
+            eager=True
+        )
+        negatives = flagged.filter(~F.col("bloom_maybe")).drop(
+            "bloom_maybe"
+        )
+        positives = flagged.filter(F.col("bloom_maybe")).drop(
+            "bloom_maybe"
+        )
+        survived = negatives.unionByName(
+            positives.join(
+                hashes,
+                F.md5(positives["text"]) == hashes["h"],
+                "left_anti",
+            )
+        )
+        got = sorted(r.doc_id for r in survived.collect())
+        screen_walls.append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        exp = sorted(
+            r.doc_id
+            for r in batch.join(corpus, "text", "left_anti")
+            .select("doc_id")
+            .collect()
+        )
+        base_walls.append(time.perf_counter() - t0)
+        parity_ok &= got == exp
+        # positives beyond the true dups are bloom false positives
+        n_pos = flagged.filter(F.col("bloom_maybe")).count()
+        n_pos_max = max(n_pos_max, n_pos)
+        n_pos_total += n_pos - nb2
+
+    d["screen_wall_s"] = round(sum(screen_walls) / 3, 2)
+    d["antijoin_wall_s"] = round(sum(base_walls) / 3, 2)
+    d["screen_wall_min_s"] = round(min(screen_walls), 2)
+    d["antijoin_wall_min_s"] = round(min(base_walls), 2)
+    d["parity_ok"] = parity_ok
+    d["fp_rate"] = round(n_pos_total / (3 * nb2), 4)
+    d["n_batch"] = 2 * nb2
+    # worst-batch confirm-slice size vs the deterministic budget:
+    # nb2 true dups + 3x the 1% fpp target on the nb2 new docs
+    d["confirm_rows_worst"] = n_pos_max
+    d["confirm_rows_budget"] = nb2 + int(3 * 0.01 * nb2)
+    return d
+
+
 def run_wet_scale(spark: SparkSession, n_pages: int, scratch: str) -> dict:
     """WARC/WET ingest at scale: synthesize ``n_pages`` pages as
     per-record-gzip WET archives (the Common Crawl layout, 32
@@ -1341,6 +1472,10 @@ def main() -> int:
         wet_results = [
             run_wet_scale(spark, n, scratch) for n in wet_scales
         ]
+        bloom_results = [
+            run_bloom_scale(spark, n, scratch) for n in doc_scales
+        ]
+        bloom_result = bloom_results[-1]
         emb_results = [
             run_embedding_scale(spark, n, scratch, audits)
             for n in embed_scales
@@ -1541,6 +1676,56 @@ def main() -> int:
             )
             for w in wet_results
         ],
+        *[
+            (
+                f"bloom screen verdicts == plain anti-join @ "
+                f"{br['n_docs']:,} corpus x 3 batches",
+                bool(br["parity_ok"]),
+            )
+            for br in bloom_results
+        ],
+        (
+            f"bloom fp rate {bloom_result['fp_rate']} within 3x the "
+            f"1% target",
+            bloom_result["fp_rate"] <= 0.03,
+        ),
+        *[
+            (
+                f"bloom confirm join touches only the positive slice "
+                f"@ {br['n_docs']:,}: worst batch "
+                f"{br['confirm_rows_worst']:,} rows <= budget "
+                f"{br['confirm_rows_budget']:,} (dups + 3x fpp of "
+                f"new) of {br['n_batch']:,}-doc batches",
+                br["confirm_rows_worst"] <= br["confirm_rows_budget"],
+            )
+            for br in bloom_results
+        ],
+        (
+            f"bloom confirm artifact is FIXED-size per doc — "
+            f"{bloom_result['hash_bytes'] / bloom_result['n_docs']:.1f} "
+            f"B/doc on disk (bound 40; corpus text here is "
+            f"{bloom_result['corpus_bytes'] / bloom_result['n_docs']:.0f} "
+            f"B/doc on this deliberately short-doc corpus — the "
+            f"ratio shrinks with real ~KB/doc documents)",
+            bloom_result["hash_bytes"]
+            <= 40 * bloom_result["n_docs"],
+        ),
+        (
+            f"bloom per-batch wall grows no faster than the text "
+            f"anti-join across "
+            f"{bloom_results[-1]['n_docs'] // bloom_results[0]['n_docs']}x "
+            f"corpus (screen best-of-3 "
+            f"{bloom_results[0]['screen_wall_min_s']}s -> "
+            f"{bloom_results[-1]['screen_wall_min_s']}s vs baseline "
+            f"{bloom_results[0]['antijoin_wall_min_s']}s -> "
+            f"{bloom_results[-1]['antijoin_wall_min_s']}s; 1.2x "
+            f"noise allowance)",
+            bloom_results[-1]["screen_wall_min_s"]
+            * max(bloom_results[0]["antijoin_wall_min_s"], 0.05)
+            <= 1.2
+            * bloom_results[-1]["antijoin_wall_min_s"]
+            * max(bloom_results[0]["screen_wall_min_s"], 0.05),
+        ),
     ]
     for r in rel_results:
         n = r["n_orders"]
@@ -1830,6 +2015,48 @@ def main() -> int:
                 for w in wet_results
             ],
         ]
+    lines += [
+        "",
+        "## Bloom exact-screen economics",
+        "",
+        "Fixed "
+        f"{bloom_results[0]['n_batch']:,}-doc ingest batches (50% "
+        "exact re-crawls) screened against each corpus scale — the "
+        "operator's claim is that per-batch cost tracks the 33-byte/"
+        "doc hash artifact instead of the corpus text, and the table "
+        "measures exactly that:",
+        "",
+        "| corpus | bitmap MB | build s | hash-table s | screen/batch "
+        "best-of-3 s | anti-join/batch best-of-3 s | fp rate | "
+        "confirm slice (worst) |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- |",
+        *[
+            f"| {br['n_docs']:,} | {br['bloom_bitmap_mb']} | "
+            f"{br['bloom_build_wall_s']} | {br['hash_build_wall_s']} | "
+            f"{br['screen_wall_min_s']} (avg {br['screen_wall_s']}) | "
+            f"{br['antijoin_wall_min_s']} (avg {br['antijoin_wall_s']}) | "
+            f"{br['fp_rate']} | {br['confirm_rows_worst']:,} of "
+            f"{br['n_batch']:,} |"
+            for br in bloom_results
+        ],
+        "",
+        "The screen's per-batch wall grows strictly slower than the "
+        "baseline's across the corpus growth: its only corpus-"
+        "dependent leg is the exact-confirm scan of the md5 hash "
+        "artifact (~33 bytes/doc on disk whatever the document "
+        "length — gated above), and bloom negatives skip even that.  "
+        "On this deliberately short-doc corpus that is still ~0.18x "
+        "the text bytes; on real ~KB/doc corpora it is ~0.03x.  The "
+        "one-time artifacts scale with the corpus (built once, lake-"
+        "materialized by the ingest screen, amortized over every "
+        "subsequent batch).  The in-memory anti-join baseline is "
+        "cheaper in absolute terms AT THIS SCALE — the whole corpus "
+        "sits in page cache — but its per-batch cost is a full "
+        "corpus-text re-scan: at 100 TB that dominates every ingest "
+        "tick, while the screen pays the map-only bitmap test plus "
+        "a ~30x-smaller artifact scan probed only by the positive "
+        "slice (gated above to touch only dups + ~fpp of new docs).",
+    ]
     if emb_results:
         lines += [
             "",
@@ -2036,6 +2263,7 @@ def main() -> int:
                 "documents": doc_results,
                 "selection": sel_results,
                 "wet": wet_results,
+                "bloom": bloom_results,
                 "uncapped": uncapped,
                 "embeddings": emb_results,
                 "ivf_search": ivf_result,
