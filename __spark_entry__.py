@@ -849,6 +849,56 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_pagerank_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py pagerank) over
+    the MinHash near-dup pair graph — the CCNet/RefinedWeb-style
+    link-centrality quality prior, here ranking near-dup cluster
+    hubs.  Exact pico-unit integer arithmetic (floor divisions +
+    long sums) makes 3 rounds bit-identical on any engine and any
+    partitioning, so the DuckDB oracle (3 chained CTE rounds over
+    the same recursive-CTE-free edge table) hash-gates every rank."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.graph import (
+        pagerank,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, shingle_n=3, n_bands=8, threshold=0.5
+    ).select("doc_a", "doc_b")
+    return pagerank(docs, pairs, n_iter=3)
+
+
+def q_profile_drift_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile drift alarm (operators/profile.py profile_drift): the
+    <450 corpus snapshot vs a >=50 snapshot where every 7th doc's
+    lang is nulled and source is consolidated to one value — the
+    null-jump and distinct-collapse alarms must fire, the range
+    shift must register, and every rate is a 6-dp round of exact
+    integer counts so the oracle hash-gates the whole alarm table."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.profile import (
+        profile_columns,
+        profile_drift,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    old = profile_columns(docs.filter(F.col("doc_id") < 450), cols)
+    newdocs = (
+        docs.filter(F.col("doc_id") >= 50)
+        .withColumn(
+            "lang",
+            F.when(
+                (F.col("doc_id") % 7) == 0, F.lit(None).cast("string")
+            ).otherwise(F.col("lang")),
+        )
+        .withColumn("source", F.lit("consolidated"))
+    )
+    new = profile_columns(newdocs, cols)
+    return profile_drift(old, new)
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-version diff (operators/cdc.py snapshot_diff): the
     <450 snapshot vs a >=50 snapshot whose every 10th doc carries a
@@ -2171,6 +2221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "hybrid_retrieval_rrf": q_hybrid_retrieval,
         "key_skew_report": q_key_skew_report,
+        "pagerank_weights": q_pagerank_weights,
+        "profile_drift_alarm": q_profile_drift_alarm,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -3981,6 +4033,111 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (ORDER BY c.n_rows DESC, user_id)
                  AS rank
         FROM c, t QUALIFY rank <= 10
+        """,
+        "pagerank_weights": "WITH "
+        + _MINHASH_CTES
+        + """,
+        p AS (SELECT doc_a, doc_b FROM pairs WHERE j >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM p
+        ),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        r0 AS (SELECT d.doc_id AS node,
+                      1000000000000 // nn.n AS rank_pico
+               FROM documents d CROSS JOIN nn),
+        it1 AS (
+          SELECT r.node,
+                 (15 * (1000000000000 // nn.n)) // 100
+                 + (85 * COALESCE(s.s, 0)) // 100 AS rank_pico
+          FROM r0 r CROSS JOIN nn
+          LEFT JOIN (SELECT e.dst AS node,
+                            SUM(pr.rank_pico // d.outdeg) AS s
+                     FROM edges e
+                     JOIN r0 pr ON pr.node = e.src
+                     JOIN deg d ON d.src = e.src
+                     GROUP BY e.dst) s ON s.node = r.node
+        ),
+        it2 AS (
+          SELECT r.node,
+                 (15 * (1000000000000 // nn.n)) // 100
+                 + (85 * COALESCE(s.s, 0)) // 100 AS rank_pico
+          FROM it1 r CROSS JOIN nn
+          LEFT JOIN (SELECT e.dst AS node,
+                            SUM(pr.rank_pico // d.outdeg) AS s
+                     FROM edges e
+                     JOIN it1 pr ON pr.node = e.src
+                     JOIN deg d ON d.src = e.src
+                     GROUP BY e.dst) s ON s.node = r.node
+        ),
+        it3 AS (
+          SELECT r.node,
+                 (15 * (1000000000000 // nn.n)) // 100
+                 + (85 * COALESCE(s.s, 0)) // 100 AS rank_pico
+          FROM it2 r CROSS JOIN nn
+          LEFT JOIN (SELECT e.dst AS node,
+                            SUM(pr.rank_pico // d.outdeg) AS s
+                     FROM edges e
+                     JOIN it2 pr ON pr.node = e.src
+                     JOIN deg d ON d.src = e.src
+                     GROUP BY e.dst) s ON s.node = r.node
+        )
+        SELECT node AS doc_id, CAST(rank_pico AS BIGINT) AS rank_pico
+        FROM it3
+        """,
+        "profile_drift_alarm": """
+        WITH oldd AS (SELECT * FROM documents WHERE doc_id < 450),
+        newd AS (SELECT doc_id, text,
+                        CASE WHEN doc_id % 7 = 0 THEN NULL
+                             ELSE lang END AS lang,
+                        'consolidated' AS source, n_chars
+                 FROM documents WHERE doc_id >= 50),
+        po AS ("""
+        + " UNION ALL ".join(
+            f"""
+          SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_null,
+                 CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                 CAST(MIN({c}) AS VARCHAR) AS min_value,
+                 CAST(MAX({c}) AS VARCHAR) AS max_value
+          FROM oldd
+          """
+            for c in ("doc_id", "text", "lang", "source", "n_chars")
+        )
+        + """),
+        pn AS ("""
+        + " UNION ALL ".join(
+            f"""
+          SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_null,
+                 CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                 CAST(MIN({c}) AS VARCHAR) AS min_value,
+                 CAST(MAX({c}) AS VARCHAR) AS max_value
+          FROM newd
+          """
+            for c in ("doc_id", "text", "lang", "source", "n_chars")
+        )
+        + """)
+        SELECT po."column", 'present' AS status,
+               ROUND(po.n_null / po.n_rows, 6) AS null_rate_old,
+               ROUND(pn.n_null / pn.n_rows, 6) AS null_rate_new,
+               CAST(ROUND(pn.n_null / pn.n_rows, 6)
+                    - ROUND(po.n_null / po.n_rows, 6) > 0.02 AS INT)
+                 AS null_jump_flag,
+               ROUND((pn.n_distinct / pn.n_rows)
+                     / (po.n_distinct / po.n_rows), 6)
+                 AS distinct_ratio,
+               CAST(ROUND((pn.n_distinct / pn.n_rows)
+                          / (po.n_distinct / po.n_rows), 6)
+                    < 0.5 AS INT) AS distinct_collapse_flag,
+               CAST((po.min_value IS DISTINCT FROM pn.min_value)
+                    OR (po.max_value IS DISTINCT FROM pn.max_value)
+                    AS INT) AS range_changed
+        FROM po JOIN pn USING ("column")
         """,
         "soft_dedup_weights": "WITH RECURSIVE "
         + _MINHASH_CTES

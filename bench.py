@@ -459,6 +459,7 @@ _CHAIN_QUERIES = (
     "dup_rate_by_source",
     "leakage_safe_split",
     "soft_dedup_weights",
+    "pagerank_weights",
 )
 
 #: second chain family: the PQ queries each re-derive the

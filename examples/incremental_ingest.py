@@ -46,12 +46,51 @@ from pyspark.sql import DataFrame, functions as F
 from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
     incremental_near_dup,
 )
+from kafka_sparkstreaming_sbt_spark.operators.profile import (
+    profile_columns,
+    profile_drift,
+)
 from kafka_sparkstreaming_sbt_spark.operators.similarity import (
     incremental_semantic_dedup,
     kmeans_centroids,
 )
 from kafka_sparkstreaming_sbt_spark.session import get_spark
 from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+
+def batch_drift_report(
+    corpus_docs: DataFrame, batch_docs: DataFrame
+) -> dict:
+    """The promote/hold check that runs BEFORE the (expensive) dedup
+    screens: profile today's batch against the corpus profile and
+    count the alarms that indicate a broken feed rather than
+    legitimate new data — schema drift (columns appearing or
+    vanishing), null-rate jumps, and distinct-count collapse.  Range
+    shifts are reported but not counted as alarms: a batch of NEW
+    documents legitimately extends id/date ranges every day.
+
+    Cost: two single-scan profiles + a |columns|-row join — noise
+    next to the screens it gates."""
+    cols = [c for c in batch_docs.columns if c in corpus_docs.columns]
+    drift = profile_drift(
+        profile_columns(corpus_docs, cols),
+        profile_columns(batch_docs, cols),
+    ).collect()  # |columns| rows
+    alarms = []
+    for r in drift:
+        if r.status != "present":
+            alarms.append((r.column, r.status))
+        if r.null_jump_flag == 1:
+            alarms.append((r.column, "null_jump"))
+        if r.distinct_collapse_flag == 1:
+            alarms.append((r.column, "distinct_collapse"))
+    return {
+        "drift_alarms": len(alarms),
+        "drift_detail": [f"{c}:{kind}" for c, kind in alarms],
+        "range_shifts": sum(
+            1 for r in drift if r.range_changed == 1
+        ),
+    }
 
 
 def screen_batch(
@@ -144,21 +183,33 @@ def main() -> None:
     p.add_argument("--split-id", type=int, default=400)
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
     p.add_argument("--semantic-threshold", type=float, default=None)
+    p.add_argument(
+        "--drift-gate",
+        action="store_true",
+        help="hold the batch (exit 3) if profile drift alarms fire",
+    )
     args = p.parse_args()
     spark = get_spark(app_name="incremental-ingest")
     docs = read_table(spark, args.input, "documents")
     emb = read_table(spark, args.input, "embeddings")
     k = args.split_id
+    corpus_docs = docs.filter(F.col("doc_id") < k)
+    batch_docs = docs.filter(F.col("doc_id") >= k)
+    drift = batch_drift_report(corpus_docs, batch_docs)
+    if args.drift_gate and drift["drift_alarms"] > 0:
+        print(json.dumps({"held": True, **drift}))
+        spark.stop()
+        sys.exit(3)
     _, report = screen_batch(
         spark,
-        docs.filter(F.col("doc_id") < k),
-        docs.filter(F.col("doc_id") >= k),
+        corpus_docs,
+        batch_docs,
         emb.filter(F.col("vec_id") < k),
         emb.filter(F.col("vec_id") >= k),
         args.jaccard_threshold,
         args.semantic_threshold,
     )
-    print(json.dumps(report))
+    print(json.dumps({**report, **drift}))
     spark.stop()
 
 

@@ -113,3 +113,92 @@ def profile_columns(
             "max_value",
         )
     return rows
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    null_jump: float = 0.02,
+    distinct_drop: float = 0.5,
+) -> DataFrame:
+    """The drift alarm between two :func:`profile_columns` outputs —
+    the check a recurring ingest runs before promoting a new corpus
+    version (the README's "pair the profile with snapshot_diff"
+    promise as an operator): schema drift (columns added/removed),
+    null-rate jumps, distinct-count collapse, and value-range shifts,
+    one row per column.
+
+    Output: ``(column, status, null_rate_old, null_rate_new,
+    null_jump_flag, distinct_ratio, distinct_collapse_flag,
+    range_changed)`` — ``status`` is added/removed/present; rates and
+    the ratio are 6-dp rounds of exact integer counts (engine-stable);
+    flags are 0/1 ints, NULL when a side is missing (natural SQL
+    null propagation, identical on any engine).  ``distinct_ratio``
+    compares distincts PER ROW, not absolute counts, so profiling a
+    small batch against a big corpus doesn't false-alarm every
+    high-cardinality column.
+
+    Scale shape: the inputs are |columns|-row tables whatever the
+    corpus size — the join is broadcast-trivial; all the heavy
+    lifting already happened inside the two profile scans.
+    """
+    fields = ["n_rows", "n_null", "n_distinct", "min_value", "max_value"]
+    o = old.select(
+        "column", *[F.col(c).alias(f"{c}_old") for c in fields]
+    )
+    n = new.select(
+        "column", *[F.col(c).alias(f"{c}_new") for c in fields]
+    )
+    j = o.join(n, "column", "full_outer")
+    # try_divide: an empty side yields NULL rates (DuckDB's x/0
+    # semantics), not an ANSI DivideByZero error
+    null_rate_old = F.round(
+        F.try_divide(F.col("n_null_old"), F.col("n_rows_old")), 6
+    )
+    null_rate_new = F.round(
+        F.try_divide(F.col("n_null_new"), F.col("n_rows_new")), 6
+    )
+    # distinct RATE (distincts per row) ratio, not absolute counts:
+    # a 150-row batch profiled against a 350-row corpus would
+    # otherwise "collapse" every high-cardinality column purely by
+    # being smaller — rounding happens ONCE at the end so the double
+    # arithmetic is reproducible expression-for-expression in SQL
+    distinct_ratio = F.round(
+        F.try_divide(
+            F.try_divide(
+                F.col("n_distinct_new"), F.col("n_rows_new")
+            ),
+            F.try_divide(
+                F.col("n_distinct_old"), F.col("n_rows_old")
+            ),
+        ),
+        6,
+    )
+    present = F.col("n_rows_old").isNotNull() & F.col(
+        "n_rows_new"
+    ).isNotNull()
+    return j.select(
+        "column",
+        F.when(F.col("n_rows_old").isNull(), F.lit("added"))
+        .when(F.col("n_rows_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("present"))
+        .alias("status"),
+        null_rate_old.alias("null_rate_old"),
+        null_rate_new.alias("null_rate_new"),
+        ((null_rate_new - null_rate_old) > null_jump)
+        .cast("int")
+        .alias("null_jump_flag"),
+        distinct_ratio.alias("distinct_ratio"),
+        (distinct_ratio < distinct_drop)
+        .cast("int")
+        .alias("distinct_collapse_flag"),
+        F.when(
+            present,
+            (
+                ~F.col("min_value_old").eqNullSafe(F.col("min_value_new"))
+                | ~F.col("max_value_old").eqNullSafe(
+                    F.col("max_value_new")
+                )
+            ).cast("int"),
+        ).alias("range_changed"),
+    )

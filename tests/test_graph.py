@@ -138,3 +138,100 @@ def test_soft_dedup_weights_unit_mass_per_group(spark):
         assert out[d].group_size == 3
         assert out[d].weight == round(1 / 3, 6)
     assert out[7].group_size == 1 and out[7].weight == 1.0
+
+
+# ---- fixed-iteration integer PageRank ---------------------------
+
+
+def _pr_expected(nodes, undirected_edges, n_iter, damping_pct=85):
+    """Pure-Python replica of the pico-unit integer recurrence."""
+    unit = 1_000_000_000_000
+    ends = []
+    for a, b in undirected_edges:
+        ends += [(a, b), (b, a)]
+    outdeg = {}
+    for s, _ in ends:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    r = {v: unit // n for v in nodes}
+    keep = 100 - damping_pct
+    for _ in range(n_iter):
+        s = {v: 0 for v in nodes}
+        for src, dst in ends:
+            s[dst] += r[src] // outdeg[src]
+        r = {
+            v: (keep * (unit // n)) // 100
+            + (damping_pct * s[v]) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_integer_recurrence(spark):
+    from kafka_sparkstreaming_sbt_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4]], "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.rank_pico
+        for r in pagerank(nodes, edges, n_iter=2).collect()
+    }
+    assert got == _pr_expected([1, 2, 3, 4], [(1, 2), (1, 3)], 2)
+    # the hub out-ranks the leaves, leaves out-rank the isolate
+    assert got[1] > got[2] == got[3] > got[4]
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from kafka_sparkstreaming_sbt_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(30)], "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 30) for i in range(25)],
+        "doc_a long, doc_b long",
+    )
+    a = {
+        r.doc_id: r.rank_pico
+        for r in pagerank(nodes, edges, n_iter=3).collect()
+    }
+    b = {
+        r.doc_id: r.rank_pico
+        for r in pagerank(
+            nodes.repartition(7), edges.repartition(11), n_iter=3
+        ).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_directed_contributes_one_way(spark):
+    from kafka_sparkstreaming_sbt_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.rank_pico
+        for r in pagerank(nodes, edges, n_iter=1, directed=True).collect()
+    }
+    unit = 1_000_000_000_000
+    r0 = unit // 2
+    teleport = (15 * r0) // 100
+    assert got[1] == teleport
+    assert got[2] == teleport + (85 * r0) // 100
+
+
+def test_pagerank_validates_inputs(spark):
+    import pytest as _pytest
+
+    from kafka_sparkstreaming_sbt_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(1,)], "doc_id long")
+    edges = spark.createDataFrame([(1, 1)], "doc_a long, doc_b long")
+    with _pytest.raises(ValueError):
+        pagerank(nodes, edges, n_iter=0)
+    with _pytest.raises(ValueError):
+        pagerank(nodes, edges, damping_pct=101)

@@ -65,3 +65,29 @@ def test_screen_batch_semantic_off_accepts_more(spark, sf_small):
     )
     assert without["semantic_dups"] == 0
     assert without["accepted"] >= with_sem["accepted"]
+
+
+def test_batch_drift_report_clean_and_broken_feed(spark, sf_small):
+    from incremental_ingest import batch_drift_report
+
+    docs = read_table(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") < 350)
+    batch = docs.filter(F.col("doc_id") >= 350)
+    clean = batch_drift_report(corpus, batch)
+    # a healthy batch: no schema/null/distinct alarms; the id range
+    # legitimately extends (reported, not alarmed)
+    assert clean["drift_alarms"] == 0
+    assert clean["range_shifts"] >= 1
+
+    broken = batch.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    ).withColumn("source", F.lit("onefeed"))
+    rep = batch_drift_report(corpus, broken)
+    assert rep["drift_alarms"] >= 2
+    assert any("lang:null_jump" == d for d in rep["drift_detail"])
+    assert any(
+        "source:distinct_collapse" == d for d in rep["drift_detail"]
+    )

@@ -232,6 +232,7 @@ _BOUNDED_NESTED_LOOP = {
     # join of the dense leg — both bounded by construction
     "hybrid_retrieval_rrf",
     "key_skew_report",  # 1-row corpus-total scalar, tf_idf pattern
+    "pagerank_weights",  # 1-row node-count scalar, tf_idf pattern
 }
 
 

@@ -67,3 +67,62 @@ def test_approx_variant_is_single_scan_no_expand(frame):
     out = {r.column: r for r in profile_columns(frame, exact=False).collect()}
     # HLL is exact at these cardinalities
     assert out["k"].n_distinct == 2
+
+
+def test_profile_drift_flags_fire(spark):
+    from kafka_sparkstreaming_sbt_spark.operators.profile import (
+        profile_drift,
+    )
+
+    schema = (
+        "column string, n_rows long, n_null long, n_distinct long, "
+        "min_value string, max_value string"
+    )
+    old = spark.createDataFrame(
+        [
+            ("a", 100, 0, 50, "1", "9"),
+            ("gone", 100, 0, 10, "x", "y"),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("a", 100, 10, 20, "1", "9"),
+            ("fresh", 100, 0, 3, "p", "q"),
+        ],
+        schema,
+    )
+    rows = {r.column: r for r in profile_drift(old, new).collect()}
+    a = rows["a"]
+    assert a.status == "present"
+    assert a.null_jump_flag == 1  # 0.0 -> 0.1 > 0.02
+    assert a.distinct_ratio == 0.4 and a.distinct_collapse_flag == 1
+    assert a.range_changed == 0
+    assert rows["gone"].status == "removed"
+    assert rows["fresh"].status == "added"
+    # missing-side metrics stay NULL (natural SQL propagation)
+    assert rows["fresh"].null_rate_old is None
+    assert rows["fresh"].range_changed is None
+
+
+def test_profile_drift_composes_with_profile_columns(spark):
+    from kafka_sparkstreaming_sbt_spark.operators.profile import (
+        profile_columns,
+        profile_drift,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, None), (9, "x")], "id long, v string"
+    )
+    rows = {
+        r.column: r
+        for r in profile_drift(
+            profile_columns(old), profile_columns(new)
+        ).collect()
+    }
+    assert rows["v"].null_jump_flag == 1  # 0 -> 1/3
+    assert rows["id"].range_changed == 1  # max 3 -> 9
+    assert rows["id"].null_jump_flag == 0
