@@ -233,6 +233,64 @@ def materialize_corpus_signatures(
     ).write.mode("overwrite").parquet(base)
 
 
+def materialize_drift_baseline(
+    corpus_docs: DataFrame,
+    drift_dir: str,
+    cols: tuple[str, ...] = ("text",),
+) -> None:
+    """One-time baseline artifact for the drift HOLD: the static
+    corpus's column profile at ``drift_dir/baseline`` (one row per
+    profiled column).  Same ``_SUCCESS``-gated skip discipline as
+    every other lake artifact here — a partial baseline would make
+    every subsequent drift verdict garbage."""
+    from kafka_sparkstreaming_sbt_spark.operators.profile import (
+        profile_columns,
+    )
+
+    spark = corpus_docs.sparkSession
+    base = f"{drift_dir}/baseline"
+    if _success_marker_exists(spark, base):
+        return
+    profile_columns(corpus_docs, list(cols)).write.mode(
+        "overwrite"
+    ).parquet(base)
+
+
+def _batch_drift_alarms(
+    baseline_profile: DataFrame,
+    batch_df: DataFrame,
+    cols: tuple[str, ...],
+    null_jump: float,
+    distinct_drop: float,
+) -> list[str]:
+    """Alarm list for one micro-batch vs the corpus baseline —
+    ``profile_drift`` filtered to the feed-breakage classes: schema
+    drift, null-rate jump, distinct-rate collapse.  Range shifts are
+    NOT alarms (new docs legitimately extend ranges every batch).
+    The batch profile costs one scan + one bounded distinct pass per
+    profiled column; the drift join is |cols| rows."""
+    from kafka_sparkstreaming_sbt_spark.operators.profile import (
+        profile_columns,
+        profile_drift,
+    )
+
+    drift = profile_drift(
+        baseline_profile,
+        profile_columns(batch_df, list(cols)),
+        null_jump=null_jump,
+        distinct_drop=distinct_drop,
+    ).collect()
+    alarms = []
+    for r in drift:
+        if r.status != "present":
+            alarms.append(f"{r.column}:{r.status}")
+        if r.null_jump_flag == 1:
+            alarms.append(f"{r.column}:null_jump")
+        if r.distinct_collapse_flag == 1:
+            alarms.append(f"{r.column}:distinct_collapse")
+    return alarms
+
+
 # ------------------------------------------------ exact prefilter --
 #
 # Most duplicates a crawl delivers are EXACT copies; shingling them
@@ -538,6 +596,11 @@ def run_dedup_ingest_pipeline(
     exact_dir: str | None = None,
     bloom_expected_items: int = 1_000_000,
     bloom_fpp: float = 0.01,
+    drift_dir: str | None = None,
+    drift_cols: tuple[str, ...] = ("text",),
+    drift_null_jump: float = 0.02,
+    drift_distinct_drop: float = 0.5,
+    on_hold: Callable[[int, list[str]], None] | None = None,
 ) -> StreamingQuery:
     """Start the streaming ingest screen.
 
@@ -576,7 +639,19 @@ def run_dedup_ingest_pipeline(
     ``bloom_expected_items`` budgets corpus + expected growth, frozen
     at first materialization) — semantics unchanged (the near-dup
     screen would catch exact copies too, at shingling price), verdicts
-    identical, tested."""
+    identical, tested.
+    ``drift_dir`` (optional): HOLD broken feeds before any screen
+    spends compute on them — the corpus's column profile is
+    materialized once at ``drift_dir/baseline``, each micro-batch is
+    profiled against it (``drift_cols``, default just ``text``), and
+    a batch raising a schema / null-jump / distinct-collapse alarm is
+    dead-lettered WHOLE to ``drift_dir/held/batch_id=N`` (same
+    idempotent per-partition overwrite as accepted rows — a replayed
+    held batch holds again) instead of entering the screens; it
+    contributes no accepted partition and no signature/bloom
+    increment, so the replay contract is untouched.  ``on_hold(
+    batch_id, alarms)`` observes holds; ``on_batch`` still fires with
+    ``n_accepted=0`` so throughput accounting stays complete."""
     spark = corpus_docs.sparkSession
     # finish any compaction a crash interrupted BEFORE the first
     # screen reads the lake (the write-ahead recovery contract)
@@ -595,6 +670,13 @@ def run_dedup_ingest_pipeline(
     if quality_model is not None:
         # the model is read on every trigger: pin the tiny frame once
         quality_model = quality_model.localCheckpoint(eager=True)
+    baseline_profile = None
+    if drift_dir is not None:
+        materialize_drift_baseline(corpus_docs, drift_dir, drift_cols)
+        # |cols| rows — pin once, read on every trigger
+        baseline_profile = spark.read.parquet(
+            f"{drift_dir}/baseline"
+        ).localCheckpoint(eager=True)
 
     def screen(batch_df: DataFrame, batch_id: int) -> None:
         if (
@@ -622,6 +704,26 @@ def run_dedup_ingest_pipeline(
                 fold_bloom_partitions(
                     spark, f"{exact_dir}/bloom/incr", batch_id
                 )
+        if baseline_profile is not None:
+            # the batch feeds the profile AND (if clean) the screens:
+            # materialize once.  Runs AFTER the compaction hook so a
+            # held trigger can't skip a fold milestone.
+            batch_df = batch_df.localCheckpoint(eager=True)
+            alarms = _batch_drift_alarms(
+                baseline_profile, batch_df, drift_cols,
+                drift_null_jump, drift_distinct_drop,
+            )
+            if alarms:
+                # dead-letter the WHOLE batch, idempotently; no
+                # accepted partition, no artifact increments
+                batch_df.write.mode("overwrite").parquet(
+                    f"{drift_dir}/held/batch_id={batch_id}"
+                )
+                if on_hold is not None:
+                    on_hold(batch_id, alarms)
+                if on_batch is not None:
+                    on_batch(batch_id, batch_df.count(), 0)
+                return
         n_raw = None
         if quality_model is not None:
             from kafka_sparkstreaming_sbt_spark.operators.classify import (

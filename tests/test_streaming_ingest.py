@@ -591,3 +591,66 @@ def test_exact_prefilter_replay_and_fold(spark, dirs):
     finally:
         for d in (acc, exact):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_drift_gate_holds_broken_feed_and_passes_clean(spark, dirs):
+    """The drift HOLD (drift_dir=): a clean wave flows through the
+    screens untouched; a producer bug that repeats one text
+    (distinct-rate collapse) or nulls the text column (null-rate
+    jump) gets its WHOLE batch dead-lettered to held/batch_id=N —
+    no accepted partition, no artifact increments, alarms observable
+    via on_hold."""
+    src, acc, ckpt = dirs
+    drift = tempfile.mkdtemp(prefix="drift_")
+    try:
+        corpus = spark.createDataFrame(
+            [(i, T[k]) for i, k in enumerate(("c0", "u1", "u2", "u3"))],
+            "doc_id long, text string",
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(src)
+        )
+        seen, holds = [], []
+        q = run_dedup_ingest_pipeline(
+            stream, corpus, acc, ckpt,
+            on_batch=lambda bid, n, a: seen.append((bid, n, a)),
+            drift_dir=drift,
+            on_hold=lambda bid, alarms: holds.append((bid, alarms)),
+        )
+        u5 = "quartz rivet slate timber umber velvet willow xenon yarrow zephyr"
+        u6 = "anchor basil cedar dahlia elm fennel ginkgo hazel ivy juniper"
+        try:
+            # wave 0: clean — two new unique texts
+            spark.createDataFrame(
+                [(30, u5), (31, u6)], "doc_id long, text string"
+            ).coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+            # wave 1: broken producer repeats ONE text 6x
+            spark.createDataFrame(
+                [(40 + i, "pebble granite chert flint obsidian basalt gneiss schist marble slatez") for i in range(6)],
+                "doc_id long, text string",
+            ).coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+            # wave 2: broken producer nulls the text column
+            spark.createDataFrame(
+                [(50, None), (51, None)], "doc_id long, text string"
+            ).coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        accepted = {r.doc_id for r in spark.read.parquet(acc).collect()}
+        assert accepted == {30, 31}
+        held = spark.read.parquet(f"{drift}/held")
+        assert {r.batch_id for r in held.select("batch_id").distinct().collect()} == {1, 2}
+        assert held.count() == 8
+        kinds = {bid: set(a.split(":")[1] for a in alarms) for bid, alarms in holds}
+        assert "distinct_collapse" in kinds[1]
+        assert "null_jump" in kinds[2]
+        # throughput accounting stays complete: held waves report 0
+        assert [(n, a) for _, n, a in seen if n > 0] == [
+            (2, 2), (6, 0), (2, 0)
+        ]
+    finally:
+        shutil.rmtree(drift, ignore_errors=True)
