@@ -303,3 +303,83 @@ def test_avro_ocf_container_roundtrip(records):
             records, _AVRO_PROP_SCHEMA, codec=codec, rows_per_block=7
         )
         assert list(iter_ocf_records(data)) == records
+
+
+# ---- integer PageRank: Spark == pure-Python recurrence ------------
+
+edge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=11),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=20,
+    unique=True,
+)
+
+
+@given(edges=edge_strategy)
+@_slow
+def test_pagerank_matches_recurrence_on_arbitrary_graphs(spark, edges):
+    from kafka_sparkstreaming_sbt_spark.operators.graph import pagerank
+
+    from tests.test_graph import _pr_expected
+
+    nodes = list(range(12))
+    ndf = spark.createDataFrame([(i,) for i in nodes], "doc_id long")
+    if edges:
+        edf = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    else:
+        edf = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.rank_pico
+        for r in pagerank(ndf, edf, n_iter=2).collect()
+    }
+    assert got == _pr_expected(nodes, edges, 2)
+
+
+# ---- RRF fusion: Spark == closed form -----------------------------
+
+leg_strategy = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=30),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(legs=leg_strategy)
+@_slow
+def test_rrf_fuse_matches_closed_form_on_arbitrary_legs(spark, legs):
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    dfs = [
+        spark.createDataFrame(
+            [(d, i + 1) for i, d in enumerate(leg)],
+            "doc_id long, rank long",
+        )
+        for leg in legs
+    ]
+    expected: dict[int, list[int]] = {}
+    for leg in legs:
+        for i, d in enumerate(leg):
+            expected.setdefault(d, []).append(i + 1)
+    scores = {
+        d: sum(1_000_000_000 // (60 + r) for r in rs)
+        for d, rs in expected.items()
+    }
+    k = len(scores)  # no cut: check every fused row
+    got = {
+        r.doc_id: (r.rrf_nano, r.n_legs)
+        for r in rrf_fuse(dfs, k=k).collect()
+    }
+    assert {d: s for d, (s, _) in got.items()} == scores
+    assert {d: n for d, (_, n) in got.items()} == {
+        d: len(rs) for d, rs in expected.items()
+    }
