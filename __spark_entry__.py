@@ -2107,33 +2107,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-complete set covering every operator family; the overflow
     # block holds same-family variants (still oracle-gated — the local
     # driver-sim in .claude/skills/verify checks ALL of them) and the
-    # three rows-only sketch queries last.
+    # four rows-only sketch/ANN queries last.
+    #
+    # ROTATED in r8 (VERDICT r7 #4): the r6/r7 families (PQ, BM25, RRF,
+    # PageRank, profiling, Bloom, soft-dedup, DSIR, NB, WARC) moved
+    # INTO the gate window; ten long-stable same-family variants
+    # (windowed_spending_per_event, daily_spending_direct,
+    # monthly_order_stats, parts_without_bulk, customer_order_gaps,
+    # purchase_prior_activity, redact_pii, repetition_stats,
+    # benchmark_overlap, packed_sequences) moved to overflow — still
+    # oracle-gated by the full sim, just past the driver's 50-row
+    # record.
     return {
         # -- reference parity (SURVEY §2) --
         "windowed_spending_per_customer": q_windowed_spending_per_customer,
-        "windowed_spending_per_event": q_windowed_spending_per_event,
         "daily_spending_rollup": q_daily_spending_rollup,
-        "daily_spending_direct": q_daily_spending_direct,
         "json_decode_props": q_json_decode_props,
         # -- relational / OLAP --
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers_per_nation": q_top_customers_per_nation,
-        "monthly_order_stats": q_monthly_order_stats,
         "order_priority_rollup": q_order_priority_rollup,
-        "parts_without_bulk": q_parts_without_bulk,
         "order_status_pivot": q_order_status_pivot,
         "lapsed_customers": q_lapsed_customers,
         "multi_grain_rollup": q_multi_grain_rollup,
         "rolling_customer_spend": q_rolling_customer_spend,
         "promo_revenue_share": q_promo_revenue_share,
-        "customer_order_gaps": q_customer_order_gaps,
         "cohort_retention": q_cohort_retention,
         "customer_trend": q_customer_trend,
         # -- events / time series / state --
         "user_sessions": q_user_sessions,
         "purchase_attribution": q_purchase_attribution,
-        "purchase_prior_activity": q_purchase_prior_activity,
         "skewed_event_totals": q_skewed_event_totals,
         "latest_event_per_user": q_latest_event_per_user,
         "scd2_user_state": q_scd2_user_state,
@@ -2146,12 +2150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
-        "redact_pii": q_redact_pii,
-        "repetition_stats": q_repetition_stats,
-        "benchmark_overlap": q_benchmark_overlap,
         "tf_idf": q_tf_idf,
         "bigram_pmi": q_bigram_pmi,
-        "packed_sequences": q_packed_sequences,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "chunk_dedup_docs": q_chunk_dedup_docs,
         # -- dedup --
@@ -2161,14 +2161,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "near_dup_groups": q_near_dup_groups,
         "canonical_docs": q_canonical_docs,
-        # -- similarity search --
+        "bloom_screened_docs": q_bloom_screened_docs,
+        "soft_dedup_weights": q_soft_dedup_weights,
+        # -- similarity search / quantization --
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_similar_pairs": q_embedding_similar_pairs,
         "ivf_topk": q_ivf_topk,
+        "pq_topk_rerank": q_pq_topk_rerank,
+        # -- retrieval / graph / selection / profiling (r6-r7) --
+        "bm25_topk": q_bm25_topk,
+        "hybrid_retrieval_rrf": q_hybrid_retrieval,
+        "pagerank_weights": q_pagerank_weights,
+        "dsir_selected_docs": q_dsir_selected_docs,
+        "nb_quality_scores": q_nb_quality_scores,
+        "wet_roundtrip_docs": q_wet_roundtrip_docs,
+        "profile_drift_alarm": q_profile_drift_alarm,
         # -- multimodal --
         "multimodal_decode": q_multimodal_decode,
         # ---- overflow: same-family variants (all still oracle-gated;
         # ---- past the driver gate's 50-row record) ----
+        "windowed_spending_per_event": q_windowed_spending_per_event,
+        "daily_spending_direct": q_daily_spending_direct,
+        "monthly_order_stats": q_monthly_order_stats,
+        "parts_without_bulk": q_parts_without_bulk,
+        "customer_order_gaps": q_customer_order_gaps,
+        "purchase_prior_activity": q_purchase_prior_activity,
+        "redact_pii": q_redact_pii,
+        "repetition_stats": q_repetition_stats,
+        "benchmark_overlap": q_benchmark_overlap,
+        "packed_sequences": q_packed_sequences,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_stats": q_multimodal_frame_stats,
         "multimodal_resize": q_multimodal_resize,
@@ -2208,21 +2229,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_embeddings": q_quantized_embeddings,
         "quantized_topk": q_quantized_topk,
         "pq_codes": q_pq_codes,
-        "pq_topk_rerank": q_pq_topk_rerank,
         "boilerplate_cleaned_docs": q_boilerplate_cleaned_docs,
         "dsir_doc_weights": q_dsir_doc_weights,
-        "dsir_selected_docs": q_dsir_selected_docs,
-        "nb_quality_scores": q_nb_quality_scores,
-        "wet_roundtrip_docs": q_wet_roundtrip_docs,
-        "bm25_topk": q_bm25_topk,
-        "bloom_screened_docs": q_bloom_screened_docs,
         "corpus_diff": q_corpus_diff,
-        "soft_dedup_weights": q_soft_dedup_weights,
         "table_profile": q_table_profile,
-        "hybrid_retrieval_rrf": q_hybrid_retrieval,
         "key_skew_report": q_key_skew_report,
-        "pagerank_weights": q_pagerank_weights,
-        "profile_drift_alarm": q_profile_drift_alarm,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -3910,11 +3921,14 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY rank <= 20
         """,
         "bloom_screened_docs": """
-        SELECT doc_id, md5(text) AS content_hash
-        FROM documents
-        WHERE doc_id >= 400
-          AND text NOT IN (SELECT text FROM documents
-                           WHERE doc_id < 400)
+        -- NOT EXISTS (not NOT IN) to mirror the engine's anti-join
+        -- NULL-key convention: NULL-text batch rows are kept as new,
+        -- and a NULL-text corpus row never blanks the result.
+        SELECT b.doc_id, md5(b.text) AS content_hash
+        FROM documents b
+        WHERE b.doc_id >= 400
+          AND NOT EXISTS (SELECT 1 FROM documents c
+                          WHERE c.doc_id < 400 AND c.text = b.text)
         """,
         "corpus_diff": """
         WITH old AS (

@@ -71,12 +71,20 @@ def batch_drift_report(
 
     Cost: two single-scan profiles + a |columns|-row join — noise
     next to the screens it gates."""
-    cols = [c for c in batch_docs.columns if c in corpus_docs.columns]
+    # Schema drift must come from the raw column SETS, not the
+    # profiled intersection — profiling only shared columns would
+    # make the added/removed alarm unfireable (a feed that silently
+    # drops a column would pass the gate).
+    corpus_cols = set(corpus_docs.columns)
+    batch_cols = set(batch_docs.columns)
+    alarms = [
+        (c, "removed") for c in sorted(corpus_cols - batch_cols)
+    ] + [(c, "added") for c in sorted(batch_cols - corpus_cols)]
+    cols = [c for c in batch_docs.columns if c in corpus_cols]
     drift = profile_drift(
         profile_columns(corpus_docs, cols),
         profile_columns(batch_docs, cols),
     ).collect()  # |columns| rows
-    alarms = []
     for r in drift:
         if r.status != "present":
             alarms.append((r.column, r.status))

@@ -68,6 +68,26 @@ def bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
     return n_bits, n_hashes
 
 
+#: byte -> popcount lookup (256 entries) — fill-fraction probes touch
+#: the bitmap once with one fancy-index + sum, no per-bit unpacking
+_POPCOUNT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.uint32)
+
+
+def bloom_fill_fraction(bitmap: bytes) -> float:
+    """Fraction of set bits — the saturation metric.  fpp of a Bloom
+    filter at fill fraction X is X^k, so X=0.5 is the design point
+    (fpp = 2^-k) and anything above it means the filter has outgrown
+    its frozen sizing: the screen stays CORRECT (the confirm join
+    catches false positives) but the map-only-for-negatives economics
+    erode toward hash-join-everything.  One numpy pass."""
+    bm = np.frombuffer(bitmap, dtype=np.uint8)
+    if bm.size == 0:
+        return 0.0
+    return float(int(_POPCOUNT[bm].sum()) / (bm.size * 8))
+
+
 def _with_hashes(df: DataFrame, key_col: str) -> DataFrame:
     """Two independent 64-bit hashes of the key, computed JVM-side
     (codegen'd xxhash64); Python never sees the key bytes."""
@@ -114,19 +134,19 @@ def build_bloom(
     )
 
 
-def build_bloom_bitmap(
+def _bitmap_partials(
     df: DataFrame, key_col: str, n_bits: int, n_hashes: int
-) -> bytes:
-    """One pass over ``df`` -> the raw bitmap for FIXED parameters —
-    the form an incrementally-maintained filter needs: bitmaps built
-    with the same (n_bits, n_hashes) OR-compose, so a lake can store
-    one bitmap per accepted batch and a reader can fold them.
-
-    Plan: codegen'd double-hash projection, mapInArrow per-partition
-    bit-set (one bitmap row per partition), two-level OR fan-in
-    (``_FAN_IN`` bitmaps per task), one-row collect.  The only
-    driver-side data is the final bitmap — which is the deliverable.
-    """
+) -> DataFrame:
+    """Per-partition bitmap rows ``(bitmap, fan)`` — the first level
+    of the tree-reduce.  The fan key MUST vary across partitions:
+    mapInArrow emits one row per partition, so
+    ``monotonically_increasing_id()`` here would always be
+    ``partition_id << 33`` and pmod ``_FAN_IN`` of that is 0 for
+    EVERY row, collapsing the fan-in to one group that np.stack-
+    materializes all P bitmaps at once.  ``spark_partition_id()`` is
+    the row's actual partition index, so pmod spreads partials over
+    up to ``_FAN_IN`` groups and no OR task ever holds more than
+    ``ceil(P / _FAN_IN)`` bitmaps."""
     n_bytes = n_bits // 8
     import pyarrow as pa
 
@@ -149,11 +169,27 @@ def build_bloom_bitmap(
                 schema=pa.schema([("bitmap", pa.binary())]),
             )
 
-    partials = hashes.mapInArrow(
+    return hashes.mapInArrow(
         _bitmap_per_partition, "bitmap binary"
     ).withColumn(
-        "fan", F.pmod(F.monotonically_increasing_id(), F.lit(_FAN_IN))
+        "fan", F.pmod(F.spark_partition_id(), F.lit(_FAN_IN))
     )
+
+
+def build_bloom_bitmap(
+    df: DataFrame, key_col: str, n_bits: int, n_hashes: int
+) -> bytes:
+    """One pass over ``df`` -> the raw bitmap for FIXED parameters —
+    the form an incrementally-maintained filter needs: bitmaps built
+    with the same (n_bits, n_hashes) OR-compose, so a lake can store
+    one bitmap per accepted batch and a reader can fold them.
+
+    Plan: codegen'd double-hash projection, mapInArrow per-partition
+    bit-set (one bitmap row per partition), two-level OR fan-in
+    (``_FAN_IN`` bitmaps per task), one-row collect.  The only
+    driver-side data is the final bitmap — which is the deliverable.
+    """
+    partials = _bitmap_partials(df, key_col, n_bits, n_hashes)
 
     def _or_group(pdf):
         import pandas as pd
@@ -178,7 +214,7 @@ def build_bloom_bitmap(
         .collect()
     )
     if not rows:  # empty corpus -> empty filter (all-new batches)
-        return bytes(n_bytes)
+        return bytes(n_bits // 8)
     return bytes(rows[0]["bitmap"])
 
 
@@ -248,6 +284,16 @@ def bloom_screen(
     remaining cost — co-locate it by bucketing the corpus lake on the
     key (sources/files.py:write_bucketed) so the confirm is a
     bucket-local join with no corpus shuffle.
+
+    NULL-key convention: a batch row with a NULL ``key_col`` is kept
+    as NEW — Spark's anti-join equality never matches NULL, and the
+    bloom test of xxhash64(NULL) either reads false (pass-through) or
+    true (row enters the confirm join, which passes it).  This is
+    standard ``NOT EXISTS (… WHERE corpus.key = batch.key)``
+    semantics; it deliberately differs from SQL ``NOT IN``, which
+    drops NULL-key rows and returns nothing at all when the corpus
+    contains a NULL key.  Callers wanting NULLs rejected should
+    filter them upstream.
 
     The negative/positive split consumes the flagged batch twice, so
     the batch lineage up to the flag (scan + codegen'd hashes + one

@@ -194,15 +194,18 @@ def rrf_fuse(
         raise ValueError("legs must be non-empty")
     if k <= 0 or rrf_k < 0:
         raise ValueError("k must be positive and rrf_k non-negative")
+    # True integer division (`div`), not double-divide-then-cast:
+    # double division matches floor() only while the quotient's
+    # fraction stays away from representability boundaries (diverges
+    # for rank beyond ~2^26); `div` is exact at any rank and is the
+    # same operator the DuckDB oracle's `//` performs.
     slim = [
         leg.select(
             F.col(id_col),
-            (
-                F.lit(_RRF_NANO)
-                / (F.lit(rrf_k) + F.col(rank_col).cast("long"))
-            )
-            .cast("long")
-            .alias("contrib"),
+            F.expr(
+                f"{_RRF_NANO}L div "
+                f"({rrf_k}L + cast(`{rank_col}` as bigint))"
+            ).alias("contrib"),
         )
         for leg in legs
     ]

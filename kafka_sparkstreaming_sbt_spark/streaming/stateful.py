@@ -84,7 +84,21 @@ def running_totals(transactions: DataFrame) -> DataFrame:
 def ensure_tws_support() -> None:
     """Raise with the missing dependency if Spark 4's
     transformWithState Python runner can't start here (it imports
-    ``google.protobuf`` in the state-server handshake)."""
+    ``google.protobuf`` in the state-server handshake).
+
+    Vendoring investigated and rejected (r8): pyspark's generated
+    ``StateMessage_pb2`` drives the FULL descriptor-pool runtime
+    (``descriptor_pool`` + ``internal.builder`` over a serialized
+    FileDescriptorProto, with a runtime-version handshake pinned to
+    protobuf 6.x) — a local shim would have to reimplement protobuf
+    wire-format encode/decode generically from descriptors, and any
+    subtle divergence corrupts the JVM<->Python state-server protocol
+    SILENTLY (wrong state, not an error).  Installs are off-limits in
+    this environment, so the honest posture is the machine-visible
+    gate: bench records ``tws_state_api: gated``, and
+    :func:`running_totals` (applyInPandasWithState — no protobuf
+    dependency) is the executable equivalent, covering the same
+    per-key cross-batch state semantics in the test suite."""
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as e:  # pragma: no cover - env-dependent

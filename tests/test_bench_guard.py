@@ -1,0 +1,145 @@
+"""Bench contamination gate (bench.py): the committed BENCH artifact
+must never be a run the host degraded mid-flight.  Two rounds running
+the round record was contaminated (r7: sentinel 0.49 s -> 2.50 s,
+47 spread retries) while the clean run lived only in PERF.md prose —
+the gate makes that artifact impossible to emit.
+
+These tests are Spark-free: the verdict is a pure function, and the
+refusal path is exercised by driving main() with stubbed measurement
+passes.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import pytest
+
+_BENCH = Path(__file__).resolve().parent.parent / "bench.py"
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location("bench_mod", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_clean_run_passes(bench):
+    bad, ratio = bench.contamination_verdict(0.49, 0.52, 3)
+    assert not bad
+    assert ratio == pytest.approx(1.061, abs=1e-3)
+
+
+def test_sentinel_degradation_trips_gate(bench):
+    # the exact committed-r7 signature: 0.4882 -> 2.5006, 47 retries
+    bad, ratio = bench.contamination_verdict(0.4882, 2.5006, 47)
+    assert bad
+    assert ratio > bench.MAX_SENTINEL_RATIO
+
+
+def test_sentinel_ratio_alone_trips_gate(bench):
+    bad, _ = bench.contamination_verdict(0.50, 0.70, 0)
+    assert bad  # 1.4 > 1.3 even with zero retries
+
+
+def test_retry_count_alone_trips_gate(bench):
+    bad, ratio = bench.contamination_verdict(0.50, 0.50, 16)
+    assert bad
+    assert ratio == 1.0  # sentinel clean; retries are the tripwire
+
+
+def test_boundary_values_pass(bench):
+    bad, _ = bench.contamination_verdict(
+        0.50, 0.50 * bench.MAX_SENTINEL_RATIO, bench.MAX_SPREAD_RETRIES
+    )
+    assert not bad  # <= is clean on both axes
+
+
+def test_zero_sentinel_is_contaminated(bench):
+    bad, ratio = bench.contamination_verdict(0.0, 0.5, 0)
+    assert bad and ratio == float("inf")
+
+
+def _run_main_with_stub(bench, monkeypatch, passes, force_emit=False):
+    """Drive main() with _measure_once stubbed to return canned
+    sentinel pairs; returns (exit_code, emitted payloads)."""
+    emitted = []
+    calls = {"n": 0}
+
+    class _FakeSpark:
+        def stop(self):
+            pass
+
+    def fake_measure(spark, sf_dir, sf, load_start):
+        s0, s1, retries = passes[min(calls["n"], len(passes) - 1)]
+        calls["n"] += 1
+        return (
+            {
+                "queries": {"q": 1.0},
+                "sentinel_start_sec": s0,
+                "sentinel_end_sec": s1,
+                "queries_retried_for_spread": retries,
+            },
+            {},
+        )
+
+    monkeypatch.setattr(bench, "_measure_once", fake_measure)
+    monkeypatch.setattr(bench, "get_spark", lambda **kw: _FakeSpark())
+    monkeypatch.setattr(bench, "_wait_for_idle", lambda *a: 0.1)
+    monkeypatch.setattr(
+        bench, "_emit", lambda full, extras, timings: emitted.append(full)
+    )
+    if force_emit:
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_FORCE_EMIT", "1")
+    else:
+        monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE_EMIT", raising=False)
+    code = 0
+    try:
+        bench.main()
+    except SystemExit as e:
+        code = e.code
+    return code, emitted, calls["n"]
+
+
+def test_main_emits_clean_first_pass(bench, monkeypatch):
+    code, emitted, n = _run_main_with_stub(
+        bench, monkeypatch, [(0.5, 0.52, 2)]
+    )
+    assert code == 0 and len(emitted) == 1 and n == 1
+    assert emitted[0]["sentinel_ratio"] == pytest.approx(1.04)
+    assert "contaminated" not in emitted[0]
+
+
+def test_main_retries_once_then_emits_clean(bench, monkeypatch):
+    code, emitted, n = _run_main_with_stub(
+        bench,
+        monkeypatch,
+        [(0.49, 2.50, 47), (0.50, 0.51, 1)],
+    )
+    assert code == 0 and len(emitted) == 1 and n == 2
+    assert emitted[0]["sentinel_ratio"] == pytest.approx(1.02)
+
+
+def test_main_refuses_after_two_contaminated_passes(bench, monkeypatch):
+    code, emitted, n = _run_main_with_stub(
+        bench,
+        monkeypatch,
+        [(0.49, 2.50, 47), (0.48, 1.90, 22)],
+    )
+    assert code == 2  # hard refusal: no artifact line at all
+    assert emitted == [] and n == 2
+
+
+def test_main_force_emit_stamps_contaminated(bench, monkeypatch):
+    code, emitted, n = _run_main_with_stub(
+        bench,
+        monkeypatch,
+        [(0.49, 2.50, 47), (0.48, 1.90, 22)],
+        force_emit=True,
+    )
+    assert code == 0 and len(emitted) == 1
+    assert emitted[0]["contaminated"] is True

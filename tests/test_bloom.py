@@ -99,6 +99,47 @@ def test_broadcast_budget_guard(keyed):
         )
 
 
+def test_fan_in_spreads_over_multiple_groups(keyed):
+    """The tree-reduce fan key must distribute per-partition bitmaps
+    over >1 fan group for a multi-partition input — a degenerate
+    single group would np.stack-materialize all P bitmaps in one OR
+    task, voiding the documented memory bound.  (Regression: a
+    monotonically_increasing_id-based key was partition_id << 33 on
+    the one-row-per-partition partials, making pmod 64 identically
+    zero.)"""
+    from kafka_sparkstreaming_sbt_spark.operators.bloom import (
+        _bitmap_partials,
+        bloom_params,
+    )
+
+    corpus, _ = keyed
+    n_bits, n_hashes = bloom_params(5000, 0.01)
+    partials = _bitmap_partials(
+        corpus.repartition(8), "key", n_bits, n_hashes
+    )
+    fans = {r["fan"] for r in partials.select("fan").collect()}
+    assert len(fans) > 1, f"fan-in collapsed to {fans}"
+
+
+def test_null_keys_pass_through_as_new(keyed, spark):
+    """NULL batch keys are kept as new (anti-join semantics) even
+    when the corpus itself contains a NULL key — the documented
+    NOT-EXISTS convention, deliberately unlike SQL NOT IN."""
+    corpus, batch = keyed
+    null_row = spark.range(1).select(
+        F.lit(None).cast("string").alias("key")
+    )
+    out = bloom_screen(
+        batch.unionByName(null_row),
+        corpus.unionByName(null_row),
+        "key",
+        expected_items=5000,
+    )
+    keys = [r["key"] for r in out.collect()]
+    assert None in keys
+    assert len(keys) == 1001  # 5000..5999 plus the NULL row
+
+
 def test_membership_test_is_map_only(keyed):
     """The batch-side flag plan must contain no shuffle: scan ->
     codegen'd hashes -> one Arrow pass."""

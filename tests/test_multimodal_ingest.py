@@ -1,0 +1,205 @@
+"""Unified multimodal ingest screen (streaming/ingest.py — VERDICT r7
+next-5): one foreachBatch composing drift -> quality -> exact ->
+near-dup -> semantic over a (doc_id, text, embedding) stream, one
+accepted partition holding the full rows, one replay contract."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+    run_multimodal_ingest_pipeline,
+    screen_multimodal_micro_batch,
+)
+
+SCHEMA = "doc_id long, text string, embedding array<double>"
+
+
+def _text(i):
+    return " ".join(f"tok{i}x{j}" for j in range(10))
+
+
+def _vec(i, dim=8):
+    # axis-pair vectors: identical for i ≡ j (mod 8), cosine ≤ ~0.4
+    # otherwise — so "same id mod 8" is a semantic dup and anything
+    # else is safely below the 0.9 threshold.  Corpus ids 0-3 occupy
+    # axes 0-3; test uniques must pick distinct residues ∉ {0,1,2,3}.
+    v = [0.0] * dim
+    v[i % dim] = 1.0
+    v[(i * 3 + 1) % dim] += 0.2
+    return v
+
+
+def _rows(ids, text_of, vec_of):
+    return [(i, text_of(i), vec_of(i)) for i in ids]
+
+
+@pytest.fixture
+def dirs():
+    made = [
+        tempfile.mkdtemp(prefix=p)
+        for p in ("src_", "acc_", "cells_", "ckpt_")
+    ]
+    yield made
+    for d in made:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _corpus(spark):
+    docs = spark.createDataFrame(
+        [(i, _text(i)) for i in range(4)], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(4)],
+        "doc_id long, embedding array<double>",
+    )
+    return docs, emb
+
+
+def test_two_wave_e2e_all_five_reject_reasons(spark, dirs):
+    """Wave 1 exercises every verdict: a corpus text dup, a corpus
+    SEMANTIC dup (new text, near-identical vector), a within-batch
+    text dup, and clean uniques; wave 2 proves accepted-lake
+    visibility on BOTH modalities (text dup of a wave-1 survivor AND
+    vector dup of a wave-1 survivor die)."""
+    src, acc, cells, ckpt = dirs
+    docs, emb = _corpus(spark)
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    seen = []
+    q = run_multimodal_ingest_pipeline(
+        stream, docs, emb, acc, cells, ckpt,
+        n_cells=2, method="numpy",
+        on_batch=lambda bid, n, a: seen.append((bid, n, a)),
+    )
+    try:
+        wave1 = [
+            (10, _text(0), _vec(40)),      # text dup of corpus 0
+            (11, _text(11), _vec(1)),      # semantic dup of corpus 1
+            (12, _text(12), _vec(45)),     # clean unique (axis 5)
+            (13, _text(12), _vec(46)),     # within-batch text dup of 12
+            (14, _text(14), _vec(47)),     # clean unique (axis 7)
+        ]
+        spark.createDataFrame(wave1, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+        q.processAllAvailable()
+        wave2 = [
+            (20, _text(12), _vec(53)),     # text dup of ACCEPTED 12
+            (21, _text(21), _vec(47)),     # vector dup of ACCEPTED 14
+            (22, _text(22), _vec(60)),     # clean unique (axis 4)
+        ]
+        spark.createDataFrame(wave2, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(acc)
+    assert {r.doc_id for r in out.collect()} == {12, 14, 22}
+    # full rows persisted: text AND embedding in one partition
+    assert set(out.columns) == {"doc_id", "text", "embedding", "batch_id"}
+    row = out.filter(F.col("doc_id") == 12).collect()[0]
+    assert row.text == _text(12) and len(row.embedding) == 8
+    # the hook priced all screens together
+    assert [s for s in seen if s[1] > 0] == [(0, 5, 2), (1, 3, 1)]
+    # cell-assignment increments exist for exactly the accepted ids
+    incr = spark.read.parquet(f"{cells}/incr")
+    assert {r.doc_id for r in incr.collect()} == {12, 14, 22}
+
+
+def test_multimodal_replay_is_idempotent(spark, dirs):
+    """Replaying a batch (all its artifacts already written) must
+    reproduce identical verdicts and leave the lake byte-identical —
+    the strict-inequality exclusion covers the accepted rows, the
+    signature/exact increments, and the cell assignments at once."""
+    _, acc, cells, _ = dirs
+    sig = tempfile.mkdtemp(prefix="sig_")
+    exact = tempfile.mkdtemp(prefix="exact_")
+    try:
+        docs, emb = _corpus(spark)
+        from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+            materialize_corpus_signatures,
+            materialize_exact_screen,
+            materialize_semantic_quantizer,
+        )
+
+        materialize_corpus_signatures(docs, sig)
+        materialize_exact_screen(docs, exact, expected_items=100)
+        materialize_semantic_quantizer(
+            emb, cells, n_cells=2, id_col="doc_id"
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, _text(0), _vec(40)),   # exact text dup of corpus
+                (11, _text(11), _vec(1)),   # semantic dup of corpus
+                (12, _text(12), _vec(45)),  # unique (axis 5)
+            ],
+            SCHEMA,
+        )
+        kw = dict(
+            method="numpy", signature_dir=sig, exact_dir=exact
+        )
+        def lake_state():
+            return {
+                (r.doc_id, r.text, tuple(r.embedding), r.batch_id)
+                for r in spark.read.parquet(acc).collect()
+            }
+
+        r1 = screen_multimodal_micro_batch(
+            batch, 0, docs, emb, acc, cells, **kw
+        )
+        state1 = lake_state()
+        r2 = screen_multimodal_micro_batch(
+            batch, 0, docs, emb, acc, cells, **kw
+        )
+        state2 = lake_state()
+        assert r1 == r2 == (3, 1)
+        assert state1 == state2
+        assert {r.doc_id for r in spark.read.parquet(acc).collect()} == {12}
+        # increments also stable: one signature/hash/cell partition
+        assert {
+            r.doc_id
+            for r in spark.read.parquet(f"{cells}/incr").collect()
+        } == {12}
+        hashes = spark.read.parquet(f"{exact}/hashes/incr")
+        assert hashes.count() == 1  # md5 of doc 12's text only
+    finally:
+        shutil.rmtree(sig, ignore_errors=True)
+        shutil.rmtree(exact, ignore_errors=True)
+
+
+def test_multimodal_drift_hold_keeps_embeddings(spark, dirs):
+    """A drift-held batch is dead-lettered WHOLE — embeddings
+    included — so a later release can re-screen the full rows."""
+    src, acc, cells, ckpt = dirs
+    drift = tempfile.mkdtemp(prefix="drift_")
+    try:
+        docs, emb = _corpus(spark)
+        stream = spark.readStream.schema(SCHEMA).json(src)
+        holds = []
+        q = run_multimodal_ingest_pipeline(
+            stream, docs, emb, acc, cells, ckpt,
+            n_cells=2, method="numpy",
+            drift_dir=drift,
+            on_hold=lambda bid, alarms: holds.append((bid, alarms)),
+        )
+        try:
+            # broken producer nulls text
+            spark.createDataFrame(
+                [(50, None, _vec(50)), (51, None, _vec(51))], SCHEMA
+            ).coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert [bid for bid, _ in holds] == [0]
+        held = spark.read.parquet(f"{drift}/held")
+        assert held.count() == 2
+        assert "embedding" in held.columns
+        assert len(held.collect()[0].embedding) == 8
+    finally:
+        shutil.rmtree(drift, ignore_errors=True)

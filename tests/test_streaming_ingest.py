@@ -593,6 +593,313 @@ def test_exact_prefilter_replay_and_fold(spark, dirs):
             shutil.rmtree(d, ignore_errors=True)
 
 
+# ------------------------------------------------ held-batch release --
+
+
+def test_release_held_batches_after_baseline_refresh(spark, dirs):
+    """VERDICT r7 wrong-3 / r8 #3 done-criteria: hold a batch on a
+    null-jump, refresh the baseline, release — survivors land (under
+    the negative release partition, visible to later stream screens),
+    dups still die on release, a still-alarming batch stays held,
+    and a replayed release is a no-op."""
+    import tempfile
+
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        _RELEASE_BASE,
+        _list_batch_ids,
+        rebuild_drift_baseline,
+        release_held_batches,
+        screen_micro_batch,
+    )
+
+    src, acc, ckpt = dirs
+    drift = tempfile.mkdtemp(prefix="drift_")
+    try:
+        schema = "doc_id long, text string, lang string"
+        corpus = spark.createDataFrame(
+            [(i, T[k], "en") for i, k in enumerate(("c0", "u1"))],
+            schema,
+        )
+        stream = spark.readStream.schema(schema).json(src)
+        holds = []
+        q = run_dedup_ingest_pipeline(
+            stream, corpus, acc, ckpt,
+            drift_dir=drift, drift_cols=("text", "lang"),
+            on_hold=lambda bid, alarms: holds.append((bid, alarms)),
+        )
+        u5 = "quartz rivet slate timber umber velvet willow xenon yarrow zephyr"
+        u6 = "anchor basil cedar dahlia elm fennel ginkgo hazel ivy juniper"
+        u7 = "orchid pine quince rowan sage thistle ulex verbena wisteria yew"
+        try:
+            # wave 0: clean
+            spark.createDataFrame(
+                [(30, u5, "en")], schema
+            ).coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+            # wave 1: producer nulls `lang` -> null-jump HOLD.  The
+            # batch carries two clean uniques AND one exact copy of
+            # the corpus doc (41) — the copy must still die on
+            # release.
+            spark.createDataFrame(
+                [(40, u6, None), (41, T["c0"], None), (42, u7, None)],
+                schema,
+            ).coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+            # wave 2: text itself goes null — must STAY held even
+            # after the lang-tolerant baseline refresh
+            spark.createDataFrame(
+                [(50, None, "en"), (51, None, "en")], schema
+            ).coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert sorted(bid for bid, _ in holds) == [1, 2]
+        assert {r.doc_id for r in spark.read.parquet(acc).collect()} == {30}
+
+        # refresh: the operator decides `lang` is gone from the feed
+        # for good — the new corpus snapshot nulls it out, so the
+        # held batch's 100% null rate no longer jumps vs baseline
+        corpus2 = spark.createDataFrame(
+            [(0, T["c0"], None), (1, T["u1"], None)], schema
+        )
+        rebuild_drift_baseline(
+            corpus2, drift, cols=("text", "lang"), accepted_dir=acc
+        )
+        released = release_held_batches(
+            spark, corpus, acc, drift, drift_cols=("text", "lang")
+        )
+        # batch 1 released (3 in, 2 survived); batch 2 still alarms
+        assert released == {1: (3, 2), 2: None}
+        assert _list_batch_ids(spark, f"{drift}/held") == [2]
+        out = spark.read.parquet(acc)
+        ids = {r.doc_id for r in out.collect()}
+        assert ids == {30, 40, 42}  # 41 (corpus dup) died on release
+        parts = set(_list_batch_ids(spark, acc))
+        assert _RELEASE_BASE + 1 in parts
+        # a later STREAM batch must see released docs as corpus: an
+        # exact near-dup copy of released 40 dies in batch 5
+        batch5 = spark.createDataFrame(
+            [(60, u6), (61, _unique_text(99))],
+            "doc_id long, text string",
+        )
+        n, a = screen_micro_batch(
+            batch5, 5, corpus.select("doc_id", "text"), acc
+        )
+        assert (n, a) == (2, 1)
+        assert {
+            r.doc_id for r in spark.read.parquet(acc).collect()
+        } == {30, 40, 42, 61}
+        # replayed release: nothing releasable is re-screened, the
+        # still-held batch stays, the lake is untouched
+        again = release_held_batches(
+            spark, corpus, acc, drift, drift_cols=("text", "lang")
+        )
+        assert again == {2: None}
+        assert {
+            r.doc_id for r in spark.read.parquet(acc).collect()
+        } == {30, 40, 42, 61}
+    finally:
+        shutil.rmtree(drift, ignore_errors=True)
+
+
+# ------------------------------------------- bloom saturation rebuild --
+
+
+def test_bloom_saturation_rebuild_swaps_generation(spark, dirs):
+    """VERDICT r7 wrong-2 / r8 #2 done-criteria: ingest past the
+    frozen ``expected_items`` budget, watch the density metric fire,
+    rebuild with larger n_bits via the staged atomic swap, and prove
+    verdicts identical before/after with replay still idempotent."""
+    import os
+    import tempfile
+
+    from kafka_sparkstreaming_sbt_spark.operators.bloom import (
+        bloom_fill_fraction,
+    )
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        _list_batch_ids,
+        _load_exact_bloom,
+        materialize_exact_screen,
+        rebuild_exact_bloom,
+        screen_micro_batch,
+    )
+
+    acc, exact = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        corpus = spark.createDataFrame(
+            [(0, T["c0"])], "doc_id long, text string"
+        )
+        # budget frozen at 4 keys -> 40-bit bitmap; 6 accepted uniques
+        # blow straight past it
+        materialize_exact_screen(corpus, exact, expected_items=4)
+        old = spark.read.parquet(f"{exact}/bloom/base").collect()[0]
+        for i in range(6):
+            batch = spark.createDataFrame(
+                [(100 + i, _unique_text(i)), (500 + i, T["c0"])],
+                "doc_id long, text string",
+            )
+            screen_micro_batch(batch, i, corpus, acc, exact_dir=exact)
+        # the metric fires: the outgrown filter is past the 0.5 line
+        bitmap, n_bits, _ = _load_exact_bloom(spark, exact, 6)
+        fill_before = bloom_fill_fraction(bitmap)
+        assert fill_before > 0.5
+        assert n_bits == old.n_bits
+        # staged rebuild sized from the ACTUAL key count (7)
+        rebuild_exact_bloom(spark, corpus, acc, exact, upto_batch=6)
+        new = spark.read.parquet(f"{exact}/bloom/base").collect()[0]
+        assert new.n_bits > old.n_bits
+        bitmap2, n_bits2, _ = _load_exact_bloom(spark, exact, 6)
+        assert n_bits2 == new.n_bits
+        assert bloom_fill_fraction(bitmap2) < 0.5
+        # atomic swap bookkeeping: covered incr gone, coverage
+        # recorded in the generation row, no staging residue
+        assert _list_batch_ids(spark, f"{exact}/bloom/incr") == []
+        assert new.upto == 6
+        assert not os.path.exists(f"{exact}/bloom/_rebuild")
+        # verdicts identical after the swap: exact copies of corpus
+        # AND of pre-rebuild accepted docs still die, uniques pass
+        batch6 = spark.createDataFrame(
+            [
+                (106, _unique_text(6)),
+                (506, T["c0"]),
+                (306, _unique_text(3)),
+            ],
+            "doc_id long, text string",
+        )
+        n, a = screen_micro_batch(
+            batch6, 6, corpus, acc, exact_dir=exact
+        )
+        assert (n, a) == (3, 1)
+        ids = {r.doc_id for r in spark.read.parquet(acc).collect()}
+        assert ids == {100 + i for i in range(7)}
+        # replay of batch 6 (incr artifacts exist, NEW n_bits): same
+        # verdicts, lake unchanged
+        n2, a2 = screen_micro_batch(
+            batch6, 6, corpus, acc, exact_dir=exact
+        )
+        assert (n2, a2) == (n, a)
+        assert {
+            r.doc_id for r in spark.read.parquet(acc).collect()
+        } == ids
+    finally:
+        shutil.rmtree(acc, ignore_errors=True)
+        shutil.rmtree(exact, ignore_errors=True)
+
+
+def test_bloom_rebuild_crash_recovery_both_phases(spark, dirs):
+    """The staged-generation protocol for the bloom rebuild: a
+    staging dir WITHOUT its _UPTO marker rolls back (old base
+    intact); one WITH the marker rolls forward (swap + covered-incr
+    deletes completed by recovery)."""
+    import os
+    import tempfile
+
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        _list_batch_ids,
+        materialize_exact_screen,
+        recover_exact_screen,
+        screen_micro_batch,
+    )
+
+    acc, exact = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        corpus = spark.createDataFrame(
+            [(0, T["c0"])], "doc_id long, text string"
+        )
+        materialize_exact_screen(corpus, exact, expected_items=4)
+        for i in range(3):
+            batch = spark.createDataFrame(
+                [(100 + i, _unique_text(i))], "doc_id long, text string"
+            )
+            screen_micro_batch(batch, i, corpus, acc, exact_dir=exact)
+        old = spark.read.parquet(f"{exact}/bloom/base").collect()[0]
+
+        # crash DURING the staging write: dir present, no _SUCCESS
+        spark.createDataFrame(
+            [(99999, 3, bytearray(b"\xff" * (99999 // 8)), 3)],
+            "n_bits long, n_hashes long, bitmap binary, upto long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{exact}/bloom/_rebuild/upto=3"
+        )
+        os.remove(f"{exact}/bloom/_rebuild/upto=3/_SUCCESS")
+        recover_exact_screen(spark, exact)
+        assert not os.path.exists(f"{exact}/bloom/_rebuild")
+        rolled_back = spark.read.parquet(f"{exact}/bloom/base").collect()[0]
+        assert rolled_back.n_bits == old.n_bits  # old generation intact
+        assert _list_batch_ids(spark, f"{exact}/bloom/incr") == [0, 1, 2]
+
+        # crash AFTER the staging committed (_SUCCESS present) but
+        # before the swap: recovery rolls FORWARD
+        n_bits_new = 1600
+        spark.createDataFrame(
+            [(n_bits_new, 5, bytearray(bytes(n_bits_new // 8)), 3)],
+            "n_bits long, n_hashes long, bitmap binary, upto long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{exact}/bloom/_rebuild/upto=3"
+        )
+        recover_exact_screen(spark, exact)
+        assert not os.path.exists(f"{exact}/bloom/_rebuild")
+        swapped = spark.read.parquet(f"{exact}/bloom/base").collect()[0]
+        assert swapped.n_bits == n_bits_new
+        assert _list_batch_ids(spark, f"{exact}/bloom/incr") == []
+        assert swapped.upto == 3
+    finally:
+        shutil.rmtree(acc, ignore_errors=True)
+        shutil.rmtree(exact, ignore_errors=True)
+
+
+def test_pipeline_probes_density_and_rebuilds_mid_stream(spark, dirs):
+    """End-to-end wiring: with a tiny frozen budget the pipeline's
+    compaction hook observes the fill fraction crossing 0.5
+    (on_bloom_density) and swaps in a larger generation mid-stream —
+    and verdicts after the swap still hold."""
+    src, acc, ckpt = dirs
+    import tempfile
+
+    exact = tempfile.mkdtemp(prefix="exact_")
+    try:
+        corpus = spark.createDataFrame(
+            [(0, T["c0"])], "doc_id long, text string"
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string").json(src)
+        )
+        densities = []
+        q = run_dedup_ingest_pipeline(
+            stream, corpus, acc, ckpt,
+            exact_dir=exact,
+            bloom_expected_items=4,
+            compact_every=2,
+            on_bloom_density=lambda bid, fill: densities.append(
+                (bid, fill)
+            ),
+        )
+        initial = spark.read.parquet(f"{exact}/bloom/base").collect()[0]
+        try:
+            for i in range(7):
+                rows = [(100 + i, _unique_text(i)), (500 + i, T["c0"])]
+                if i >= 2:
+                    rows.append((300 + i, _unique_text(i - 2)))
+                spark.createDataFrame(
+                    rows, "doc_id long, text string"
+                ).coalesce(1).write.mode("append").json(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        # probe fired at each compaction (batches 2, 4, 6) and
+        # crossed the rebuild line at least once
+        assert [bid for bid, _ in densities] == [2, 4, 6]
+        assert any(fill > 0.5 for _, fill in densities)
+        # a larger generation was swapped in mid-stream
+        final = spark.read.parquet(f"{exact}/bloom/base").collect()[0]
+        assert final.n_bits > initial.n_bits
+        # and the verdicts held throughout: uniques in, copies out
+        ids = {r.doc_id for r in spark.read.parquet(acc).collect()}
+        assert ids == {100 + i for i in range(7)}
+    finally:
+        shutil.rmtree(exact, ignore_errors=True)
+
+
 def test_drift_gate_holds_broken_feed_and_passes_clean(spark, dirs):
     """The drift HOLD (drift_dir=): a clean wave flows through the
     screens untouched; a producer bug that repeats one text
