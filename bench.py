@@ -17,8 +17,8 @@ untouched control queries inflated ~1.3x, making the round-over-round
 table unreadable):
 
 - the bench WAITS (up to ``$SPARK_GRAFT_BENCH_IDLE_WAIT`` sec, default
-  300) for the 1-minute load average to drop below
-  ``$SPARK_GRAFT_BENCH_MAX_LOAD`` (default 4.0) before starting;
+  600) for the 1-minute load average to drop below
+  ``$SPARK_GRAFT_BENCH_MAX_LOAD`` (default 1.0) before starting;
 - a query whose min-of-N run spread exceeds 25% gets up to 2 extra
   runs — transient load that poisons all N baseline runs still gets
   a chance at a clean minimum;
@@ -666,6 +666,16 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
             spark.catalog.clearCache()
             return dt
 
+        # WARM-UP, untimed: a query's first execution in a session
+        # pays plan compilation, codegen, and shuffle-file creation —
+        # a fixed cold-start cost, not steady-state wall.  Timing it
+        # into the samples never changed the min, but it tripped the
+        # 25% spread guard on ~half the registry even on an IDLE box
+        # (r7/r8 measured 47 "retries" that were really cold starts),
+        # which in turn tripped the contamination gate.  One warm-up
+        # run keeps the spread guard measuring what it claims:
+        # mid-run ambient variance.
+        one_run()
         samples = [one_run() for _ in range(runs)]
         # spread guard: when even the min-of-N is suspect (all N runs
         # landed under transient ambient load, spread > 25% AND > 0.2s
@@ -685,6 +695,20 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
             retried.append(name)
         timings[name] = round(min(samples), 3)
         query_loads[name] = _loadavg()
+        # Driver hygiene between queries: 400+ executions accumulate
+        # py4j-referenced plan/collect garbage on the driver heap, and
+        # queries with large bounded driver collects (the PQ family's
+        # codebooks/LUTs) degrade ~3x once the old gen fills — a
+        # measured 23.4 s min-of-3 for ivf_pq_topk late in a run whose
+        # fresh-session wall is 8.5 s, with NO external load (sentinel
+        # clean).  Python gc releases the py4j refs so the JVM side
+        # becomes collectible; a periodic explicit JVM GC compacts
+        # before the next heavy collect.
+        import gc as _gc
+
+        _gc.collect()
+        if len(timings) % 20 == 0:
+            spark._jvm.System.gc()
 
     recall = ivf_kmeans_recall(spark, sf_dir)
     pq_recall = pq_rerank_recall(spark, sf_dir)
@@ -805,8 +829,13 @@ def _emit(full: dict, full_detail_extras: dict, timings: dict) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
-    idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "300"))
+    # defaults tightened in r8: a 1-minute load below 1.0 before the
+    # first measurement (the round-record criterion), waiting up to
+    # 10 min for the tail of whatever ran before to decay — past the
+    # timeout the bench still runs, and the sentinel pair + retry
+    # count decide whether the result is emittable
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0"))
+    idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "600"))
     load_start = _wait_for_idle(max_load, idle_wait)
     # progress bars write "[Stage N]" control lines to stdout, which
     # eat into the same 2000-char tail the final JSON line must fit in

@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import shutil
 import sys
 import tempfile
@@ -425,6 +426,23 @@ def run_bloom_scale(
     bloom = build_bloom(corpus, "text", expected_items=n_docs, fpp=0.01)
     d["bloom_build_wall_s"] = round(time.perf_counter() - t0, 2)
     d["bloom_bitmap_mb"] = round(len(bloom[0]) / 1e6, 2)
+    # saturation-probe economics (r8): one fancy-index numpy pass at
+    # fold time is the entire recurring cost of density monitoring —
+    # time it at this bitmap size, and gate measured fill against the
+    # analytic expectation 1-exp(-kn/m) (a corpus-scale determinism
+    # check on the whole double-hash + tree-reduce path)
+    from kafka_sparkstreaming_sbt_spark.operators.bloom import (
+        bloom_fill_fraction,
+    )
+
+    t0 = time.perf_counter()
+    fill = bloom_fill_fraction(bloom[0])
+    d["fill_probe_wall_s"] = round(time.perf_counter() - t0, 4)
+    d["fill_fraction"] = round(fill, 4)
+    d["fill_expected"] = round(
+        1.0 - math.exp(-bloom[2] * n_docs / bloom[1]), 4
+    )
+    d["fill_matches_theory"] = abs(fill - d["fill_expected"]) < 0.02
     hash_path = f"{scratch}/bloomhash_{n_docs}"
     t0 = time.perf_counter()
     corpus.select(F.md5("text").alias("h")).write.mode(
@@ -1689,6 +1707,15 @@ def main() -> int:
             f"1% target",
             bloom_result["fp_rate"] <= 0.03,
         ),
+        *[
+            (
+                f"bloom fill {br['fill_fraction']} matches theory "
+                f"{br['fill_expected']} @ {br['n_docs']:,} "
+                f"(probe {br['fill_probe_wall_s']}s)",
+                bool(br["fill_matches_theory"]),
+            )
+            for br in bloom_results
+        ],
         *[
             (
                 f"bloom confirm join touches only the positive slice "
