@@ -29,7 +29,10 @@ FAMILIES: dict[str, set[str]] = {
     "olap-agg": {"pricing_summary", "monthly_order_stats", "order_priority_rollup"},
     "olap-join": {"revenue_by_nation"},
     "olap-grouped-topk": {"top_customers_per_nation"},
-    "olap-anti-join": {"parts_without_bulk"},
+    # anti-join shape: parts_without_bulk (LEFT ANTI) rotated to
+    # overflow in r8; lapsed_customers (EXCEPT -> anti-join under
+    # Catalyst) pins the same physical family in the window
+    "olap-anti-join": {"parts_without_bulk", "lapsed_customers"},
     "olap-pivot": {"order_status_pivot"},
     "olap-except": {"lapsed_customers"},
     "olap-multi-grain": {"multi_grain_rollup"},
@@ -42,10 +45,11 @@ FAMILIES: dict[str, set[str]] = {
     "scd2": {"scd2_user_state", "purchase_state_pit"},
     "sampling": {"stratified_sample", "split_assignment"},
     "quantiles": {"quantity_quantiles"},
+    # the zero-shuffle regexp/map text family: any member pins the
+    # codegen'd per-row-chain shape (r8 rotated the PII/repetition/
+    # decontamination VARIANTS to overflow to make room for the
+    # r6/r7 families below — VERDICT r7 #4)
     "text-stats": {"text_token_stats", "text_quality", "text_lang_id"},
-    "text-pii": {"redact_pii"},
-    "text-repetition": {"repetition_stats"},
-    "text-decontamination": {"benchmark_overlap"},
     "text-tfidf-lm": {"tf_idf", "bigram_pmi"},
     "chunk-pack": {"packed_sequences", "chunk_dedup_docs"},
     "sketch-cms": {"cms_heavy_hitters"},
@@ -54,9 +58,19 @@ FAMILIES: dict[str, set[str]] = {
     "dedup-simhash": {"simhash_near_dup"},
     "dedup-ngram-jaccard": {"ngram_jaccard_pairs"},
     "dedup-graph": {"near_dup_groups", "canonical_docs"},
+    "dedup-bloom-screen": {"bloom_screened_docs"},
+    "dedup-soft-weights": {"soft_dedup_weights"},
     "ann-brute-topk": {"ann_cosine_topk"},
     "ann-lsh-pairs": {"embedding_similar_pairs"},
     "ann-ivf": {"ivf_topk"},
+    "ann-pq": {"pq_topk_rerank"},
+    "retrieval-bm25": {"bm25_topk"},
+    "retrieval-rrf": {"hybrid_retrieval_rrf"},
+    "graph-pagerank": {"pagerank_weights"},
+    "selection-dsir": {"dsir_selected_docs"},
+    "classify-nb": {"nb_quality_scores"},
+    "source-warc": {"wet_roundtrip_docs"},
+    "profile-drift": {"profile_drift_alarm"},
     "multimodal": {"multimodal_decode"},
 }
 
