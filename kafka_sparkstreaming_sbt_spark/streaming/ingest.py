@@ -1142,11 +1142,25 @@ def release_held_batches(
     drift_cols: tuple[str, ...] = ("text",),
     drift_null_jump: float = 0.02,
     drift_distinct_drop: float = 0.5,
+    corpus_emb: DataFrame | None = None,
+    cells_dir: str | None = None,
+    semantic_threshold: float = 0.9,
+    method: str = "sql",
+    max_cell_size: int | None = None,
 ) -> dict[int, tuple[int, int] | None]:
     """Re-screen every batch in ``drift_dir/held`` through the FULL
     screen stack (drift gate vs the CURRENT baseline -> quality ->
     exact -> near-dup) and land survivors in the lake — the release
     path the drift HOLD needs after :func:`rebuild_drift_baseline`.
+
+    For a MULTIMODAL lake (held rows carry embeddings, accepted
+    partitions hold full rows) pass ``corpus_emb`` AND ``cells_dir``:
+    the release then runs :func:`screen_multimodal_micro_batch` —
+    semantic stage included — and writes full (doc_id, text,
+    embedding) rows, keeping every accepted partition's schema
+    identical.  Releasing a multimodal lake through the text-only
+    path would write embedding-less partitions that poison later
+    reads.
 
     Per held batch N: (1) re-check drift against the current
     baseline — a batch that still alarms STAYS held (mapped to None
@@ -1166,6 +1180,10 @@ def release_held_batches(
 
     Returns {held_batch_id: (n_screened, n_accepted) | None-if-still-
     held}."""
+    if (corpus_emb is None) != (cells_dir is None):
+        raise ValueError(
+            "multimodal release needs BOTH corpus_emb and cells_dir"
+        )
     held_root = f"{drift_dir}/held"
     results: dict[int, tuple[int, int] | None] = {}
     held_ids = _list_batch_ids(spark, held_root)
@@ -1198,30 +1216,54 @@ def release_held_batches(
             _delete_batch_partition(
                 spark, f"{exact_dir}/bloom/incr", release_id
             )
+        if cells_dir is not None:
+            _delete_batch_partition(
+                spark, f"{cells_dir}/incr", release_id
+            )
         if quality_model is not None:
             from kafka_sparkstreaming_sbt_spark.operators.classify import (
                 quality_filter,
             )
 
-            batch = quality_filter(
-                batch,
+            kept = quality_filter(
+                batch.select("doc_id", "text"),
                 quality_model,
                 threshold_nats=quality_threshold,
                 n_buckets=quality_n_buckets,
                 seed=quality_seed,
+            ).select("doc_id")
+            batch = batch.join(kept, "doc_id", "left_semi")
+        if corpus_emb is not None:
+            results[held_id] = screen_multimodal_micro_batch(
+                batch,
+                release_id,
+                corpus_docs,
+                corpus_emb,
+                accepted_dir,
+                cells_dir,
+                threshold=threshold,
+                shingle_n=shingle_n,
+                n_bands=n_bands,
+                semantic_threshold=semantic_threshold,
+                method=method,
+                max_cell_size=max_cell_size,
+                signature_dir=signature_dir,
+                exact_dir=exact_dir,
+                corpus_upto=1 << 62,
             )
-        results[held_id] = screen_micro_batch(
-            batch,
-            release_id,
-            corpus_docs,
-            accepted_dir,
-            threshold,
-            shingle_n,
-            n_bands,
-            signature_dir=signature_dir,
-            exact_dir=exact_dir,
-            corpus_upto=1 << 62,
-        )
+        else:
+            results[held_id] = screen_micro_batch(
+                batch,
+                release_id,
+                corpus_docs,
+                accepted_dir,
+                threshold,
+                shingle_n,
+                n_bands,
+                signature_dir=signature_dir,
+                exact_dir=exact_dir,
+                corpus_upto=1 << 62,
+            )
         _delete_batch_partition(spark, held_root, held_id)
     return results
 
@@ -2008,20 +2050,24 @@ def screen_multimodal_micro_batch(
     max_cell_size: int | None = None,
     signature_dir: str | None = None,
     exact_dir: str | None = None,
+    corpus_upto: int | None = None,
 ) -> tuple[int, int]:
     """One micro-batch of the unified screen (the foreachBatch body
     past the drift/quality gates, exposed for direct replay-contract
     testing): exact -> near-dup over (doc_id, text), then semantic
     over the survivors' (doc_id, embedding), ONE full-row accepted
     write, maintenance increments for exactly the written rows.
-    Returns (n_in, n_accepted)."""
+    Returns (n_in, n_accepted).  ``corpus_upto`` decouples the corpus
+    cutoff from the partition id exactly as on
+    :func:`screen_micro_batch` (the held-batch release path)."""
     spark = batch_df.sparkSession
+    cutoff = batch_id if corpus_upto is None else corpus_upto
     batch_df = batch_df.select(
         "doc_id", "text", "embedding"
     ).localCheckpoint(eager=True)
     n_in = batch_df.count()
     _, text_ok = _screen_text_core(
-        batch_df.select("doc_id", "text"), batch_id, corpus_docs,
+        batch_df.select("doc_id", "text"), cutoff, corpus_docs,
         accepted_dir, threshold, shingle_n, n_bands, signature_dir,
         exact_dir,
     )
@@ -2032,7 +2078,7 @@ def screen_multimodal_micro_batch(
         .localCheckpoint(eager=True)
     )
     verdicts = _screen_semantic_core(
-        vec_batch, batch_id, corpus_emb, accepted_dir, cells_dir,
+        vec_batch, cutoff, corpus_emb, accepted_dir, cells_dir,
         semantic_threshold, "embedding", "doc_id", method,
         max_cell_size,
     )

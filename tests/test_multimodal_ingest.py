@@ -173,6 +173,120 @@ def test_multimodal_replay_is_idempotent(spark, dirs):
         shutil.rmtree(exact, ignore_errors=True)
 
 
+def test_multimodal_release_preserves_full_row_schema(spark, dirs):
+    """Releasing a held batch from a MULTIMODAL lake must go through
+    the full unified screen (semantic stage included) and write FULL
+    rows — a text-only release would land embedding-less partitions
+    that poison later reads of the accepted lake."""
+    import tempfile
+
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        _RELEASE_BASE,
+        _list_batch_ids,
+        rebuild_drift_baseline,
+        release_held_batches,
+    )
+
+    src, acc, cells, ckpt = dirs
+    drift = tempfile.mkdtemp(prefix="drift_")
+    schema = (
+        "doc_id long, text string, embedding array<double>, lang string"
+    )
+    try:
+        docs, emb = _corpus(spark)
+        stream = spark.readStream.schema(schema).json(src)
+        holds = []
+        corpus_l = spark.createDataFrame(
+            [(i, _text(i), "en") for i in range(4)],
+            "doc_id long, text string, lang string",
+        )
+        # corpus carries lang so the pipeline's baseline profiles it;
+        # every screen projects the columns it needs
+        q = run_multimodal_ingest_pipeline(
+            stream, corpus_l, emb,
+            acc, cells, ckpt,
+            n_cells=2, method="numpy",
+            drift_dir=drift, drift_cols=("text", "lang"),
+            on_hold=lambda bid, alarms: holds.append(bid),
+        )
+        try:
+            # wave 0: clean
+            spark.createDataFrame(
+                [(30, _text(30), _vec(52), "en")], schema
+            ).coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+            # wave 1: lang nulled -> HOLD.  Carries a corpus TEXT dup
+            # (40), a corpus VECTOR dup (41), and two clean uniques.
+            spark.createDataFrame(
+                [
+                    (40, _text(0), _vec(46), None),
+                    (41, _text(41), _vec(1), None),
+                    (42, _text(42), _vec(45), None),
+                    (43, _text(43), _vec(47), None),
+                ],
+                schema,
+            ).coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert holds == [1]
+        assert {r.doc_id for r in spark.read.parquet(acc).collect()} == {30}
+
+        # operator decides lang is gone for good; release
+        corpus_l2 = spark.createDataFrame(
+            [(i, _text(i), None) for i in range(4)],
+            "doc_id long, text string, lang string",
+        )
+        rebuild_drift_baseline(corpus_l2, drift, cols=("text", "lang"))
+        released = release_held_batches(
+            spark, docs, acc, drift,
+            drift_cols=("text", "lang"),
+            corpus_emb=emb, cells_dir=cells, method="numpy",
+        )
+        assert released == {1: (4, 2)}  # 40 text-dup, 41 vector-dup die
+        out = spark.read.parquet(acc)
+        assert {r.doc_id for r in out.collect()} == {30, 42, 43}
+        # FULL rows in the release partition — same schema everywhere
+        assert set(out.columns) == {
+            "doc_id", "text", "embedding", "batch_id"
+        }
+        rel = out.filter(F.col("doc_id") == 42).collect()[0]
+        assert len(rel.embedding) == 8
+        assert _RELEASE_BASE + 1 in set(_list_batch_ids(spark, acc))
+        # cell assignments exist for the released survivors
+        incr = spark.read.parquet(f"{cells}/incr")
+        assert {42, 43} <= {r.doc_id for r in incr.collect()}
+        # later batches see released docs on BOTH modalities
+        from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+            screen_multimodal_micro_batch,
+        )
+
+        batch5 = spark.createDataFrame(
+            [
+                (60, _text(42), _vec(53)),  # text dup of released 42
+                (61, _text(61), _vec(47)),  # vector dup of released 43
+                (62, _text(62), _vec(62)),  # clean (axes {6,3})
+            ],
+            SCHEMA,
+        )
+        n, a = screen_multimodal_micro_batch(
+            batch5, 5, docs, emb, acc, cells, method="numpy"
+        )
+        assert (n, a) == (3, 1)
+        assert {
+            r.doc_id for r in spark.read.parquet(acc).collect()
+        } == {30, 42, 43, 62}
+        # replayed release is a no-op
+        again = release_held_batches(
+            spark, docs, acc, drift,
+            drift_cols=("text", "lang"),
+            corpus_emb=emb, cells_dir=cells, method="numpy",
+        )
+        assert again == {}
+    finally:
+        shutil.rmtree(drift, ignore_errors=True)
+
+
 def test_multimodal_drift_hold_keeps_embeddings(spark, dirs):
     """A drift-held batch is dead-lettered WHOLE — embeddings
     included — so a later release can re-screen the full rows."""
