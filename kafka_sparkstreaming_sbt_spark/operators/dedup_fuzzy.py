@@ -268,6 +268,7 @@ def banded_signature_table(
     text_col: str = "text",
     shingle_n: int = 3,
     n_bands: int = 8,
+    compute_partitions: int | None = None,
 ) -> DataFrame:
     """The corpus-side MinHash artifact a daily ingest pipeline
     materializes once per full build and appends to per batch:
@@ -275,12 +276,23 @@ def banded_signature_table(
     Pass it to :func:`incremental_near_dup` as ``corpus_signatures``
     to skip the full-corpus re-shingle — the dominant recurring cost
     of the self-contained screen.  Append-only per doc: a new batch's
-    accepted rows contribute exactly their own signature rows."""
+    accepted rows contribute exactly their own signature rows.
+
+    ``compute_partitions`` overrides the default full-core
+    repartition — the right setting for a CORPUS build, but per-task
+    overhead dominates for a few-thousand-row streaming micro-batch,
+    where the caller knows the input is small and passes a small
+    count (the ingest screen's per-batch maintenance does)."""
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
-    sh = with_shingles(
-        parallelize_for_compute(docs), text_col, shingle_n
-    ).select("doc_id", "shingles")
+    spread = (
+        docs.repartition(compute_partitions)
+        if compute_partitions is not None
+        else parallelize_for_compute(docs)
+    )
+    sh = with_shingles(spread, text_col, shingle_n).select(
+        "doc_id", "shingles"
+    )
     return minhash_signatures(sh, n_bands).select(
         "doc_id", F.xxhash64("band", "sig").alias("bs")
     )

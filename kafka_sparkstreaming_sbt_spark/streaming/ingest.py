@@ -747,11 +747,10 @@ def _write_text_increments(
         # minhash stages' per-partition overhead dominates at 32
         # partitions for a few thousand rows
         banded_signature_table(
-            spark.read.parquet(accepted_path)
-            .select("doc_id", "text")
-            .coalesce(4),
+            spark.read.parquet(accepted_path).select("doc_id", "text"),
             shingle_n=shingle_n,
             n_bands=n_bands,
+            compute_partitions=4,
         ).write.mode("overwrite").parquet(
             f"{signature_dir}/incr/batch_id={batch_id}"
         )
