@@ -713,6 +713,22 @@ def q_boilerplate_cleaned_docs(
     return remove_common_chunks(docs, chunk_tokens=8, min_docs=3)
 
 
+def q_duplicate_span_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2022
+    ExactSubstr re-expressed declaratively): every 16-token window
+    shared by >= 2 distinct docs at ANY alignment marks its range;
+    ranges merge into maximal spans and are excised from every doc."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        remove_duplicate_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, window_tokens=16, min_docs=2)
+
+
 def _dsir_frames(spark: SparkSession, sf_dir: str):
     """The DSIR gate setup: 'src0' documents are the TARGET domain,
     everything else is the raw pool (the usual DSIR deployment:
@@ -2230,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "pq_codes": q_pq_codes,
         "boilerplate_cleaned_docs": q_boilerplate_cleaned_docs,
+        "duplicate_span_docs": q_duplicate_span_docs,
         "dsir_doc_weights": q_dsir_doc_weights,
         "corpus_diff": q_corpus_diff,
         "table_profile": q_table_profile,
@@ -3790,6 +3807,69 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_chunks AS BIGINT) AS n_chunks,
                CAST(n_removed AS BIGINT) AS n_removed
         FROM reb
+        """,
+        # duplicated-span excision: same md5-of-window grouping key as
+        # the Spark plan (collision-free, engine-identical), DuckDB
+        # 1-based inclusive slice == Spark slice(arr, i+1, W)
+        "duplicate_span_docs": """
+        WITH t AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+          FROM documents
+        ),
+        sdoc AS (SELECT doc_id, toks, len(toks) AS n
+                 FROM t WHERE len(toks) > 0),
+        wins AS (
+          SELECT doc_id, start,
+                 md5(array_to_string(toks[start + 1 : start + 16], ' '))
+                   AS h
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(0, n - 16)) AS start
+                FROM sdoc WHERE n >= 16)
+        ),
+        dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+                GROUP BY h HAVING COUNT(*) >= 2),
+        hits AS (SELECT doc_id, start FROM wins JOIN dup USING (h)),
+        isl AS (
+          SELECT doc_id, start,
+                 CASE WHEN start > COALESCE(MAX(start + 16) OVER (
+                      PARTITION BY doc_id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), -1)
+                 THEN 1 ELSE 0 END AS brk
+          FROM hits
+        ),
+        grp AS (SELECT doc_id, start,
+                       SUM(brk) OVER (PARTITION BY doc_id
+                                      ORDER BY start) AS isl_id
+                FROM isl),
+        spans AS (SELECT doc_id, MIN(start) AS s, MAX(start) + 16 AS e
+                  FROM grp GROUP BY doc_id, isl_id),
+        tok_rows AS (
+          SELECT doc_id, toks[i] AS tok, i
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, n)) AS i
+                FROM sdoc)
+        ),
+        kept AS (
+          SELECT r.doc_id, r.tok, r.i FROM tok_rows r
+          WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                            WHERE sp.doc_id = r.doc_id
+                              AND r.i - 1 >= sp.s AND r.i - 1 < sp.e)
+        ),
+        reb AS (SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY i) AS clean_text
+                FROM kept GROUP BY doc_id),
+        stats AS (SELECT doc_id, COUNT(*) AS n_spans,
+                         SUM(e - s) AS tokens_removed
+                  FROM spans GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(r.clean_text, '') AS clean_text,
+               CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(st.tokens_removed, 0) AS BIGINT)
+                 AS tokens_removed
+        FROM sdoc d
+        LEFT JOIN reb r USING (doc_id)
+        LEFT JOIN stats st USING (doc_id)
         """,
         "dsir_doc_weights": _dsir_cte()
         + """

@@ -204,6 +204,140 @@ def remove_common_chunks(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    window_tokens: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring removal (the suffix-array dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", re-expressed as a declarative window-hash plan):
+    every ``window_tokens``-token window occurring at ANY position in
+    at least ``min_docs`` DISTINCT documents marks its token range,
+    per document the marked ranges are merged into maximal spans
+    (gaps-and-islands), and the spans are excised from EVERY
+    document.  Unlike :func:`drop_duplicate_chunks` (fixed chunk
+    grid, first occurrence wins) this catches duplicated text at
+    arbitrary alignment — the case a chunk grid misses when copies
+    drift by a few tokens.  Removing all occurrences (not
+    all-but-one) is the conservative training-set convention: a span
+    shared verbatim between distinct documents is boilerplate or
+    contamination, not content.  Within-document repeats are NOT
+    touched (the duplicate test is DISTINCT doc ids >= ``min_docs``)
+    — intra-doc repetition is ``repetition_stats``' job.
+
+    Returns ``(doc_id, clean_text, n_spans, tokens_removed)``;
+    ``clean_text`` is reassembled from surviving tokens (whitespace
+    normalized to single spaces, the same convention as every
+    reassembly here), documents shorter than ``window_tokens`` pass
+    through with 0 spans.
+
+    Scale shape: the window fan-out is ~n_tokens rows per doc
+    (stride 1 — ``window_tokens``x the chunk grid's row count; that
+    is the price of alignment-free matching, and it is a map-side
+    explode, not a shuffle).  The shuffle key is md5 of the window
+    text: 32 bytes however wide the window, collision-free at any
+    realistic corpus size (2^128), and byte-identical in DuckDB so
+    the oracle groups on the very same key.  Document frequency is
+    the two-phase distinct-then-count (one row per (window, doc)
+    into the shuffle, map-side combined), the flag join back is an
+    equi-join on the md5 key co-partitioned with the count's
+    exchange, the island merge windows PARTITION BY doc (never a
+    global window), and excision is a per-row higher-order filter of
+    the doc's tokens against its own merged-span array — codegen'd,
+    zero shuffle after the span aggregation."""
+    if window_tokens < 2:
+        raise ValueError(
+            f"window_tokens must be >= 2, got {window_tokens}"
+        )
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    w = window_tokens
+    base = (
+        df.select(
+            F.col(id_col),
+            F.split(F.col(text_col), r"\s+").alias("_toks"),
+        )
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") > 0)
+    )
+    wins = (
+        base.filter(F.col("_n") >= w)
+        .select(
+            id_col,
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_n") - w)
+            ).alias("_start"),
+        )
+        .select(
+            id_col,
+            "_start",
+            F.md5(
+                F.array_join(
+                    F.slice("_toks", F.col("_start") + 1, w), " "
+                )
+            ).alias("_h"),
+        )
+    )
+    dup = (
+        wins.select(id_col, "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_h")
+    )
+    hits = wins.join(dup, "_h").select(id_col, "_start")
+    byq = Window.partitionBy(id_col).orderBy("_start")
+    prev_end = F.max(F.col("_start") + w).over(
+        byq.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "_brk",
+        F.when(
+            F.col("_start") > F.coalesce(prev_end, F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn("_isl", F.sum("_brk").over(byq))
+    spans = islands.groupBy(id_col, "_isl").agg(
+        F.min("_start").cast("long").alias("s"),
+        (F.max("_start") + w).cast("long").alias("e"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias(
+            "_spans"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("tokens_removed"),
+    )
+    joined = base.join(per_doc, id_col, "left").withColumn(
+        "_spans",
+        F.coalesce(
+            F.col("_spans"),
+            F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)"),
+        ),
+    )
+    kept = F.filter(
+        "_toks",
+        lambda t, i: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (i >= sp.s) & (i < sp.e),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias(
+            "n_spans"
+        ),
+        F.coalesce(F.col("tokens_removed"), F.lit(0))
+        .cast("long")
+        .alias("tokens_removed"),
+    )
+
+
 def _hex_val(h, pos: int):
     """0-15 value of hex char ``pos`` (1-based) of column ``h`` from
     its ascii code — engine-portable arithmetic (Spark and DuckDB

@@ -201,6 +201,94 @@ def test_remove_common_chunks_strips_boilerplate_everywhere(spark):
     assert out[5].n_chunks == 3
 
 
+def test_remove_duplicate_spans_alignment_free(spark):
+    """The ExactSubstr contrast case: a duplicated run at DIFFERENT
+    offsets in each doc (off the chunk grid) is excised from both;
+    unique surroundings survive; overlapping dup windows merge into
+    ONE maximal span; within-doc repeats don't trip the cross-doc
+    threshold; short docs pass through."""
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        remove_duplicate_spans,
+    )
+
+    run = " ".join(f"d{i}" for i in range(12))  # 12-token dup run
+    u = " ".join(f"u{i}" for i in range(5))
+    v = " ".join(f"v{i}" for i in range(3))
+    w_pre = "w0"
+    solo = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, u + " " + run + " " + v),  # run at offset 5
+            (2, w_pre + " " + run),  # run at offset 1
+            (3, run),  # fully covered -> empties
+            # within-doc repetition only: doc-freq 1, untouched
+            (4, solo + " " + solo),
+            (5, "a b c"),  # shorter than the window: passthrough
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            docs, window_tokens=8, min_docs=2
+        ).collect()
+    }
+    # 12-token run -> 5 overlapping 8-windows -> ONE merged span
+    assert out[1].clean_text == u + " " + v
+    assert (out[1].n_spans, out[1].tokens_removed) == (1, 12)
+    assert out[2].clean_text == w_pre
+    assert (out[2].n_spans, out[2].tokens_removed) == (1, 12)
+    assert out[3].clean_text == ""
+    assert (out[3].n_spans, out[3].tokens_removed) == (1, 12)
+    assert out[4].clean_text == solo + " " + solo
+    assert (out[4].n_spans, out[4].tokens_removed) == (0, 0)
+    assert out[5].clean_text == "a b c"
+    assert (out[5].n_spans, out[5].tokens_removed) == (0, 0)
+
+
+def test_remove_duplicate_spans_disjoint_spans_counted(spark):
+    """Two dup runs separated by unique text stay TWO spans (the
+    island break fires on the gap) and both are excised."""
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        remove_duplicate_spans,
+    )
+
+    r1 = " ".join(f"p{i}" for i in range(8))
+    r2 = " ".join(f"q{i}" for i in range(8))
+    mid = " ".join(f"m{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            (1, r1 + " " + mid + " " + r2),
+            (2, r1),
+            (3, r2),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            docs, window_tokens=8, min_docs=2
+        ).collect()
+    }
+    assert out[1].clean_text == mid
+    assert (out[1].n_spans, out[1].tokens_removed) == (2, 16)
+
+
+def test_remove_duplicate_spans_validation(spark):
+    import pytest
+
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        remove_duplicate_spans,
+    )
+
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_duplicate_spans(_docs(spark, [(1, "a b")]), min_docs=1)
+    with pytest.raises(ValueError, match="window_tokens"):
+        remove_duplicate_spans(
+            _docs(spark, [(1, "a b")]), window_tokens=1
+        )
+
+
 def test_remove_common_chunks_threshold_validation(spark):
     import pytest
 
