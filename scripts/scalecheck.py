@@ -387,6 +387,92 @@ def run_doc_scale(
     return d
 
 
+def run_span_dedup_scale(
+    spark: SparkSession, n_docs: int, scratch: str, audits: list
+) -> dict:
+    """ExactSubstr-style duplicated-span excision at scale
+    (``remove_duplicate_spans``, W=16): the synthetic corpus layout
+    makes the CORRECT output provable per doc class, so the gates are
+    exact mismatch counts rather than recall estimates —
+
+    - boilerplate docs share exactly the 20-token header at offset 0
+      (windows 0..4 duplicated, islands merge to span [0, 20)): clean
+      text must equal the 30-token body, 1 span, 20 tokens removed;
+    - clone variants 0/1 differ at positions 0 and 7 only, so the one
+      >=16-token run they share is tokens 8..29 (windows 8..14 -> span
+      [8, 30)): 1 span, 22 tokens removed, first 8 tokens survive;
+    - variant 2 (mutation at 14) shares NO 16-token window with either
+      sibling (any window avoiding {0,14} or {7,14} is shorter than
+      16) and must come through whole — the precision gate;
+    - unique docs must come through whole."""
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        remove_duplicate_spans,
+    )
+
+    d = {"n_docs": n_docs}
+    docs = spark.read.parquet(f"{scratch}/docs_{n_docs}")
+    out_path = f"{scratch}/spans_{n_docs}"
+    since = _max_stage_id(spark)
+    t0 = time.perf_counter()
+    remove_duplicate_spans(docs, window_tokens=16, min_docs=2).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    d["wall_s"] = round(time.perf_counter() - t0, 2)
+    audits.append(
+        (f"span dedup @ {n_docs}", straggler_audit(spark, since))
+    )
+
+    n_clone = n_docs * CLONE_FRAC_NUM // CLONE_FRAC_DEN
+    n_boiler = n_docs * BOILER_FRAC_NUM // BOILER_FRAC_DEN
+    out = spark.read.parquet(out_path).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    toks = F.split(F.col("text"), " ")
+    did = F.col("doc_id")
+    has_v1 = ((did / 3).cast("long") * 3 + 1) < n_clone
+    clone01 = (did < n_clone) & (did % 3 < 2) & has_v1
+    clone_whole = (did < n_clone) & ~clone01
+    boiler = (did >= n_clone) & (did < n_clone + n_boiler)
+    unique = did >= n_clone + n_boiler
+    ok_whole = (F.col("tokens_removed") == 0) & (
+        F.col("clean_text") == F.col("text")
+    )
+    ok_boiler = (
+        (F.col("n_spans") == 1)
+        & (F.col("tokens_removed") == HEADER_TOKENS)
+        & (
+            F.col("clean_text")
+            == F.array_join(
+                F.slice(toks, HEADER_TOKENS + 1, BODY_TOKENS), " "
+            )
+        )
+    )
+    ok_clone01 = (
+        (F.col("n_spans") == 1)
+        & (F.col("tokens_removed") == BODY_TOKENS - 8)
+        & (F.col("clean_text") == F.array_join(F.slice(toks, 1, 8), " "))
+    )
+
+    def bad(cond, ok):
+        return F.sum((cond & ~ok).cast("long"))
+
+    row = out.agg(
+        bad(boiler, ok_boiler).alias("bad_boiler"),
+        bad(clone01, ok_clone01).alias("bad_clone01"),
+        bad(clone_whole, ok_whole).alias("bad_clone_whole"),
+        bad(unique, ok_whole).alias("bad_unique"),
+        F.sum(F.col("tokens_removed")).alias("tokens_removed_total"),
+    ).collect()[0]
+    d.update({k: int(row[k] or 0) for k in row.asDict()})
+    d["mismatches"] = (
+        d["bad_boiler"]
+        + d["bad_clone01"]
+        + d["bad_clone_whole"]
+        + d["bad_unique"]
+    )
+    return d
+
+
 def run_bloom_scale(
     spark: SparkSession, n_docs: int, scratch: str,
     batch_docs: int = 20_000,
@@ -1108,13 +1194,28 @@ def run_ivf_auto_probe_check(
         }
         return got, round(time.perf_counter() - t, 2)
 
-    fixed, fixed_wall = probed(default_probe)
+    # The result sets come from one UNTIMED pass per setting (also
+    # the plan-compile/page-cache warm-up); the walls are per-setting
+    # MIN over two alternating timed passes.  Single-shot sequential
+    # walls on a long-lived session are not comparable: identical
+    # fixed-probe work measured 39.07 s in one session and 13.84 s in
+    # another (r7 vs r8 runs — ~3x swing from JVM aging + cache
+    # state), and sequential order charges the whole drift to
+    # whichever setting ran second.  Alternation cancels the drift
+    # direction; min discards GC pauses.
+    fixed, _ = probed(default_probe)
     t0 = time.perf_counter()
     chosen = _auto_n_probe(
         emb, queries, cents, 10, 0.9, 64, 42, "embedding", "vec_id"
     )
     tune_wall = round(time.perf_counter() - t0, 2)
-    auto, auto_wall = probed(chosen)
+    auto, _ = probed(chosen)
+    fixed_walls, auto_walls = [], []
+    for _ in range(2):
+        fixed_walls.append(probed(default_probe)[1])
+        auto_walls.append(probed(chosen)[1])
+    fixed_wall = min(fixed_walls)
+    auto_wall = min(auto_walls)
     return {
         "n_vecs": n_vecs,
         "n_clusters": n_clusters,
@@ -1479,6 +1580,10 @@ def main() -> int:
         doc_results = [
             run_doc_scale(spark, n, scratch, audits) for n in doc_scales
         ]
+        span_results = [
+            run_span_dedup_scale(spark, n, scratch, audits)
+            for n in doc_scales
+        ]
         uncapped = (
             None
             if args.skip_uncapped
@@ -1559,6 +1664,12 @@ def main() -> int:
             ev_small["salted_wall_s"],
             ev_big["salted_wall_s"],
             ev_factor,
+        ),
+        scaling_row(
+            "remove_duplicate_spans (window-hash)",
+            span_results[0]["wall_s"],
+            span_results[-1]["wall_s"],
+            doc_factor,
         ),
     ]
     if sel_results:
@@ -1664,6 +1775,14 @@ def main() -> int:
                 d["non_clone_pairs"] == 0,
             )
             for d in doc_results
+        ],
+        *[
+            (
+                f"span dedup output exact in all 4 doc classes @ "
+                f"{d['n_docs']:,}: {d['mismatches']} mismatches",
+                d["mismatches"] == 0,
+            )
+            for d in span_results
         ],
         (
             "salt invariance: 0 mismatching totals",
@@ -1990,6 +2109,25 @@ def main() -> int:
             for d in doc_results
         ],
     ]
+    lines += [
+        "",
+        "## Duplicated-span excision (ExactSubstr shape)",
+        "",
+        "`remove_duplicate_spans` (W=16) over the same corpus; the "
+        "layout makes correct output PROVABLE per doc class "
+        "(boilerplate loses exactly its 20-token header, clone "
+        "variants 0/1 lose exactly tokens 8..29, variant 2 and "
+        "unique docs come through whole — the precision leg), so the "
+        "gate is an exact mismatch count over every document:",
+        "",
+        "| n_docs | wall (s) | tokens removed | mismatches |",
+        "| --- | --- | --- | --- |",
+        *[
+            f"| {d['n_docs']:,} | {d['wall_s']} | "
+            f"{d['tokens_removed_total']:,} | {d['mismatches']} |"
+            for d in span_results
+        ],
+    ]
     if uncapped is not None:
         lines += [
             "",
@@ -2288,6 +2426,7 @@ def main() -> int:
         json.dumps(
             {
                 "documents": doc_results,
+                "span_dedup": span_results,
                 "selection": sel_results,
                 "wet": wet_results,
                 "bloom": bloom_results,
