@@ -729,6 +729,31 @@ def q_duplicate_span_docs(
     return remove_duplicate_spans(docs, window_tokens=16, min_docs=2)
 
 
+def q_incremental_span_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily-ingest duplicated-span excision: docs >= 400 cleaned as
+    the NEW batch against the < 400 corpus's materialized window-hash
+    table — batch windows probe corpus MEMBERSHIP (left-semi on the
+    32-byte key), within-batch dups counted batch-side only; the
+    corpus is never re-paired with itself."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        remove_duplicate_spans_incremental,
+        window_hash_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus_hashes = window_hash_table(
+        docs.filter(F.col("doc_id") < 400), window_tokens=16
+    )
+    return remove_duplicate_spans_incremental(
+        docs.filter(F.col("doc_id") >= 400),
+        corpus_hashes=corpus_hashes,
+        window_tokens=16,
+    )
+
+
 def _dsir_frames(spark: SparkSession, sf_dir: str):
     """The DSIR gate setup: 'src0' documents are the TARGET domain,
     everything else is the raw pool (the usual DSIR deployment:
@@ -2247,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "boilerplate_cleaned_docs": q_boilerplate_cleaned_docs,
         "duplicate_span_docs": q_duplicate_span_docs,
+        "incremental_span_dedup": q_incremental_span_dedup,
         "dsir_doc_weights": q_dsir_doc_weights,
         "corpus_diff": q_corpus_diff,
         "table_profile": q_table_profile,
@@ -3868,6 +3894,76 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(st.tokens_removed, 0) AS BIGINT)
                  AS tokens_removed
         FROM sdoc d
+        LEFT JOIN reb r USING (doc_id)
+        LEFT JOIN stats st USING (doc_id)
+        """,
+        # incremental variant: batch (>= 400) windows duplicated when
+        # present in the < 400 corpus's hash set OR in >= 2 distinct
+        # batch docs; islands/excision identical, batch rows only
+        "incremental_span_dedup": """
+        WITH t AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+          FROM documents
+        ),
+        sdoc AS (SELECT doc_id, toks, len(toks) AS n
+                 FROM t WHERE len(toks) > 0),
+        wins_all AS (
+          SELECT doc_id, start,
+                 md5(array_to_string(toks[start + 1 : start + 16], ' '))
+                   AS h
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(0, n - 16)) AS start
+                FROM sdoc WHERE n >= 16)
+        ),
+        cw AS (SELECT DISTINCT h FROM wins_all WHERE doc_id < 400),
+        bw AS (SELECT doc_id, start, h FROM wins_all
+               WHERE doc_id >= 400),
+        dup AS (
+          SELECT h FROM (SELECT DISTINCT doc_id, h FROM bw)
+          GROUP BY h HAVING COUNT(*) >= 2
+          UNION
+          SELECT DISTINCT h FROM bw WHERE h IN (SELECT h FROM cw)
+        ),
+        hits AS (SELECT doc_id, start FROM bw JOIN dup USING (h)),
+        isl AS (
+          SELECT doc_id, start,
+                 CASE WHEN start > COALESCE(MAX(start + 16) OVER (
+                      PARTITION BY doc_id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), -1)
+                 THEN 1 ELSE 0 END AS brk
+          FROM hits
+        ),
+        grp AS (SELECT doc_id, start,
+                       SUM(brk) OVER (PARTITION BY doc_id
+                                      ORDER BY start) AS isl_id
+                FROM isl),
+        spans AS (SELECT doc_id, MIN(start) AS s, MAX(start) + 16 AS e
+                  FROM grp GROUP BY doc_id, isl_id),
+        tok_rows AS (
+          SELECT doc_id, toks[i] AS tok, i
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, n)) AS i
+                FROM sdoc WHERE doc_id >= 400)
+        ),
+        kept AS (
+          SELECT r.doc_id, r.tok, r.i FROM tok_rows r
+          WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                            WHERE sp.doc_id = r.doc_id
+                              AND r.i - 1 >= sp.s AND r.i - 1 < sp.e)
+        ),
+        reb AS (SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY i) AS clean_text
+                FROM kept GROUP BY doc_id),
+        stats AS (SELECT doc_id, COUNT(*) AS n_spans,
+                         SUM(e - s) AS tokens_removed
+                  FROM spans GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(r.clean_text, '') AS clean_text,
+               CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(st.tokens_removed, 0) AS BIGINT)
+                 AS tokens_removed
+        FROM (SELECT doc_id FROM sdoc WHERE doc_id >= 400) d
         LEFT JOIN reb r USING (doc_id)
         LEFT JOIN stats st USING (doc_id)
         """,

@@ -255,7 +255,25 @@ def remove_duplicate_spans(
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     w = window_tokens
-    base = (
+    base = _tokenized(df, text_col, id_col)
+    wins = _window_marks(base, w, id_col)
+    dup = (
+        wins.select(id_col, "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_h")
+    )
+    hits = wins.join(dup, "_h").select(id_col, "_start")
+    return _excise_marked(base, hits, w, id_col)
+
+
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _toks, _n) — the shared tokenization convention
+    (regex-whitespace split, mirrored by the oracles'
+    ``string_split_regex``)."""
+    return (
         df.select(
             F.col(id_col),
             F.split(F.col(text_col), r"\s+").alias("_toks"),
@@ -263,7 +281,12 @@ def remove_duplicate_spans(
         .withColumn("_n", F.size("_toks"))
         .filter(F.col("_n") > 0)
     )
-    wins = (
+
+
+def _window_marks(base: DataFrame, w: int, id_col: str) -> DataFrame:
+    """(id, _start, _h): md5 of every w-token window at stride 1 —
+    map-side explode, no shuffle; 32-byte key regardless of w."""
+    return (
         base.filter(F.col("_n") >= w)
         .select(
             id_col,
@@ -282,15 +305,14 @@ def remove_duplicate_spans(
             ).alias("_h"),
         )
     )
-    dup = (
-        wins.select(id_col, "_h")
-        .distinct()
-        .groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") >= min_docs)
-        .select("_h")
-    )
-    hits = wins.join(dup, "_h").select(id_col, "_start")
+
+
+def _excise_marked(
+    base: DataFrame, hits: DataFrame, w: int, id_col: str
+) -> DataFrame:
+    """Shared tail of the span-dedup family: merge marked window
+    starts into maximal spans per doc (gaps-and-islands, PARTITION BY
+    doc) and excise them with a higher-order token filter."""
     byq = Window.partitionBy(id_col).orderBy("_start")
     prev_end = F.max(F.col("_start") + w).over(
         byq.rowsBetween(Window.unboundedPreceding, -1)
@@ -336,6 +358,96 @@ def remove_duplicate_spans(
         .cast("long")
         .alias("tokens_removed"),
     )
+
+
+def window_hash_table(
+    docs: DataFrame,
+    window_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus-side artifact a daily span-dedup ingest
+    materializes once and appends to per accepted batch: one ``wh``
+    row per DISTINCT window hash in the corpus (the
+    :func:`~.dedup_fuzzy.banded_signature_table` pattern).  Pass it
+    to :func:`remove_duplicate_spans_incremental` as
+    ``corpus_hashes`` to skip the full-corpus re-windowing — the
+    dominant recurring cost of a self-contained daily screen.
+    Append-only per doc: an accepted batch contributes exactly its
+    own windows' hashes (membership is all the incremental screen
+    tests, so duplicates across appends are harmless — dedup on
+    compaction, not on the write path)."""
+    base = _tokenized(docs, text_col, id_col)
+    return (
+        _window_marks(base, window_tokens, id_col)
+        .select(F.col("_h").alias("wh"))
+        .distinct()
+    )
+
+
+def remove_duplicate_spans_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
+    corpus_hashes: DataFrame | None = None,
+    window_tokens: int = 16,
+    min_docs_within: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Daily-ingest duplicated-span excision: clean a NEW batch
+    against an EXISTING corpus without ever re-pairing the corpus
+    with itself.  A batch window is duplicated when it occurs in the
+    corpus (one corpus occurrence + this one >= 2 distinct docs) OR
+    in at least ``min_docs_within`` distinct docs of the batch
+    itself; marked windows merge and excise exactly as in
+    :func:`remove_duplicate_spans`.  With ``min_docs_within=2`` the
+    output is IDENTICAL to running the full operator over
+    corpus+batch and keeping the batch rows — the corpus side of
+    that equivalence never executes (corpus docs are not cleaned:
+    they were already screened when they were batches).
+
+    Scale shape: the corpus contributes only its DISTINCT window-hash
+    set — in production a MATERIALIZED :func:`window_hash_table`
+    maintained across ingests (pass ``corpus_hashes``; the
+    ``corpus_docs`` path recomputes it, the documented floor without
+    the artifact).  The membership probe is a left-semi join of the
+    batch's distinct hashes against the table — daily cost
+    proportional to the batch, never to the corpus; the corpus table
+    shuffles only its 32-byte keys."""
+    if (corpus_docs is None) == (corpus_hashes is None):
+        raise ValueError(
+            "pass exactly one of corpus_docs / corpus_hashes"
+        )
+    if corpus_hashes is None:
+        corpus_hashes = window_hash_table(
+            corpus_docs, window_tokens, text_col, id_col
+        )
+    if min_docs_within < 2:
+        raise ValueError(
+            f"min_docs_within must be >= 2, got {min_docs_within}"
+        )
+    base = _tokenized(new_docs, text_col, id_col)
+    wins = _window_marks(base, window_tokens, id_col)
+    within = (
+        wins.select(id_col, "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs_within)
+        .select("_h")
+    )
+    corpus_hit = (
+        wins.select("_h")
+        .distinct()
+        .join(
+            corpus_hashes.select(F.col("wh").alias("_h")),
+            "_h",
+            "left_semi",
+        )
+    )
+    dup = within.unionByName(corpus_hit).distinct()
+    hits = wins.join(dup, "_h").select(id_col, "_start")
+    return _excise_marked(base, hits, window_tokens, id_col)
 
 
 def _hex_val(h, pos: int):

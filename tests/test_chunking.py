@@ -274,6 +274,95 @@ def test_remove_duplicate_spans_disjoint_spans_counted(spark):
     assert (out[1].n_spans, out[1].tokens_removed) == (2, 16)
 
 
+def test_incremental_span_dedup_matches_full_run_on_union(spark):
+    """The documented equivalence: incremental(batch, corpus) ==
+    full-run(corpus+batch, min_docs=2) restricted to batch rows —
+    corpus hits, within-batch dups, and corpus-internal-only dups
+    (which must NOT mark batch text) all exercised.  Both corpus
+    paths (docs / materialized hash table) agree."""
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        remove_duplicate_spans,
+        remove_duplicate_spans_incremental,
+        window_hash_table,
+    )
+
+    run = " ".join(f"d{i}" for i in range(10))  # corpus<->batch dup
+    bb = " ".join(f"b{i}" for i in range(9))  # within-batch dup
+    cc = " ".join(f"c{i}" for i in range(12))  # corpus-internal only
+    u = " ".join(f"u{i}" for i in range(4))
+    corpus = spark.createDataFrame(
+        [(1, run), (2, cc), (3, cc + " " + u)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, u + " " + run),  # loses run via corpus membership
+            (11, bb + " x0"),  # loses bb via within-batch count
+            (12, "y0 " + bb),
+            (13, "z0 z1 z2 z3 z4 z5 z6 z7 z8"),  # untouched
+        ],
+        ["doc_id", "text"],
+    )
+    inc = {
+        r.doc_id: r
+        for r in remove_duplicate_spans_incremental(
+            batch, corpus_docs=corpus, window_tokens=8
+        ).collect()
+    }
+    full = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            corpus.unionByName(batch), window_tokens=8, min_docs=2
+        ).collect()
+        if r.doc_id >= 10
+    }
+    assert set(inc) == set(full) == {10, 11, 12, 13}
+    for k in inc:
+        assert (
+            inc[k].clean_text,
+            inc[k].n_spans,
+            inc[k].tokens_removed,
+        ) == (full[k].clean_text, full[k].n_spans, full[k].tokens_removed)
+    assert inc[10].clean_text == u
+    assert inc[11].clean_text == "x0"
+    assert inc[12].clean_text == "y0"
+    assert inc[13].tokens_removed == 0
+    # corpus-internal dup (cc in docs 2+3) never marks batch text:
+    # doc 13 is whole, and no batch doc contains cc anyway
+    via_table = {
+        r.doc_id: (r.clean_text, r.n_spans, r.tokens_removed)
+        for r in remove_duplicate_spans_incremental(
+            batch,
+            corpus_hashes=window_hash_table(corpus, window_tokens=8),
+            window_tokens=8,
+        ).collect()
+    }
+    assert via_table == {
+        k: (v.clean_text, v.n_spans, v.tokens_removed)
+        for k, v in inc.items()
+    }
+
+
+def test_incremental_span_dedup_validation(spark):
+    import pytest
+
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        remove_duplicate_spans_incremental,
+        window_hash_table,
+    )
+
+    d = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="exactly one"):
+        remove_duplicate_spans_incremental(d)
+    with pytest.raises(ValueError, match="exactly one"):
+        remove_duplicate_spans_incremental(
+            d, corpus_docs=d, corpus_hashes=window_hash_table(d)
+        )
+    with pytest.raises(ValueError, match="min_docs_within"):
+        remove_duplicate_spans_incremental(
+            d, corpus_docs=d, min_docs_within=1
+        )
+
+
 def test_remove_duplicate_spans_validation(spark):
     import pytest
 
