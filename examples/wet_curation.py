@@ -8,6 +8,11 @@ raw WET archives to a selected, deduplicated corpus:
          labeled seed set — broadcast-bounded scoring)
       -> boilerplate removal (RefinedWeb frequency rule: spans in
          >= min_docs distinct pages stripped everywhere)
+      -> [optional] exact duplicated-span excision (Lee et al.
+         ExactSubstr: verbatim text shared at ANY alignment by >= 2
+         pages — syndicated paragraphs, mirrored licence blocks —
+         that the chunk-grid frequency rule misses when copies
+         drift or sit below its min_docs)
       -> MinHash near-dup screen (banded LSH + exact-Jaccard verify,
          canonical survivor per transitive group)
       -> [optional] DSIR selection toward a target domain corpus
@@ -37,6 +42,7 @@ from pyspark.sql import functions as F
 
 from kafka_sparkstreaming_sbt_spark.operators.chunking import (
     remove_common_chunks,
+    remove_duplicate_spans,
 )
 from kafka_sparkstreaming_sbt_spark.operators.classify import (
     nb_train,
@@ -62,13 +68,18 @@ def curate_wet(
     jaccard_threshold: float = 0.5,
     boiler_min_docs: int = 3,
     n_buckets: int = 1024,
+    span_window: int | None = None,
 ) -> dict:
     """Run the chain; returns the one-line JSON report dict.
 
     ``quality_seed_docs``: labeled ``(doc_id, text, label)`` seed for
     the NB quality model (label 1 = keep-worthy).  ``target_docs`` +
     ``n_keep``: enable the DSIR stage (select ``n_keep`` pages whose
-    hashed-ngram profile matches ``target_docs``)."""
+    hashed-ngram profile matches ``target_docs``).  ``span_window``:
+    enable ExactSubstr-style duplicated-span excision at that window
+    width (None = off; 16 is the usual setting — pair it with
+    corpora whose pages are individually distinct, since ANY
+    >= window run shared by two pages is excised from both)."""
     # 1. parse — record identity is (archive, position): stable
     #    across reruns, unique across archives
     recs = read_wet(spark, wet_glob)
@@ -103,6 +114,24 @@ def curate_wet(
         ),
         "doc_id",
     ).filter(F.length("text") > 0)
+
+    # 4b. optional exact duplicated-span excision: catches the
+    #     verbatim-but-drifted duplication the fixed chunk grid
+    #     structurally misses (and pairs below boiler_min_docs)
+    if span_window is not None:
+        despanned = remove_duplicate_spans(
+            docs, window_tokens=span_window, min_docs=2
+        )
+        docs = (
+            docs.select("doc_id", "url")
+            .join(
+                despanned.select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+            .filter(F.length("text") > 0)
+        )
     n_screened = docs.count()
 
     # 5. near-dup screen, canonical survivor per transitive group
@@ -150,6 +179,11 @@ def main() -> int:
     ap.add_argument("--lang", default="en")
     ap.add_argument("--target-parquet", default=None)
     ap.add_argument("--n-keep", type=int, default=None)
+    ap.add_argument(
+        "--span-window", type=int, default=None,
+        help="enable ExactSubstr duplicated-span excision at this "
+        "window width (e.g. 16); off by default",
+    )
     args = ap.parse_args()
 
     from kafka_sparkstreaming_sbt_spark.session import get_spark
@@ -169,6 +203,7 @@ def main() -> int:
         lang=args.lang,
         target_docs=target,
         n_keep=args.n_keep,
+        span_window=args.span_window,
     )
     print(json.dumps(report))
     return 0

@@ -80,6 +80,52 @@ def test_wet_curation_end_to_end(spark, tmp_path):
     assert report2["curated_pages"] == report["curated_pages"]
 
 
+SYND = (
+    "the quick brown fox jumps over the lazy dog while the rain "
+    "in spain falls mainly on the plain tonight"
+)  # 19-token syndicated paragraph, shared by exactly TWO pages
+
+
+def _unique_page(i):
+    filler = " ".join(f"tok{i}x{j}" for j in range(14))
+    return f"the report of site {i} is about {filler} and the end"
+
+
+def test_wet_curation_span_excision_stage(spark, tmp_path):
+    """span_window=16 excises a 19-token paragraph syndicated across
+    TWO pages — below boiler_min_docs=3 (the frequency rule can't
+    touch it) and at DIFFERENT offsets (the chunk grid couldn't
+    align on it anyway); unique pages come through whole."""
+    pages = [
+        ("http://s.example/a", _unique_page(0) + " " + SYND),
+        ("http://s.example/b", SYND + " " + _unique_page(1)),
+    ] + [
+        (f"http://s.example/{i}", _unique_page(i)) for i in range(2, 6)
+    ]
+    (tmp_path / "seg0.warc.wet.gz").write_bytes(
+        wet_bytes(pages, compress=True)
+    )
+    seed = spark.createDataFrame(
+        [(i, _unique_page(90 + i), 1) for i in range(5)]
+        + [(100 + i, SPAM, 0) for i in range(5)],
+        "doc_id long, text string, label int",
+    )
+    out = tempfile.mkdtemp()
+    report = curate_wet(
+        spark, str(tmp_path), out, seed, lang="en",
+        n_buckets=256, span_window=16,
+    )
+    assert report["parsed_pages"] == 6
+    assert report["curated_pages"] == 6  # nothing near-dups away
+    rows = {r["url"]: r["text"] for r in
+            spark.read.parquet(out).collect()}
+    assert all("fox" not in t for t in rows.values())
+    assert rows["http://s.example/a"] == _unique_page(0)
+    assert rows["http://s.example/b"] == _unique_page(1)
+    for i in range(2, 6):
+        assert rows[f"http://s.example/{i}"] == _unique_page(i)
+
+
 def test_wet_curation_with_dsir_stage(spark, tmp_path):
     (tmp_path / "seg0.warc.wet").write_bytes(wet_bytes(_pages()))
     seed = spark.createDataFrame(
