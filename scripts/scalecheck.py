@@ -395,9 +395,21 @@ def run_span_dedup_scale(
     makes the CORRECT output provable per doc class, so the gates are
     exact mismatch counts rather than recall estimates —
 
-    - boilerplate docs share exactly the 20-token header at offset 0
-      (windows 0..4 duplicated, islands merge to span [0, 20)): clean
-      text must equal the 30-token body, 1 span, 20 tokens removed;
+    - boilerplate docs share the 20-token header at offset 0
+      (windows 0..4 duplicated, islands merge to span [0, 20)), PLUS
+      a birthday-collision allowance the first run of this gate
+      taught us: a header-STRADDLING window (15 header tokens + the
+      first k body tokens) genuinely matches between two boiler docs
+      whenever their first body token collides in the 1M-token
+      vocabulary — expected affected docs ~ n_boiler^2 * 1e-6 (measured
+      104 of 10,000 @ 50K docs, 9,553 of 100,000 @ 500K — both on
+      theory), and excising those windows is CORRECT behavior.  The
+      gate therefore accepts ONE span starting at 0 that eats the
+      header plus at most 3 leading body tokens, and requires the
+      clean text to be exactly the corresponding body suffix
+      (overshoot >= 2 needs two CONSECUTIVE collisions,
+      ~n_boiler^2 * 1e-12 pairs — allow 3 and report the overshoot
+      count);
     - clone variants 0/1 differ at positions 0 and 7 only, so the one
       >=16-token run they share is tokens 8..29 (windows 8..14 -> span
       [8, 30)): 1 span, 22 tokens removed, first 8 tokens survive;
@@ -439,13 +451,22 @@ def run_span_dedup_scale(
     )
     ok_boiler = (
         (F.col("n_spans") == 1)
-        & (F.col("tokens_removed") == HEADER_TOKENS)
+        & (F.col("tokens_removed") >= HEADER_TOKENS)
+        & (F.col("tokens_removed") <= HEADER_TOKENS + 3)
         & (
             F.col("clean_text")
             == F.array_join(
-                F.slice(toks, HEADER_TOKENS + 1, BODY_TOKENS), " "
+                F.slice(
+                    toks,
+                    F.col("tokens_removed") + 1,
+                    F.lit(BODY_TOKENS),
+                ),
+                " ",
             )
         )
+    )
+    boiler_overshoot = boiler & (
+        F.col("tokens_removed") > HEADER_TOKENS
     )
     ok_clone01 = (
         (F.col("n_spans") == 1)
@@ -461,6 +482,9 @@ def run_span_dedup_scale(
         bad(clone01, ok_clone01).alias("bad_clone01"),
         bad(clone_whole, ok_whole).alias("bad_clone_whole"),
         bad(unique, ok_whole).alias("bad_unique"),
+        F.sum(boiler_overshoot.cast("long")).alias(
+            "boiler_collision_docs"
+        ),
         F.sum(F.col("tokens_removed")).alias("tokens_removed_total"),
     ).collect()[0]
     d.update({k: int(row[k] or 0) for k in row.asDict()})
@@ -2120,13 +2144,23 @@ def main() -> int:
         "unique docs come through whole — the precision leg), so the "
         "gate is an exact mismatch count over every document:",
         "",
-        "| n_docs | wall (s) | tokens removed | mismatches |",
-        "| --- | --- | --- | --- |",
+        "| n_docs | wall (s) | tokens removed | boiler collision "
+        "docs | mismatches |",
+        "| --- | --- | --- | --- | --- |",
         *[
             f"| {d['n_docs']:,} | {d['wall_s']} | "
-            f"{d['tokens_removed_total']:,} | {d['mismatches']} |"
+            f"{d['tokens_removed_total']:,} | "
+            f"{d['boiler_collision_docs']:,} | {d['mismatches']} |"
             for d in span_results
         ],
+        "",
+        "`boiler collision docs` counts boilerplate docs whose span "
+        "ate 1-3 leading body tokens beyond the header: a "
+        "header-straddling window genuinely matches between two "
+        "boiler docs whose first body token collides in the 1M-token "
+        "vocabulary (expected ~ n_boiler^2 x 1e-6 docs; excising it "
+        "is correct), so the gate pins the clean text to the exact "
+        "corresponding body suffix instead of a fixed 20-token cut.",
     ]
     if uncapped is not None:
         lines += [
