@@ -754,6 +754,21 @@ def q_incremental_span_dedup(
     )
 
 
+def q_duplicated_span_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 most-duplicated 16-token windows (what the shared
+    boilerplate actually IS): counts run on the 32-byte md5 key only,
+    window text recovered for the 20 winners alone."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        duplicated_span_report,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicated_span_report(docs, window_tokens=16, top_k=20)
+
+
 def _dsir_frames(spark: SparkSession, sf_dir: str):
     """The DSIR gate setup: 'src0' documents are the TARGET domain,
     everything else is the raw pool (the usual DSIR deployment:
@@ -2273,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_cleaned_docs": q_boilerplate_cleaned_docs,
         "duplicate_span_docs": q_duplicate_span_docs,
         "incremental_span_dedup": q_incremental_span_dedup,
+        "duplicated_span_report": q_duplicated_span_report,
         "dsir_doc_weights": q_dsir_doc_weights,
         "corpus_diff": q_corpus_diff,
         "table_profile": q_table_profile,
@@ -3966,6 +3982,41 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id FROM sdoc WHERE doc_id >= 400) d
         LEFT JOIN reb r USING (doc_id)
         LEFT JOIN stats st USING (doc_id)
+        """,
+        # top-k duplicated windows: same md5 grouping key; LIMIT made
+        # deterministic by the (n_docs, n_occurrences, h) total order
+        "duplicated_span_report": """
+        WITH t AS (
+          SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+          FROM documents
+        ),
+        sdoc AS (SELECT doc_id, toks, len(toks) AS n
+                 FROM t WHERE len(toks) > 0),
+        wins AS (
+          SELECT doc_id, start,
+                 array_to_string(toks[start + 1 : start + 16], ' ')
+                   AS w,
+                 md5(array_to_string(toks[start + 1 : start + 16], ' '))
+                   AS h
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(0, n - 16)) AS start
+                FROM sdoc WHERE n >= 16)
+        ),
+        pd AS (SELECT h, doc_id, COUNT(*) AS c
+               FROM wins GROUP BY h, doc_id),
+        counts AS (SELECT h, COUNT(*) AS n_docs,
+                          CAST(SUM(c) AS BIGINT) AS n_occurrences
+                   FROM pd GROUP BY h HAVING COUNT(*) >= 2),
+        top AS (SELECT * FROM counts
+                ORDER BY n_docs DESC, n_occurrences DESC, h
+                LIMIT 20),
+        rep AS (SELECT h, MIN(w) AS span_text FROM wins
+                WHERE h IN (SELECT h FROM top) GROUP BY h)
+        SELECT r.span_text,
+               CAST(tp.n_docs AS BIGINT) AS n_docs,
+               tp.n_occurrences,
+               tp.h AS window_md5
+        FROM top tp JOIN rep r USING (h)
         """,
         "dsir_doc_weights": _dsir_cte()
         + """

@@ -450,6 +450,80 @@ def remove_duplicate_spans_incremental(
     return _excise_marked(base, hits, window_tokens, id_col)
 
 
+def duplicated_span_report(
+    df: DataFrame,
+    window_tokens: int = 16,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Observability for the span-dedup family (the
+    ``key_skew_report`` pattern: measure before you spend): the
+    ``top_k`` most-duplicated ``window_tokens``-token windows as
+    ``(span_text, n_docs, n_occurrences, window_md5)`` — what the
+    shared licence block / nav chrome / syndicated paragraph actually
+    IS, and how much of the corpus carries it, before committing to
+    an excision run or choosing ``min_docs``.
+
+    Scale shape: counting runs entirely on the 32-byte md5 key
+    (two-phase (hash, doc) partial counts -> per-hash doc/occurrence
+    totals with map-side combine — never an expand for a distinct
+    aggregate), the cut is a TakeOrderedAndProject over (n_docs,
+    n_occurrences, hash) — hash as the total-order tiebreak so the
+    LIMIT is deterministic on any engine — and window TEXT is
+    recovered only for the k winners: the lowest (doc, start)
+    occurrence per winning hash joins back to its tokenized doc and
+    slices the window out, so no window string ever enters a
+    shuffle."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    base = _tokenized(df, text_col, id_col)
+    wins = _window_marks(base, window_tokens, id_col)
+    per_doc = wins.groupBy("_h", id_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    counts = (
+        per_doc.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_c").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    top = counts.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.col("_h")
+    ).limit(top_k)
+    rep = (
+        wins.join(top.select("_h"), "_h")
+        .groupBy("_h")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("d"),
+                    F.col("_start").alias("s"),
+                )
+            ).alias("_r")
+        )
+        .select(
+            "_h",
+            F.col("_r.d").alias(id_col),
+            F.col("_r.s").alias("_start"),
+        )
+    )
+    txt = rep.join(base, id_col).select(
+        "_h",
+        F.array_join(
+            F.slice("_toks", F.col("_start") + 1, window_tokens), " "
+        ).alias("span_text"),
+    )
+    return top.join(txt, "_h").select(
+        "span_text",
+        "n_docs",
+        "n_occurrences",
+        F.col("_h").alias("window_md5"),
+    )
+
+
 def _hex_val(h, pos: int):
     """0-15 value of hex char ``pos`` (1-based) of column ``h`` from
     its ascii code — engine-portable arithmetic (Spark and DuckDB

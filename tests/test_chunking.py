@@ -342,6 +342,49 @@ def test_incremental_span_dedup_matches_full_run_on_union(spark):
     }
 
 
+def test_duplicated_span_report_counts_and_order(spark):
+    """n_docs is DISTINCT docs, n_occurrences counts every
+    occurrence (within-doc repeats included), windows in one doc
+    only are excluded, ordering is (n_docs, n_occurrences) desc with
+    the md5 tiebreak, and top_k cuts deterministically."""
+    import hashlib
+
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        duplicated_span_report,
+    )
+
+    B = " ".join(f"b{i}" for i in range(8))  # 3 docs, 4 occurrences
+    P = " ".join(f"p{i}" for i in range(8))  # 2 docs
+    U = " ".join(f"u{i}" for i in range(8))  # 1 doc: excluded
+    docs = spark.createDataFrame(
+        [
+            (1, B + " m0 m1 m2 " + B),
+            (2, B),
+            (3, B),
+            (4, P),
+            (5, P),
+            (6, U),
+        ],
+        ["doc_id", "text"],
+    )
+    out = duplicated_span_report(
+        docs, window_tokens=8, top_k=20
+    ).collect()
+    got = {r.span_text: r for r in out}
+    assert set(got) == {B, P}
+    assert (got[B].n_docs, got[B].n_occurrences) == (3, 4)
+    assert (got[P].n_docs, got[P].n_occurrences) == (2, 2)
+    assert got[B].window_md5 == hashlib.md5(B.encode()).hexdigest()
+    top1 = duplicated_span_report(
+        docs, window_tokens=8, top_k=1
+    ).collect()
+    assert [r.span_text for r in top1] == [B]
+    import pytest
+
+    with pytest.raises(ValueError, match="top_k"):
+        duplicated_span_report(docs, top_k=0)
+
+
 def test_incremental_span_dedup_validation(spark):
     import pytest
 
