@@ -5,7 +5,10 @@ corpora rather than hand-picked examples:
 - chunking covers every token and reconstructs the doc at
   stride == chunk_tokens (disjoint chunks);
 - packing tiles each shard's token stream exactly (no gaps, no
-  overlap) and never loses a document.
+  overlap) and never loses a document;
+- duplicated-span excision equals a brute-force reference model
+  (window dict + interval merge) on dense tiny-vocab corpora where
+  islands overlap heavily.
 
 Example counts are kept small: every example runs real Spark jobs on
 the shared session (~0.3 s each)."""
@@ -18,7 +21,44 @@ from hypothesis import strategies as st
 from kafka_sparkstreaming_sbt_spark.operators.chunking import (
     chunk_documents,
     pack_documents,
+    remove_duplicate_spans,
 )
+
+
+def _reference_span_dedup(corpus, w, min_docs):
+    """Brute-force oracle: duplicated windows via a dict, interval
+    merge, excision — the semantics remove_duplicate_spans must
+    reproduce distributed."""
+    toks = {d: t.split(" ") for d, t in corpus}
+    seen = {}
+    for d, ts in toks.items():
+        for s in range(len(ts) - w + 1):
+            seen.setdefault(" ".join(ts[s : s + w]), set()).add(d)
+    dup = {k for k, v in seen.items() if len(v) >= min_docs}
+    out = {}
+    for d, ts in toks.items():
+        marks = [
+            s
+            for s in range(len(ts) - w + 1)
+            if " ".join(ts[s : s + w]) in dup
+        ]
+        spans = []
+        for s in marks:
+            if spans and s <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], s + w)
+            else:
+                spans.append([s, s + w])
+        keep = [
+            t
+            for i, t in enumerate(ts)
+            if not any(a <= i < b for a, b in spans)
+        ]
+        out[d] = (
+            " ".join(keep),
+            len(spans),
+            sum(b - a for a, b in spans),
+        )
+    return out
 
 _SETTINGS = dict(
     max_examples=8,
@@ -135,3 +175,37 @@ def test_drop_duplicate_chunks_matches_reference_model(spark, corpus):
         assert r.n_chunks == len(chunks)
         assert r.n_dropped == len(chunks) - len(kept)
         assert r.clean_text == " ".join(kept)
+
+
+# TINY vocabulary (3 symbols) so duplicated windows are dense and
+# overlapping — the adversarial case for the gaps-and-islands merge
+_dense_corpora = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=1, max_size=24
+    ),
+    min_size=2,
+    max_size=5,
+).map(
+    lambda docs: [(i, " ".join(ts)) for i, ts in enumerate(docs)]
+)
+
+
+@given(
+    corpus=_dense_corpora,
+    w=st.integers(2, 6),
+    min_docs=st.integers(2, 3),
+)
+@settings(**_SETTINGS)
+def test_span_dedup_matches_brute_force(spark, corpus, w, min_docs):
+    """remove_duplicate_spans reproduces the brute-force reference
+    (dict of windows, interval merge, excision) on dense tiny-vocab
+    corpora where nearly every window duplicates and islands overlap
+    heavily."""
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.clean_text, r.n_spans, r.tokens_removed)
+        for r in remove_duplicate_spans(
+            df, window_tokens=w, min_docs=min_docs
+        ).collect()
+    }
+    assert got == _reference_span_dedup(corpus, w, min_docs)
