@@ -769,6 +769,23 @@ def q_duplicated_span_report(
     return duplicated_span_report(docs, window_tokens=16, top_k=20)
 
 
+def q_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4 normalization before hashing (lowercase, punct ->
+    space, digits -> 0, whitespace collapse) + the resulting
+    exact-dup key."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.text import (
+        normalize_for_dedup,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return normalize_for_dedup(docs).select(
+        "doc_id",
+        "norm_text",
+        F.md5("norm_text").alias("norm_md5"),
+    )
+
+
 def _dsir_frames(spark: SparkSession, sf_dir: str):
     """The DSIR gate setup: 'src0' documents are the TARGET domain,
     everything else is the raw pool (the usual DSIR deployment:
@@ -2289,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_docs": q_duplicate_span_docs,
         "incremental_span_dedup": q_incremental_span_dedup,
         "duplicated_span_report": q_duplicated_span_report,
+        "normalized_docs": q_normalized_docs,
         "dsir_doc_weights": q_dsir_doc_weights,
         "corpus_diff": q_corpus_diff,
         "table_profile": q_table_profile,
@@ -4017,6 +4035,20 @@ def oracle_sql() -> dict[str, str]:
                tp.n_occurrences,
                tp.h AS window_md5
         FROM top tp JOIN rep r USING (h)
+        """,
+        # normalization chain mirrored with 'g' flags (DuckDB replaces
+        # first-match-only by default; Spark replaces all)
+        "normalized_docs": """
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(regexp_replace(
+                     lower(text),
+                     '[^\\p{L}\\p{N}\\s]', ' ', 'g'),
+                     '\\p{N}', '0', 'g'),
+                     '\\s+', ' ', 'g')) AS norm_text
+          FROM documents
+        )
+        SELECT doc_id, norm_text, md5(norm_text) AS norm_md5 FROM n
         """,
         "dsir_doc_weights": _dsir_cte()
         + """

@@ -127,6 +127,44 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalize_for_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    lowercase: bool = True,
+    strip_punct: bool = True,
+    digits_to_zero: bool = True,
+) -> DataFrame:
+    """CCNet/C4-style text normalization BEFORE hashing — the step
+    that makes "Hello, World!" and "hello world" the same exact-dup
+    key.  Lowercase, punctuation-to-space (everything outside
+    letters/digits/whitespace), every digit mapped to ``0`` (the
+    CCNet convention: "v2.1" and "v3.4" normalize together), and
+    whitespace runs collapsed to single spaces with ends trimmed —
+    each toggleable, applied in that order, appended as ``out_col``
+    so the raw text stays available downstream.
+
+    Pure codegen'd per-row expressions (lower + three
+    regexp_replace) — zero shuffle, partitioning preserved; feed the
+    result's ``out_col`` to ``exact_dedup_groups`` /
+    ``doc_fingerprints`` / the span-dedup family.  Engine parity:
+    ``\\p{L}``/``\\p{N}`` mean the same classes in Java regex and
+    DuckDB's RE2, and the oracle passes the ``'g'`` flag (DuckDB
+    replaces first-match-only by default where Spark replaces all).
+    Unicode case-folding beyond simple mapping (e.g. dotted-I) and
+    accent stripping are out of scope — they need ICU, which neither
+    engine guarantees here."""
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    if strip_punct:
+        c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " ")
+    if digits_to_zero:
+        c = F.regexp_replace(c, r"\p{N}", "0")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)
+
+
 def doc_fingerprints(
     df: DataFrame, text_col: str = "text", shingle_n: int = 3
 ) -> DataFrame:
