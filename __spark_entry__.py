@@ -769,6 +769,45 @@ def q_duplicated_span_report(
     return duplicated_span_report(docs, window_tokens=16, top_k=20)
 
 
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 BPE statistics: top-20 weighted adjacent character
+    pairs over the corpus word vocabulary (count DESC, pair asc —
+    the deterministic argmax order training uses)."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.bpe import (
+        bpe_pair_counts,
+        word_vocab,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = word_vocab(docs).select(
+        F.split("word", "").alias("syms"), "wcount"
+    )
+    return (
+        bpe_pair_counts(vocab)
+        .orderBy(F.desc("pair_count"), "left", "right")
+        .limit(20)
+        .select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            "pair_count",
+        )
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 trained BPE merges over the documents corpus (rows-only:
+    iterative argmax+fold; reference-equality + property gates in
+    tests/test_bpe.py)."""
+    _utc(spark)
+    from kafka_sparkstreaming_sbt_spark.operators.bpe import (
+        bpe_train_merges,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, n_merges=8)
+
+
 def q_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/C4 normalization before hashing (lowercase, punct ->
     space, digits -> 0, whitespace collapse) + the resulting
@@ -2164,6 +2203,12 @@ NON_SQL_QUERIES: set[str] = {
     # float-summation reasoning as ivf_kmeans_topk); recall gate in
     # tests/test_quantize.py
     "ivf_pq_topk",
+    # iterative (8 sequential argmax+merge rounds) — SQL would need
+    # 8 chained CTEs with a fold per word; gated instead by exact
+    # reference-equality tests incl. a Hypothesis property
+    # (tests/test_bpe.py); round-1 statistics ARE oracle-gated as
+    # bpe_pair_stats
+    "bpe_merges",
 }
 
 
@@ -2307,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_span_dedup": q_incremental_span_dedup,
         "duplicated_span_report": q_duplicated_span_report,
         "normalized_docs": q_normalized_docs,
+        "bpe_pair_stats": q_bpe_pair_stats,
         "dsir_doc_weights": q_dsir_doc_weights,
         "corpus_diff": q_corpus_diff,
         "table_profile": q_table_profile,
@@ -2316,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_value_quantiles": q_approx_value_quantiles,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -4035,6 +4082,31 @@ def oracle_sql() -> dict[str, str]:
                tp.n_occurrences,
                tp.h AS window_md5
         FROM top tp JOIN rep r USING (h)
+        """,
+        # round-1 BPE pair statistics: the training argmax order made
+        # a visible LIMIT (count DESC, pair asc); left/right renamed —
+        # they are SQL keywords
+        "bpe_pair_stats": """
+        WITH w AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount
+          FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+                FROM documents)
+          WHERE word <> '' GROUP BY word
+        ),
+        s AS (SELECT wcount, string_split(word, '') AS cs,
+                     len(string_split(word, '')) AS n
+              FROM w),
+        p AS (
+          SELECT cs[i] AS left_sym, cs[i + 1] AS right_sym, wcount
+          FROM (SELECT cs, wcount,
+                       unnest(generate_series(1, n - 1)) AS i
+                FROM s WHERE n >= 2)
+        )
+        SELECT left_sym, right_sym,
+               CAST(SUM(wcount) AS BIGINT) AS pair_count
+        FROM p GROUP BY left_sym, right_sym
+        ORDER BY pair_count DESC, left_sym, right_sym
+        LIMIT 20
         """,
         # normalization chain mirrored with 'g' flags (DuckDB replaces
         # first-match-only by default; Spark replaces all)
