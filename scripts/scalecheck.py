@@ -497,6 +497,56 @@ def run_span_dedup_scale(
     return d
 
 
+def run_bpe_scale(
+    spark: SparkSession, n_docs: int, scratch: str, audits: list
+) -> dict:
+    """BPE merge training at scale: the synthetic corpus draws its
+    tokens from a 1M-slot vocabulary, so word TYPES approach 10^6 at
+    the big scale — the vocabulary-sized rounds run over a genuinely
+    large table.  Gates:
+
+    - **determinism under partitioning**: retraining on a
+      repartition(7) of the same corpus yields a bit-identical merge
+      table (the argmax total order (count DESC, left, right) is the
+      whole point);
+    - **argmax monotonicity**: pair_count is non-increasing in
+      merge_rank — a merged pair's successor pairs can never beat the
+      maximum that produced them;
+    - full 8-row table (the corpus is never too small to merge)."""
+    from kafka_sparkstreaming_sbt_spark.operators.bpe import (
+        bpe_train_merges,
+    )
+
+    d = {"n_docs": n_docs}
+    docs = spark.read.parquet(f"{scratch}/docs_{n_docs}")
+    since = _max_stage_id(spark)
+    t0 = time.perf_counter()
+    merges = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges(docs, n_merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    d["wall_s"] = round(time.perf_counter() - t0, 2)
+    audits.append(
+        (f"bpe training @ {n_docs}", straggler_audit(spark, since))
+    )
+    again = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges(docs.repartition(7), n_merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    d["n_merges"] = len(merges)
+    d["deterministic"] = int(merges == again)
+    counts = [m[3] for m in merges]
+    d["monotone"] = int(
+        all(a >= b for a, b in zip(counts, counts[1:]))
+    )
+    d["top_pair_count"] = counts[0] if counts else 0
+    return d
+
+
 def run_bloom_scale(
     spark: SparkSession, n_docs: int, scratch: str,
     batch_docs: int = 20_000,
@@ -1608,6 +1658,10 @@ def main() -> int:
             run_span_dedup_scale(spark, n, scratch, audits)
             for n in doc_scales
         ]
+        bpe_results = [
+            run_bpe_scale(spark, n, scratch, audits)
+            for n in doc_scales
+        ]
         uncapped = (
             None
             if args.skip_uncapped
@@ -1693,6 +1747,12 @@ def main() -> int:
             "remove_duplicate_spans (window-hash)",
             span_results[0]["wall_s"],
             span_results[-1]["wall_s"],
+            doc_factor,
+        ),
+        scaling_row(
+            "bpe_train_merges (8 rounds)",
+            bpe_results[0]["wall_s"],
+            bpe_results[-1]["wall_s"],
             doc_factor,
         ),
     ]
@@ -1807,6 +1867,17 @@ def main() -> int:
                 d["mismatches"] == 0,
             )
             for d in span_results
+        ],
+        *[
+            (
+                f"BPE training deterministic under repartitioning + "
+                f"argmax monotone @ {d['n_docs']:,} "
+                f"({d['n_merges']} merges)",
+                d["deterministic"] == 1
+                and d["monotone"] == 1
+                and d["n_merges"] == 8,
+            )
+            for d in bpe_results
         ],
         (
             "salt invariance: 0 mismatching totals",
@@ -2161,6 +2232,24 @@ def main() -> int:
         "vocabulary (expected ~ n_boiler^2 x 1e-6 docs; excising it "
         "is correct), so the gate pins the clean text to the exact "
         "corresponding body suffix instead of a fixed 20-token cut.",
+        "",
+        "## BPE merge training",
+        "",
+        "`bpe_train_merges` (8 rounds) over the same corpus — word "
+        "TYPES approach 10^6 at the big scale, so the "
+        "vocabulary-sized rounds run on a genuinely large table.  "
+        "Gated on bit-identical retraining under a repartition(7) of "
+        "the input and on pair_count non-increasing in merge rank:",
+        "",
+        "| n_docs | wall (s) | merges | deterministic | monotone | "
+        "top pair count |",
+        "| --- | --- | --- | --- | --- | --- |",
+        *[
+            f"| {d['n_docs']:,} | {d['wall_s']} | {d['n_merges']} | "
+            f"{d['deterministic']} | {d['monotone']} | "
+            f"{d['top_pair_count']:,} |"
+            for d in bpe_results
+        ],
     ]
     if uncapped is not None:
         lines += [
@@ -2461,6 +2550,7 @@ def main() -> int:
             {
                 "documents": doc_results,
                 "span_dedup": span_results,
+                "bpe": bpe_results,
                 "selection": sel_results,
                 "wet": wet_results,
                 "bloom": bloom_results,
