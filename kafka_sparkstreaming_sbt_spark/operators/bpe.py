@@ -125,8 +125,23 @@ def _apply_merge(syms, left: str, right: str) -> F.Column:
     return F.aggregate(syms, init, step, finish)
 
 
+def _word_symbols(eow_marker: str | None) -> F.Column:
+    """Character symbols of ``word``, with the optional end-of-word
+    marker appended as its own symbol (the Sennrich '</w>'
+    convention — lets the trainer learn word-FINAL units distinct
+    from word-internal ones; the caller guarantees the marker is not
+    a character that occurs inside words)."""
+    syms = F.split("word", "")
+    if eow_marker is not None:
+        syms = F.concat(syms, F.array(F.lit(eow_marker)))
+    return syms
+
+
 def bpe_train_merges(
-    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    eow_marker: str | None = None,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges over the corpus; returns
     ``(merge_rank, left, right, pair_count)`` in training order.
@@ -140,7 +155,7 @@ def bpe_train_merges(
     spark = df.sparkSession
     vocab = (
         word_vocab(df, text_col)
-        .select(F.split("word", "").alias("syms"), "wcount")
+        .select(_word_symbols(eow_marker).alias("syms"), "wcount")
         .localCheckpoint()
     )
     rows = []
@@ -168,23 +183,77 @@ def bpe_train_merges(
 
 
 def bpe_vocab_tokens(
-    df: DataFrame, merges: DataFrame, text_col: str = "text"
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    eow_marker: str | None = None,
 ) -> DataFrame:
     """Tokenize the corpus VOCABULARY with a trained merge table:
     ``(word, tokens, wcount)`` — the artifact a tokenizer ships.
     Merges are collected once in rank order (n_merges rows — bounded:
-    it is the model) and applied as chained codegen'd folds; join the
-    mapping to a token stream downstream for doc-level encoding."""
+    it is the model) and applied as chained codegen'd folds; pass the
+    same ``eow_marker`` the trainer used.  Join the mapping to a
+    token stream downstream for doc-level encoding
+    (:func:`bpe_encode_docs`)."""
     ordered = [
         (r.left, r.right)
         for r in merges.orderBy("merge_rank").collect()
     ]
     vocab = word_vocab(df, text_col).select(
-        "word", F.split("word", "").alias("syms"), "wcount"
+        "word", _word_symbols(eow_marker).alias("syms"), "wcount"
     )
     out = F.col("syms")
     for left, right in ordered:
         out = _apply_merge(out, left, right)
     return vocab.select(
         "word", out.alias("tokens"), "wcount"
+    )
+
+
+def bpe_encode_docs(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eow_marker: str | None = None,
+) -> DataFrame:
+    """Encode every document with a trained merge table:
+    ``(id, bpe_tokens, n_bpe_tokens)``, subwords in document order.
+
+    Scale shape: the expensive fold runs ONCE PER WORD TYPE
+    (:func:`bpe_vocab_tokens`), never per token — the corpus side
+    only explodes (word, position) pairs and equi-joins the mapping
+    (vocabulary-sized; AQE broadcasts it when it fits), then one
+    doc-keyed reassembly agg, the ``drop_duplicate_chunks`` pattern.
+    Documents with no words come back with empty token arrays."""
+    mapping = bpe_vocab_tokens(df, merges, text_col, eow_marker)
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias(
+            "pos", "word"
+        ),
+    ).filter(F.col("word") != "")
+    cells = F.array_sort(F.collect_list(F.struct("pos", "tokens")))
+    encoded = (
+        words.join(mapping.select("word", "tokens"), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(cells, lambda s: s.tokens)
+            ).alias("bpe_tokens")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(encoded, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("bpe_tokens"),
+                F.expr("CAST(array() AS array<string>)"),
+            ).alias("bpe_tokens"),
+        )
+        .withColumn(
+            "n_bpe_tokens", F.size("bpe_tokens").cast("long")
+        )
     )

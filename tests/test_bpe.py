@@ -11,6 +11,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from kafka_sparkstreaming_sbt_spark.operators.bpe import (
+    bpe_encode_docs,
     bpe_train_merges,
     bpe_vocab_tokens,
     word_vocab,
@@ -131,6 +132,82 @@ def test_bpe_merges_query_matches_reference_on_test_table(
     ref, _ = _ref_bpe(dict(words), 8)
     assert got == ref
     assert len(got) == 8
+
+
+def test_eow_marker_learns_word_final_units(spark):
+    """With '</w>' appended, word-final merges are distinct symbols:
+    'er</w>' (newer/wider endings) can win where plain 'er' would be
+    conflated with word-internal 'er'; tokens still reconstruct
+    word + marker, and the reference (words with marker appended as
+    one extra symbol) agrees exactly."""
+    df = _docs_from_words(spark, WORDS)
+    merges = bpe_train_merges(df, n_merges=6, eow_marker="</w>")
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    ref_words = {w: c for w, c in WORDS.items()}
+    # reference: same algorithm over symbols list(word) + ['</w>']
+    syms = {w: list(w) + ["</w>"] for w in ref_words}
+    ref = []
+    for rank in range(1, 7):
+        counts = collections.Counter()
+        for w, c in ref_words.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += c
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        ref.append((rank, left, right, cnt))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got == ref
+    toks = {
+        r.word: list(r.tokens)
+        for r in bpe_vocab_tokens(
+            df, merges, eow_marker="</w>"
+        ).collect()
+    }
+    assert toks == syms
+    for w, t in toks.items():
+        assert "".join(t) == w + "</w>"
+    # some learned unit must actually involve the marker (a
+    # word-final merge — what the marker exists to enable)
+    assert any("</w>" in l + r for _, l, r, _ in got)
+
+
+def test_encode_docs_orders_and_counts(spark):
+    """Corpus encoding: subwords appear in document word order, the
+    per-doc count is the sum of the words' token counts, and an
+    empty-text doc comes back with an empty array."""
+    df = spark.createDataFrame(
+        [(1, "low lower low"), (2, "newer"), (3, "")],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train_merges(df, n_merges=4)
+    word_toks = {
+        r.word: list(r.tokens)
+        for r in bpe_vocab_tokens(df, merges).collect()
+    }
+    out = {
+        r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+        for r in bpe_encode_docs(df, merges).collect()
+    }
+    expect1 = (
+        word_toks["low"] + word_toks["lower"] + word_toks["low"]
+    )
+    assert out[1] == (expect1, len(expect1))
+    assert out[2] == (word_toks["newer"], len(word_toks["newer"]))
+    assert out[3] == ([], 0)
 
 
 _word_lists = st.lists(
