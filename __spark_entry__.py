@@ -2106,6 +2106,76 @@ def q_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set audit (Rae et al. 2021 Table A1 re-expressed
+    as codegen'd per-row maps — word-count bounds, mean word length,
+    stopword floor, symbol ratio, alphabetic-word fraction, and the
+    conjunction ``keep``); min_words=25 splits the synthetic corpus
+    nontrivially (370/500 kept at sf0.01)."""
+    from kafka_sparkstreaming_sbt_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    out = gopher_quality_flags(docs, min_words=25)
+    # flags as 1/0 ints — the driver gate's value hash is only
+    # exercised on int/str/float/timestamp columns (see canonical_docs)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "stop_hits",
+        "symbol_ratio", "alpha_frac",
+        *[
+            F.col(c).cast("int").alias(c)
+            for c in (
+                "words_ok", "mean_len_ok", "stop_ok", "symbol_ok",
+                "alpha_ok", "keep",
+            )
+        ],
+    )
+
+
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a 10 K-token training budget from the highest-quality
+    documents down (quality DESC, doc_id ASC) — the fixed-compute
+    selection step, executed with bucketed prefix sums instead of a
+    single-partition global window (operators.sampling.
+    select_to_token_budget)."""
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+    from kafka_sparkstreaming_sbt_spark.operators.text import (
+        quality_score,
+    )
+
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).join(
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        ),
+        "doc_id",
+    )
+    return select_to_token_budget(
+        scored, 10_000, "n_tokens", "quality_score"
+    ).select("doc_id", "quality_score", "n_tokens", "run_before")
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for the first 50 vectors,
+    the 5 most-cosine-similar corpus vectors with a DIFFERENT label
+    (query side broadcast, same-label pairs excluded in the join
+    predicate, map-side WindowGroupLimit prune)."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb, emb.filter(F.col("vec_id") < 50), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _sql_hex8(col: str) -> str:
     """DuckDB expression: first 8 hex chars of md5 column ``col`` as
     an unsigned 32-bit integer — same ascii-arithmetic nibble decode
@@ -2357,6 +2427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "table_profile": q_table_profile,
         "key_skew_report": q_key_skew_report,
+        "gopher_quality_flags": q_gopher_quality_flags,
+        "token_budget_selection": q_token_budget_selection,
+        "hard_negatives": q_hard_negatives,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -4511,5 +4584,96 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.doc_id, g.group_id, s.group_size,
                ROUND(1.0::DOUBLE / s.group_size, 6) AS weight
         FROM groups g JOIN sizes s USING (group_id)
+        """,
+        # Gopher rules: whitespace-run split; mean word length by
+        # char arithmetic; '#'/'...' counted by replace-length delta
+        # (both engines replace non-overlapping left-to-right)
+        "gopher_quality_flags": f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(toks) AS n_words,
+                 ROUND(length(regexp_replace(text, '\\s+', '', 'g'))
+                       / len(toks), 6) AS mean_word_len,
+                 len(list_filter(toks, x -> list_contains(
+                     {_sql_words(STOPWORDS)}, x))) AS stop_hits,
+                 ROUND(((length(text) - length(replace(text, '#', '')))
+                        + (length(text)
+                           - length(replace(text, '...', ''))) / 3)
+                       / len(toks), 6) AS symbol_ratio,
+                 ROUND(len(list_filter(toks,
+                           x -> regexp_matches(x, '[a-zA-Z]')))
+                       / len(toks), 6) AS alpha_frac
+          FROM t
+        )
+        SELECT doc_id, n_words, mean_word_len, stop_hits,
+               symbol_ratio, alpha_frac,
+               CAST(n_words >= 25 AND n_words <= 100000 AS INTEGER)
+                 AS words_ok,
+               CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                 AS INTEGER) AS mean_len_ok,
+               CAST(stop_hits >= 2 AS INTEGER) AS stop_ok,
+               CAST(symbol_ratio <= 0.1 AS INTEGER) AS symbol_ok,
+               CAST(alpha_frac >= 0.8 AS INTEGER) AS alpha_ok,
+               CAST((n_words >= 25 AND n_words <= 100000)
+                AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                AND (stop_hits >= 2) AND (symbol_ratio <= 0.1)
+                AND (alpha_frac >= 0.8) AS INTEGER) AS keep
+        FROM m
+        """,
+        # budget fill replayed with the textbook global window — the
+        # Spark side's bucketed prefix sums are an execution detail,
+        # the selected set depends only on the total order
+        "token_budget_selection": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        sc AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 ROUND(0.3 * least(len(toks) / 100.0, 1.0)
+                       + 0.4 * (len(list_distinct(toks))
+                                / CAST(len(toks) AS DOUBLE))
+                       + 0.3 * least(4 * (len(list_filter(toks,
+                             x -> list_contains(
+                                 {_sql_words(STOPWORDS)}, x)))
+                             / CAST(len(toks) AS DOUBLE)), 1.0), 6)
+                   AS quality_score
+          FROM t
+        ),
+        r AS (
+          SELECT *,
+                 CAST(SUM(n_tokens) OVER (
+                     ORDER BY quality_score DESC, doc_id)
+                   - n_tokens AS BIGINT) AS run_before
+          FROM sc
+        )
+        SELECT doc_id, quality_score, n_tokens, run_before
+        FROM r WHERE run_before < 10000
+        """,
+        "hard_negatives": """
+        WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        s AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+                     c.vec_id AS neighbor_id,
+                     c.label AS neighbor_label,
+                     ROUND(list_dot_product(q.v, c.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(c.v, c.v))), 6)
+                       AS cosine
+              FROM e q, e c
+              WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+                AND q.label <> c.label)
+        SELECT query_id, query_label, neighbor_id, neighbor_label,
+               cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id)
+                 AS rank
+        FROM s QUALIFY rank <= 5
         """,
     }

@@ -286,3 +286,115 @@ def leakage_safe_split(
     return with_split(
         labeled, "group_id", train_upto=train_upto, valid_upto=valid_upto
     )
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    weight_col: str,
+    order_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Greedy budget fill: take rows in (``order_col`` DESC,
+    ``id_col`` ASC) order until their cumulative ``weight_col``
+    reaches ``budget`` — "fill a 100 B-token training budget from the
+    highest-quality documents down", the selection step every
+    fixed-compute training run ends with.  A row is kept iff the
+    cumulative weight STRICTLY BEFORE it is < ``budget`` (so the
+    straddling row is included and the selection is never empty while
+    budget > 0 and rows exist).
+
+    Scale design — the textbook ``SUM() OVER (ORDER BY ...)`` is a
+    single-partition global window (one task sees every row); this
+    implementation never builds one:
+
+    1. one aggregate for (min, max) of ``order_col`` (2 scalars);
+    2. rows map to ``n_buckets`` contiguous RANGE buckets of the
+       order key (bucket is a pure function of ``order_col``, so the
+       bucket order refines the total order and ties never split);
+    3. one partial->final agg gives per-bucket (sum, count) —
+       ``n_buckets`` rows collected, prefix offsets computed on the
+       driver (bounded by construction);
+    4. buckets whose offset already exceeds the budget are filtered
+       BEFORE any window (at 100 TB that is most of the corpus —
+       pruned map-side);
+    5. the surviving buckets run the windowed cumsum PARTITIONED BY
+       bucket (offset + within-bucket running sum == the global
+       running sum) — every window task is bounded by one bucket's
+       width, never the corpus, and the survivor set is itself
+       budget-bounded.
+
+    Output: the selected rows with ``run_before`` (cumulative weight
+    before the row under the global order) — callers can re-derive
+    the exact fill level as ``max(run_before + weight)``.
+
+    Determinism: output depends only on the total order and weights,
+    never on the bucketing — any engine replays it with a plain
+    global window (the oracle form).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from pyspark.sql import Window
+
+    mm = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).collect()[0]
+    if mm.lo is None:
+        return df.select(
+            F.col(id_col),
+            F.col(order_col),
+            F.col(weight_col),
+            F.lit(0).cast("long").alias("run_before"),
+        ).limit(0)
+    lo, hi = float(mm.lo), float(mm.hi)
+    width = (hi - lo) / n_buckets if hi > lo else 1.0
+    # descending order: bucket 0 holds the LARGEST order keys.
+    bucket = F.least(
+        F.floor((F.lit(hi) - F.col(order_col).cast("double")) / width),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    with_b = df.select(
+        F.col(id_col), F.col(order_col), F.col(weight_col),
+        bucket.alias("_bucket"),
+    )
+    stats = (
+        with_b.groupBy("_bucket")
+        .agg(
+            F.sum(F.col(weight_col).cast("long")).alias("w"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    offset: dict[int, int] = {}
+    acc = 0
+    for row in sorted(stats, key=lambda r: r._bucket):
+        offset[row._bucket] = acc
+        acc += row.w
+    # buckets whose prefix offset is already past the budget can
+    # never contribute a selected row — pruned before the window.
+    alive = [b for b, off in offset.items() if off < budget]
+    if not alive:
+        return with_b.select(
+            id_col, order_col, weight_col,
+            F.lit(0).cast("long").alias("run_before"),
+        ).limit(0)
+    cand = with_b.filter(F.col("_bucket").isin(alive))
+    off_expr = F.create_map(
+        *[x for b in offset for x in (F.lit(b), F.lit(offset[b]))]
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = off_expr[F.col("_bucket")] + F.sum(
+        F.col(weight_col).cast("long")
+    ).over(w)
+    out = cand.select(
+        id_col, order_col, weight_col,
+        (run - F.col(weight_col).cast("long")).alias("run_before"),
+    )
+    return out.filter(F.col("run_before") < budget)

@@ -105,10 +105,17 @@ def _ranked_topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    # extra input columns (e.g. labels in hard_negatives) ride along;
+    # the canonical three stay first for the long-standing callers.
+    carry = [
+        c
+        for c in scored.columns
+        if c not in ("query_id", "neighbor_id", "cosine")
+    ]
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select("query_id", "neighbor_id", "cosine", *carry, "rank")
     )
 
 
@@ -1882,4 +1889,158 @@ def label_centroids(
             F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
             lambda s: s.mean_val,
         ).alias("centroid"),
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    method: str = "sql",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch /
+    ANCE / SimCSE data-prep step): for every query vector, the ``k``
+    corpus vectors MOST similar to it that carry a DIFFERENT
+    ``label_col`` — maximally confusable wrong answers, the rows a
+    contrastive loss learns the most from.  Same-id and same-label
+    pairs are excluded; output is (query_id, query_label,
+    neighbor_id, neighbor_label, cosine, rank).
+
+    Execution is :func:`cosine_topk`'s economics with the label
+    exclusion fused into the pair predicate BEFORE scoring: the
+    query side (ids + labels + vectors) broadcasts, the corpus is
+    scanned once, and Catalyst's partial ``WindowGroupLimit`` prunes
+    each map task to its local per-query top-k, so the rank exchange
+    carries at most Q x k x n_partitions rows.  ``method="numpy"``
+    routes through one BLAS matmul per Arrow batch and masks
+    same-label columns to -inf — identical results modulo BLAS
+    summation order at exact 6-dp ties, so oracle queries stay on
+    ``"sql"``.
+
+    At 100 TB: no shuffle of the corpus at all — broadcast join +
+    map-side window prune + a Q x k-sized rank exchange; mining cost
+    is one corpus scan per query batch, amortized by batching
+    queries (Q is bounded by the broadcast contract, exactly as in
+    :func:`cosine_topk`).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    if method == "numpy":
+        return _hard_negatives_numpy(
+            corpus, q, k, vec_col, id_col, label_col
+        )
+    from kafka_sparkstreaming_sbt_spark.plans import (
+        parallelize_for_compute,
+    )
+
+    c = parallelize_for_compute(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("query_label") != F.col("neighbor_label")),
+    )
+    cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = pairs.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(cos, 6).alias("cosine"),
+    )
+    ranked = _ranked_topk_per_query(scored, k)
+    return ranked.select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label",
+        "cosine", "rank",
+    )
+
+
+def _hard_negatives_numpy(
+    corpus: DataFrame,
+    q: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """BLAS tier of :func:`hard_negatives` — :func:`_topk_numpy`'s
+    batch-matmul shape with a same-label mask alongside the self
+    mask, and labels carried through the rank stage."""
+    qrows = sorted(q.collect(), key=lambda r: r.query_id)
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    qlab = np.array([r.query_label for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r.q_vec) for r in qrows], dtype=np.float64)
+    if not len(qrows):
+        qmat = qmat.reshape(0, 0)
+    qn = np.linalg.norm(qmat, axis=1)
+    lab_of = dict(zip(qids.tolist(), qlab.tolist()))
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("query_label", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("neighbor_label", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf) or not len(qids):
+                continue
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+            nid = pdf[id_col].to_numpy()
+            nlab = pdf[label_col].to_numpy(dtype=np.int64)
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(v, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.round(v @ qmat.T / np.outer(vn, qn), 6)
+            cos[nid[:, None] == qids[None, :]] = -np.inf
+            cos[nlab[:, None] == qlab[None, :]] = -np.inf
+            cos = np.where(np.isnan(cos), -np.inf, cos)
+            kk = min(k, cos.shape[0])
+            order = np.argsort(-cos, axis=0, kind="stable")[:kk]
+            flat_q = np.tile(qids, kk)
+            flat_n = nid[order].reshape(-1)
+            flat_l = nlab[order].reshape(-1)
+            flat_c = np.take_along_axis(cos, order, axis=0).reshape(-1)
+            keep = flat_c > -np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": flat_q[keep],
+                    "query_label": [
+                        lab_of[i] for i in flat_q[keep].tolist()
+                    ],
+                    "neighbor_id": flat_n[keep],
+                    "neighbor_label": flat_l[keep],
+                    "cosine": flat_c[keep],
+                }
+            )
+
+    from kafka_sparkstreaming_sbt_spark.plans import (
+        parallelize_for_compute,
+    )
+
+    scored = (
+        parallelize_for_compute(corpus)
+        .select(id_col, label_col, vec_col)
+        .mapInPandas(score, schema)
+    )
+    ranked = _ranked_topk_per_query(scored, k)
+    return ranked.select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label",
+        "cosine", "rank",
     )

@@ -531,3 +531,100 @@ def corpus_stats(
         F.sum(F.size(toks).cast("long")).alias("total_tokens"),
         F.round(F.avg(F.size(toks)), 2).alias("avg_tokens"),
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stop_hits: int = 2,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+) -> DataFrame:
+    """Gopher-style repetition-free document quality rules (Rae et
+    al. 2021, "Scaling Language Models: ... Gopher", Table A1) as one
+    codegen'd per-row map — the published rule set most corpus
+    pipelines (MassiveText, RefinedWeb, Dolma) start from:
+
+    - ``words_ok``      — word count in [min_words, max_words]
+    - ``mean_len_ok``   — mean word length in [min_mean_word_len,
+      max_mean_word_len] (kills OCR noise and minified blobs)
+    - ``stop_ok``       — at least ``min_stop_hits`` stopword hits
+      (natural prose contains function words)
+    - ``symbol_ok``     — '#' / '...' symbol-to-word ratio at most
+      ``max_symbol_ratio`` (kills markup and ellipsis spam)
+    - ``alpha_ok``      — at least ``min_alpha_frac`` of words
+      contain an alphabetic character (kills number tables)
+    - ``keep``          — conjunction of all five
+
+    Scale: zero shuffle — pure whole-stage-codegen expressions over
+    one scan, embarrassingly parallel at 100 TB.  Word splitting is
+    whitespace-run based (``\\s+`` on the trimmed text) so multiple
+    spaces / newlines don't inflate counts; mean word length is
+    (non-whitespace chars) / words, exact and engine-portable.  The
+    repetition-based Gopher rules (duplicate line / paragraph
+    fractions) live in :func:`repetition_stats`; the two families
+    compose with a join on ``doc_id``.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(toks)
+    non_ws_chars = F.length(
+        F.regexp_replace(F.col(text_col), r"\s+", "")
+    )
+    mean_len = F.round(non_ws_chars / n_words, 6)
+    stop_hits = _stop_hits(toks)
+    # symbol hits: '#' occurrences + '...' (ellipsis) occurrences —
+    # counted by length arithmetic so no regex engine disagreement.
+    hash_hits = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    ellipsis_hits = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.round((hash_hits + ellipsis_hits) / n_words, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / n_words, 6
+    )
+    out = df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+    )
+    words_ok = (F.col("n_words") >= min_words) & (
+        F.col("n_words") <= max_words
+    )
+    mean_ok = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    stop_ok = F.col("stop_hits") >= min_stop_hits
+    sym_ok = F.col("symbol_ratio") <= max_symbol_ratio
+    alpha_ok = F.col("alpha_frac") >= min_alpha_frac
+    return out.select(
+        "*",
+        words_ok.alias("words_ok"),
+        mean_ok.alias("mean_len_ok"),
+        stop_ok.alias("stop_ok"),
+        sym_ok.alias("symbol_ok"),
+        alpha_ok.alias("alpha_ok"),
+        (words_ok & mean_ok & stop_ok & sym_ok & alpha_ok).alias("keep"),
+    )
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", **rule_kwargs
+) -> DataFrame:
+    """Documents passing every :func:`gopher_quality_flags` rule —
+    the filter form (left-semi back onto the full rows, so the text
+    and any carried columns survive; the flags frame itself is the
+    audit form)."""
+    kept = gopher_quality_flags(df, text_col, **rule_kwargs).filter(
+        "keep"
+    )
+    return df.join(kept.select("doc_id"), "doc_id", "left_semi")

@@ -905,3 +905,42 @@ def test_label_centroids_matches_numpy_mean(spark):
         np.testing.assert_allclose(
             np.array(out[lbl].centroid), vecs.mean(axis=0), atol=1e-9
         )
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    """Hard-negative mining: every returned neighbor has a different
+    label, ranks are dense per query in (cosine DESC, id ASC) order,
+    and the BLAS tier agrees with the SQL tier exactly."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        # two tight clusters; labels interleaved so the nearest
+        # vector is usually the SAME label (must be skipped)
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0], 0),
+        (2, [0.98, 0.15, 0.0], 1),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.1, 0.99, 0.0], 1),
+        (5, [0.15, 0.98, 0.0], 0),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negatives(df, df, k=2).collect()
+    lab = {i: l for i, v, l in rows}
+    for r in out:
+        assert r.query_label != r.neighbor_label
+        assert r.query_id != r.neighbor_id
+        assert lab[r.query_id] == r.query_label
+        assert lab[r.neighbor_id] == r.neighbor_label
+    # query 0 (label 0): nearest is 1 (same label, skipped) -> 2
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    q0 = sorted(by_q[0], key=lambda r: r.rank)
+    assert q0[0].neighbor_id == 2
+    # BLAS tier parity
+    np_rows = sorted(
+        map(tuple, hard_negatives(df, df, k=2, method="numpy").collect())
+    )
+    assert np_rows == sorted(map(tuple, out))

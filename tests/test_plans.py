@@ -233,6 +233,9 @@ _BOUNDED_NESTED_LOOP = {
     "hybrid_retrieval_rrf",
     "key_skew_report",  # 1-row corpus-total scalar, tf_idf pattern
     "pagerank_weights",  # 1-row node-count scalar, tf_idf pattern
+    # ann_cosine_topk's scored cross join with the label-exclusion
+    # predicate fused in — same bounded broadcast query set
+    "hard_negatives",
 }
 
 

@@ -402,3 +402,61 @@ def test_snapshot_diff_emits_only_the_delta(spark):
     assert out[4].status == "added" and out[4].old_hash is None
     assert out[3].status == "changed"
     assert out[3].old_hash != out[3].new_hash
+
+
+def test_select_to_token_budget_matches_global_window(spark):
+    """Bucketed prefix-sum budget fill == the textbook global-window
+    selection, independent of n_buckets, with the straddling row
+    included (run_before < budget rule)."""
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    rows = [
+        # (id, score, weight) — scores engineered with 6-dp ties
+        (1, 0.9, 40), (2, 0.9, 10), (3, 0.8, 25), (4, 0.7, 100),
+        (5, 0.7, 5), (6, 0.5, 30), (7, 0.3, 60), (8, 0.1, 2),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "w"])
+    # brute-force model: order by (score desc, id asc), cumsum
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    budget = 120
+    run, expect = 0, {}
+    for i, s, w in ordered:
+        if run < budget:
+            expect[i] = run
+        run += w
+    for nb in (1, 3, 64):
+        got = {
+            r.doc_id: r.run_before
+            for r in select_to_token_budget(
+                df, budget, "w", "score", n_buckets=nb
+            ).collect()
+        }
+        assert got == expect, f"n_buckets={nb}"
+    # the straddling row (id 4 pushes past 120) is INCLUDED
+    assert 4 in expect
+    # fill level is re-derivable: max(run_before)+its weight >= budget
+    assert max(expect.values()) < budget
+
+
+def test_select_to_token_budget_edges(spark):
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 10), (2, 5.0, 10)], ["doc_id", "score", "w"]
+    )
+    # budget >= total: everything selected (constant order key ->
+    # single bucket, width-0 guard)
+    out = select_to_token_budget(df, 1000, "w", "score").collect()
+    assert {r.doc_id for r in out} == {1, 2}
+    # empty input: empty output with the output schema
+    empty = df.limit(0)
+    assert select_to_token_budget(empty, 10, "w", "score").count() == 0
+    with _pt.raises(ValueError):
+        select_to_token_budget(df, 0, "w", "score")
+    with _pt.raises(ValueError):
+        select_to_token_budget(df, 10, "w", "score", n_buckets=0)
