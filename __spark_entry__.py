@@ -2176,6 +2176,63 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN graph over the first 200 vectors (the
+    oracle-replayable tier; the scale path is the k-means cell-blocked
+    cogroup variant, recall-gated in tests/test_dedup_similarity.py)."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return knn_graph(
+        emb.filter(F.col("vec_id") < 200), k=5, method="exact"
+    )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of majority-vote label propagation over the exact
+    5-NN graph of the first 200 vectors, seeded with the first 20 true
+    labels — integer votes, ties to the smaller label, seeds
+    clamped."""
+    from kafka_sparkstreaming_sbt_spark.operators.graph import (
+        label_propagation,
+    )
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    _utc(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    sub = emb.filter(F.col("vec_id") < 200)
+    edges = knn_graph(sub, k=5, method="exact")
+    seeds = emb.filter(F.col("vec_id") < 20).select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    return label_propagation(edges, seeds, n_rounds=2)
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging of the document corpus: 4 exact-quantile
+    difficulty stages over the quality score + a deterministic
+    md5 within-stage shuffle key."""
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        curriculum_order,
+    )
+    from kafka_sparkstreaming_sbt_spark.operators.text import (
+        quality_score,
+    )
+
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return curriculum_order(
+        quality_score(docs).select("doc_id", "quality_score"),
+        "quality_score",
+        n_stages=4,
+    )
+
+
 def _sql_hex8(col: str) -> str:
     """DuckDB expression: first 8 hex chars of md5 column ``col`` as
     an unsigned 32-bit integer — same ascii-arithmetic nibble decode
@@ -2254,6 +2311,29 @@ def _dsir_cte() -> str:
           FROM feats JOIN ratio USING (bucket)
           WHERE source <> 'src0' GROUP BY 1
         )
+    """
+
+
+def _knn_cte() -> str:
+    """Shared DuckDB prefix: the exact 5-NN graph over the first 200
+    embedding vectors (cosine DESC, dst ASC rank — the same total
+    order as operators.similarity.knn_graph's exact tier)."""
+    return """
+        WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings WHERE vec_id < 200),
+        s AS (SELECT q.vec_id AS src, c.vec_id AS dst,
+                     ROUND(list_dot_product(q.v, c.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(c.v, c.v))), 6)
+                       AS cosine
+              FROM e q, e c WHERE q.vec_id <> c.vec_id),
+        knn AS (SELECT src, dst, cosine,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY cosine DESC, dst)
+                         AS rank
+                FROM s QUALIFY rank <= 5)
     """
 
 
@@ -2430,6 +2510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": q_gopher_quality_flags,
         "token_budget_selection": q_token_budget_selection,
         "hard_negatives": q_hard_negatives,
+        "knn_graph_edges": q_knn_graph_edges,
+        "label_propagation": q_label_propagation,
+        "curriculum_order": q_curriculum_order,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -4675,5 +4758,82 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY cosine DESC, neighbor_id)
                  AS rank
         FROM s QUALIFY rank <= 5
+        """,
+        "knn_graph_edges": _knn_cte()
+        + """
+        SELECT src, dst, cosine, rank FROM knn
+        """,
+        # two vote->argmax rounds replayed literally: integer counts,
+        # tie to the smaller label, seeds clamped via NOT IN
+        "label_propagation": _knn_cte()
+        + """
+        , edges AS (SELECT src, dst FROM knn
+                    UNION
+                    SELECT dst, src FROM knn),
+        seeds AS (SELECT vec_id AS node, label FROM e
+                  WHERE vec_id < 20),
+        v1 AS (SELECT ed.dst AS node, l.label, COUNT(*) AS n
+               FROM edges ed JOIN seeds l ON l.node = ed.src
+               GROUP BY 1, 2),
+        p1 AS (SELECT node, label FROM (
+                 SELECT node, label,
+                        row_number() OVER (PARTITION BY node
+                                           ORDER BY n DESC, label)
+                          AS rn
+                 FROM v1) WHERE rn = 1),
+        l1 AS (SELECT node, label FROM seeds
+               UNION ALL
+               SELECT p.node, p.label FROM p1 p
+               WHERE p.node NOT IN (SELECT node FROM seeds)),
+        v2 AS (SELECT ed.dst AS node, l.label, COUNT(*) AS n
+               FROM edges ed JOIN l1 l ON l.node = ed.src
+               GROUP BY 1, 2),
+        p2 AS (SELECT node, label FROM (
+                 SELECT node, label,
+                        row_number() OVER (PARTITION BY node
+                                           ORDER BY n DESC, label)
+                          AS rn
+                 FROM v2) WHERE rn = 1),
+        l2 AS (SELECT node, label FROM seeds
+               UNION ALL
+               SELECT p.node, p.label FROM p2 p
+               WHERE p.node NOT IN (SELECT node FROM seeds))
+        SELECT node AS vec_id, label,
+               CASE WHEN node IN (SELECT node FROM seeds)
+                    THEN 'seed' ELSE 'propagated' END AS origin
+        FROM l2
+        """,
+        "curriculum_order": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        sc AS (
+          SELECT doc_id,
+                 ROUND(0.3 * least(len(toks) / 100.0, 1.0)
+                       + 0.4 * (len(list_distinct(toks))
+                                / CAST(len(toks) AS DOUBLE))
+                       + 0.3 * least(4 * (len(list_filter(toks,
+                             x -> list_contains(
+                                 {_sql_words(STOPWORDS)}, x)))
+                             / CAST(len(toks) AS DOUBLE)), 1.0), 6)
+                   AS quality_score
+          FROM t
+        ),
+        th AS (SELECT ROUND(quantile_cont(quality_score, 0.25), 6) q1,
+                      ROUND(quantile_cont(quality_score, 0.5), 6) q2,
+                      ROUND(quantile_cont(quality_score, 0.75), 6) q3
+               FROM sc),
+        st AS (SELECT doc_id, quality_score,
+                      CAST((CASE WHEN ROUND(quality_score, 6) > q1
+                                 THEN 1 ELSE 0 END
+                          + CASE WHEN ROUND(quality_score, 6) > q2
+                                 THEN 1 ELSE 0 END
+                          + CASE WHEN ROUND(quality_score, 6) > q3
+                                 THEN 1 ELSE 0 END) AS INTEGER)
+                        AS stage
+               FROM sc, th)
+        SELECT doc_id, quality_score, stage,
+               md5('7:' || CAST(stage AS VARCHAR) || ':'
+                   || CAST(doc_id AS VARCHAR)) AS draw
+        FROM st
         """,
     }

@@ -367,3 +367,108 @@ def pagerank(
         F.col("node").alias(id_col),
         F.col("rank_pico").cast("long").alias("rank_pico"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 3,
+    symmetrize: bool = True,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation over a (kNN) graph — the
+    weak-supervision step that turns a small labeled seed set into
+    corpus-scale training labels (Zhu & Ghahramani 2002, majority-vote
+    form): each round, every node takes the most common label among
+    its in-neighbors' current labels; SEED labels are clamped (never
+    overwritten); unreached nodes stay unlabeled until a labeled
+    neighbor appears.  Ties break toward the SMALLER label — integer
+    vote counts, so rounds are bit-deterministic on any engine or
+    partitioning (no float damping, same design as the integer
+    :func:`pagerank`).
+
+    Output: ``(id, label, origin)`` with origin ``seed`` /
+    ``propagated`` — one row per node that holds a label after
+    ``n_rounds``.
+
+    Scale: per round, ONE shuffle — the edge table joins the current
+    O(labeled-nodes) label frame on ``src`` (labels are the small,
+    shrinking-relative side; at kNN degree k the join output is
+    bounded by k x labeled nodes), then a partial->final count agg on
+    (dst, label) and a ``max_by`` argmax collapse to one row per dst.
+    The label frame is localCheckpointed per round so plan depth and
+    lineage stay flat over rounds — the :func:`pagerank` loop
+    contract.  ``n_rounds`` is fixed (label diameter of interest),
+    never a convergence poll.
+    """
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if symmetrize:
+        # one explode pass, executed once (pagerank's symmetrization)
+        e = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                    ),
+                )
+            ).alias("p")
+        ).select("p.src", "p.dst").distinct()
+    seed_frame = seeds.select(
+        F.col(id_col).alias("node"), F.col(label_col).alias("label")
+    ).localCheckpoint(eager=False)
+    labels = seed_frame
+    for _ in range(n_rounds):
+        votes = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("label")
+                ),
+                "src",
+            )
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        # majority label per node: most votes, tie -> smaller label
+        prop = votes.groupBy("dst").agg(
+            F.max_by(
+                F.col("label"),
+                F.struct(
+                    F.col("n_votes"),
+                    (-F.col("label")).alias("neg"),
+                ),
+            ).alias("label")
+        )
+        # seeds clamp; non-seed nodes take this round's majority
+        labels = (
+            seed_frame.select("node", "label")
+            .unionByName(
+                prop.join(
+                    seed_frame.select(F.col("node")),
+                    prop.dst == F.col("node"),
+                    "left_anti",
+                ).select(F.col("dst").alias("node"), "label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    is_seed = seed_frame.select("node").withColumn(
+        "origin", F.lit("seed")
+    )
+    return (
+        labels.join(is_seed, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("label").alias(label_col),
+            F.coalesce(F.col("origin"), F.lit("propagated")).alias(
+                "origin"
+            ),
+        )
+    )

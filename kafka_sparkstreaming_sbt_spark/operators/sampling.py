@@ -398,3 +398,69 @@ def select_to_token_budget(
         (run - F.col(weight_col).cast("long")).alias("run_before"),
     )
     return out.filter(F.col("run_before") < budget)
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int = 4,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Curriculum staging: assign every row to one of ``n_stages``
+    difficulty stages by exact score quantile (stage 0 = lowest
+    scores, fed first in easy-first curricula), with a deterministic
+    md5 shuffle key WITHIN each stage — the "order the corpus by
+    difficulty, shuffle within difficulty" prep step of curriculum
+    training (Bengio et al. 2009).  Consumers sort by (stage, draw)
+    to stream the corpus in curriculum order.
+
+    Output: ``(id, score, stage, draw)``; ``draw`` is the md5 hex of
+    ``seed:stage:id`` — uniform, engine-portable, and independent of
+    input partitioning (same determinism contract as
+    :func:`deterministic_sample`).
+
+    Scale: one exact-percentile aggregate collects ``n_stages - 1``
+    threshold scalars (exact ``F.percentile`` — matches DuckDB
+    ``quantile_cont`` bit-for-bit on 6-dp-rounded inputs); stage
+    assignment and the draw are then zero-shuffle codegen'd maps.
+    No global sort happens here — the (stage, draw) key IS the
+    curriculum order, and writers range-partition on it only when
+    materializing (the sort is the consumer's one unavoidable
+    exchange, not this operator's).
+    """
+    if n_stages < 2:
+        raise ValueError(f"n_stages must be >= 2, got {n_stages}")
+    fracs = [i / n_stages for i in range(1, n_stages)]
+    row = df.agg(
+        F.percentile(F.col(score_col), F.array(*[F.lit(f) for f in fracs])).alias("t")
+    ).collect()[0]
+    if row.t is None:
+        return df.select(
+            F.col(id_col),
+            F.col(score_col),
+            F.lit(0).cast("int").alias("stage"),
+            F.lit(None).cast("string").alias("draw"),
+        ).limit(0)
+    # 6-dp rounding keeps the comparison identical cross-engine
+    thresholds = [round(float(v), 6) for v in row.t]
+    stage = F.lit(0)
+    for t in thresholds:
+        stage = stage + F.when(
+            F.round(F.col(score_col), 6) > F.lit(t), 1
+        ).otherwise(0)
+    return df.select(
+        F.col(id_col),
+        F.col(score_col),
+        stage.cast("int").alias("stage"),
+    ).withColumn(
+        "draw",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(seed),
+                F.col("stage"),
+                F.col(id_col).cast("string"),
+            )
+        ),
+    )

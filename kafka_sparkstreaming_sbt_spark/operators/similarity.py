@@ -2044,3 +2044,51 @@ def _hard_negatives_numpy(
         "query_id", "query_label", "neighbor_id", "neighbor_label",
         "cosine", "rank",
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    n_iter: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "blocked",
+) -> DataFrame:
+    """k-nearest-neighbor graph over an embedding corpus: one row per
+    (src, dst, cosine, rank) directed edge, ``rank`` 1..k per src —
+    the substrate for graph-based curation (label propagation,
+    cluster discovery, graph-connectivity dedup audits).
+
+    ``method="blocked"`` is the scale path: every vector is BOTH a
+    query and a corpus row of an IVF search (k-means cells ~ sqrt N,
+    :func:`kmeans_centroids`), executed with the per-cell cogroup
+    BLAS kernel (:func:`_ivf_search_numpy`) — each corpus row moves
+    to its cell once, each query visits its ``n_probe`` nearest
+    cells, and the global merge is the map-side-pruned rank.  Nothing
+    is ever broadcast or collected except the C x dim centroid table:
+    the Q=N shape that makes :func:`cosine_topk`'s broadcast contract
+    impossible at corpus scale is exactly what the cogroup avoids.
+    Edges are exact WITHIN probed cells; recall vs the exact graph is
+    gated in tests (same contract as :func:`ivf_kmeans_topk`).
+
+    ``method="exact"`` is the brute-force tier (broadcast queries —
+    bounded corpora only; the oracle-replayable form).
+    """
+    if method == "exact":
+        out = cosine_topk(corpus, corpus, k, vec_col, id_col)
+    else:
+        cents = kmeans_centroids(
+            corpus, n_cells, n_iter, seed, vec_col, id_col
+        )
+        out = _ivf_search_numpy(
+            corpus, corpus, cents, k, n_probe, vec_col, id_col
+        )
+    return out.select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )

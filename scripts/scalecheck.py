@@ -835,6 +835,132 @@ def run_selection_scale(
     return d
 
 
+def run_budget_scale(spark: SparkSession, n_docs: int) -> dict:
+    """Token-budget selection at scale: the bucketed prefix-sum plan
+    must select EXACTLY the rows the textbook global-window reference
+    selects (the output is a pure function of the total order, so any
+    divergence is a bug, not noise), and wall time must stay
+    near-linear — the reference itself is the single-partition window
+    this operator exists to avoid, so it is only ever run HERE, as a
+    gate."""
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+    from pyspark.sql import Window
+
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        (
+            F.pmod(F.xxhash64(F.lit("s"), F.col("id")), F.lit(1000001))
+            / 1000000.0
+        ).alias("score"),
+        (F.pmod(F.xxhash64(F.lit("w"), F.col("id")), F.lit(200)) + 20)
+        .cast("long")
+        .alias("w"),
+    ).localCheckpoint(eager=True)
+    budget = int(n_docs * 119.5 * 0.3)  # ~30% of expected total weight
+    t0 = time.perf_counter()
+    sel = select_to_token_budget(base, budget, "w", "score")
+    n_sel = sel.count()
+    wall = round(time.perf_counter() - t0, 2)
+    w_ref = (
+        Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = (
+        base.select(
+            "doc_id",
+            "score",
+            F.col("w"),
+            (F.sum("w").over(w_ref) - F.col("w")).alias("run_before"),
+        )
+        .filter(F.col("run_before") < budget)
+    )
+    mism = (
+        sel.exceptAll(ref).count() + ref.exceptAll(sel).count()
+    )
+    return {
+        "n_docs": n_docs,
+        "budget": budget,
+        "budget_wall_s": wall,
+        "budget_n_selected": n_sel,
+        "budget_parity_mismatches": mism,
+    }
+
+
+def run_graph_scale(spark: SparkSession, n_vecs: int) -> dict:
+    """Cell-blocked kNN graph + label propagation at scale, on the
+    clustered corpus (the shape real embedding models produce):
+
+    - blocked 10-NN graph over ALL n_vecs vectors (every vector is
+      query and corpus — the Q=N shape the brute-force tier cannot
+      broadcast); recall gated >= 0.9 against the exact neighbors of
+      a 256-vector sample;
+    - 3 rounds of label propagation over those edges, seeded with
+      0.5% of nodes carrying their planted cluster id: propagated
+      accuracy must be ~1.0 (edges are intra-cluster by
+      construction), and a repartitioned rerun must be
+      bit-identical (integer votes)."""
+    from kafka_sparkstreaming_sbt_spark.operators.graph import (
+        label_propagation,
+    )
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        cosine_topk,
+        knn_graph,
+    )
+
+    n_clusters = max(4, int(n_vecs**0.5) // 2)
+    emb = synth_clustered_embeddings(
+        spark, n_vecs, n_clusters
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    edges = knn_graph(emb, k=10, n_probe=2).localCheckpoint(
+        eager=True
+    )
+    n_edges = edges.count()
+    knn_wall = round(time.perf_counter() - t0, 2)
+
+    step = max(1, n_vecs // 256)
+    sample = emb.filter(F.col("vec_id") % step == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, sample, k=10, method="numpy").collect()
+    }
+    got = {
+        (r.src, r.dst)
+        for r in edges.join(
+            sample.select(F.col("vec_id").alias("src")), "src", "left_semi"
+        ).collect()
+    }
+    recall = round(len(got & exact) / max(len(exact), 1), 4)
+
+    seeds = emb.filter(F.col("vec_id") % 200 == 0).select(
+        "vec_id", (F.col("vec_id") % n_clusters).alias("label")
+    )
+    t0 = time.perf_counter()
+    labeled = label_propagation(edges, seeds, n_rounds=3)
+    truth_ok = labeled.filter(F.col("origin") == "propagated").filter(
+        F.col("label") == (F.col("vec_id") % n_clusters)
+    )
+    n_prop = labeled.filter(F.col("origin") == "propagated").count()
+    acc = round(truth_ok.count() / max(n_prop, 1), 4)
+    lp_wall = round(time.perf_counter() - t0, 2)
+    rerun = label_propagation(edges.repartition(97), seeds, n_rounds=3)
+    lp_mism = labeled.exceptAll(rerun).count() + rerun.exceptAll(
+        labeled
+    ).count()
+    return {
+        "n_vecs": n_vecs,
+        "knn_wall_s": knn_wall,
+        "knn_edges": n_edges,
+        "knn_recall_at_10": recall,
+        "lp_wall_s": lp_wall,
+        "lp_n_propagated": n_prop,
+        "lp_accuracy": acc,
+        "lp_repartition_mismatches": lp_mism,
+    }
+
+
 def run_uncapped_equivalence(
     spark: SparkSession, n_docs: int, scratch: str
 ) -> dict:
@@ -1670,6 +1796,14 @@ def main() -> int:
         sel_results = [
             run_selection_scale(spark, n, scratch) for n in doc_scales
         ]
+        budget_results = [
+            run_budget_scale(spark, n) for n in doc_scales
+        ]
+        graph_result = (
+            run_graph_scale(spark, embed_scales[-1])
+            if embed_scales
+            else None
+        )
         wet_results = [
             run_wet_scale(spark, n, scratch) for n in wet_scales
         ]
@@ -1772,6 +1906,15 @@ def main() -> int:
                 doc_factor,
             ),
         ]
+    if budget_results:
+        scaling.append(
+            scaling_row(
+                "select_to_token_budget",
+                budget_results[0]["budget_wall_s"],
+                budget_results[-1]["budget_wall_s"],
+                doc_factor,
+            )
+        )
     if wet_results:
         w_small, w_big = wet_results[0], wet_results[-1]
         wet_factor = w_big["n_pages"] // w_small["n_pages"]
@@ -2127,6 +2270,37 @@ def main() -> int:
                 sr is not None and sr <= STRAGGLER_RATIO,
             )
         )
+    for b in budget_results:
+        checks.append(
+            (
+                f"token-budget fill == global-window reference @ "
+                f"{b['n_docs']:,} rows ({b['budget_parity_mismatches']}"
+                f" mismatches, {b['budget_n_selected']:,} selected)",
+                b["budget_parity_mismatches"] == 0,
+            )
+        )
+    if graph_result is not None:
+        g = graph_result
+        checks += [
+            (
+                f"blocked kNN graph recall@10 {g['knn_recall_at_10']} "
+                f"at {g['n_vecs']:,} clustered vectors "
+                f"({g['knn_edges']:,} edges, floor 0.9)",
+                g["knn_recall_at_10"] >= 0.9,
+            ),
+            (
+                f"label propagation accuracy {g['lp_accuracy']} on "
+                f"{g['lp_n_propagated']:,} propagated nodes "
+                f"(floor 0.99)",
+                g["lp_accuracy"] >= 0.99,
+            ),
+            (
+                f"label propagation bit-identical under "
+                f"repartitioning ({g['lp_repartition_mismatches']} "
+                f"mismatches)",
+                g["lp_repartition_mismatches"] == 0,
+            ),
+        ]
     straggler_rows = []
     for label, stages in audits:
         for s in stages:

@@ -944,3 +944,44 @@ def test_hard_negatives_excludes_same_label_and_self(spark):
         map(tuple, hard_negatives(df, df, k=2, method="numpy").collect())
     )
     assert np_rows == sorted(map(tuple, out))
+
+
+def test_knn_graph_blocked_recall_on_clustered_corpus(spark):
+    """The cell-blocked kNN graph recovers >= 0.9 of the exact graph's
+    edges on a CLUSTERED corpus (the realistic embedding shape —
+    k-means cells align with the clusters, so n_probe=2 suffices);
+    the exact tier is cosine_topk under edge names."""
+    import random
+
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        cosine_topk,
+        knn_graph,
+    )
+
+    rng = random.Random(3)
+    centers = [
+        [10.0 if d == c else 0.0 for d in range(8)] for c in range(4)
+    ]
+    rows = []
+    for i in range(400):
+        c = centers[i % 4]
+        rows.append(
+            (i, [x + rng.gauss(0, 1.0) for x in c])
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r.src, r.dst)
+        for r in knn_graph(df, k=5, method="exact").collect()
+    }
+    # exact tier == cosine_topk modulo column names
+    ct = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(df, df, k=5).collect()
+    }
+    assert exact == ct
+    blocked = {
+        (r.src, r.dst)
+        for r in knn_graph(df, k=5, n_cells=8, n_probe=2).collect()
+    }
+    recall = len(blocked & exact) / len(exact)
+    assert recall >= 0.9, recall

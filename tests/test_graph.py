@@ -235,3 +235,98 @@ def test_pagerank_validates_inputs(spark):
         pagerank(nodes, edges, n_iter=0)
     with _pytest.raises(ValueError):
         pagerank(nodes, edges, damping_pct=101)
+
+
+def test_label_propagation_planted_clusters(spark):
+    """Two planted cliques with one seed each: every member inherits
+    its clique's seed label; the bridge node (equal votes from both)
+    tie-breaks to the SMALLER label; seeds stay clamped even when
+    outvoted; an isolated node never appears."""
+    from kafka_sparkstreaming_sbt_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # clique A: 0-1-2 fully connected; clique B: 10-11-12; bridge 5
+    # touches one node of each; 99 is isolated (no edges)
+    edges = spark.createDataFrame(
+        [
+            (0, 1), (1, 2), (0, 2),
+            (10, 11), (11, 12), (10, 12),
+            (5, 2), (5, 12),
+        ],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(0, 7), (10, 3)], ["vec_id", "label"])
+    out = {
+        r.vec_id: r
+        for r in label_propagation(edges, seeds, n_rounds=3).collect()
+    }
+    assert 99 not in out
+    assert out[0].label == 7 and out[0].origin == "seed"
+    assert out[10].label == 3 and out[10].origin == "seed"
+    for n in (1, 2):
+        assert out[n].label == 7 and out[n].origin == "propagated"
+    for n in (11, 12):
+        assert out[n].label == 3 and out[n].origin == "propagated"
+    # bridge: one vote label 7 (via 2), one vote label 3 (via 12) ->
+    # tie breaks to the smaller label
+    assert out[5].label == 3
+
+
+def test_label_propagation_seed_clamped_and_rounds(spark):
+    """A seed surrounded by oppositely-labeled neighbors keeps its
+    label; a node two hops from the only seed is unlabeled after 1
+    round and labeled after 2."""
+    from kafka_sparkstreaming_sbt_spark.operators.graph import (
+        label_propagation,
+    )
+    import pytest as _pt
+
+    # chain: 0(seed) - 1 - 2; plus seed 3 adjacent to 0
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 0)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame(
+        [(0, 5), (3, 9)], ["vec_id", "label"]
+    )
+    r1 = {
+        r.vec_id: r
+        for r in label_propagation(edges, seeds, n_rounds=1).collect()
+    }
+    assert set(r1) == {0, 1, 3}  # node 2 not yet reached
+    assert r1[0].label == 5  # clamped (neighbor 3 voted 9)
+    assert r1[1].label == 5
+    r2 = {
+        r.vec_id: r
+        for r in label_propagation(edges, seeds, n_rounds=2).collect()
+    }
+    assert r2[2].label == 5 and r2[2].origin == "propagated"
+    with _pt.raises(ValueError):
+        label_propagation(edges, seeds, n_rounds=0)
+
+
+def test_label_propagation_deterministic_under_repartition(spark):
+    """Same labels regardless of input partitioning — integer votes,
+    no float accumulation order anywhere."""
+    from kafka_sparkstreaming_sbt_spark.operators.graph import (
+        label_propagation,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    edges_rows = [
+        (rng.randrange(50), rng.randrange(50)) for _ in range(200)
+    ]
+    edges_rows = [(a, b) for a, b in edges_rows if a != b]
+    seeds_rows = [(i, i % 3) for i in range(5)]
+    e1 = spark.createDataFrame(edges_rows, ["src", "dst"])
+    seeds = spark.createDataFrame(seeds_rows, ["vec_id", "label"])
+    base = sorted(
+        map(tuple, label_propagation(e1, seeds, n_rounds=3).collect())
+    )
+    e2 = e1.repartition(13)
+    again = sorted(
+        map(tuple, label_propagation(e2, seeds, n_rounds=3).collect())
+    )
+    assert base == again

@@ -236,6 +236,10 @@ _BOUNDED_NESTED_LOOP = {
     # ann_cosine_topk's scored cross join with the label-exclusion
     # predicate fused in — same bounded broadcast query set
     "hard_negatives",
+    # the exact (oracle) tier of the kNN graph on a bounded subset;
+    # the scale path is the cell-blocked cogroup, recall-gated
+    "knn_graph_edges",
+    "label_propagation",  # same exact-tier kNN graph as input
 }
 
 

@@ -460,3 +460,40 @@ def test_select_to_token_budget_edges(spark):
         select_to_token_budget(df, 0, "w", "score")
     with _pt.raises(ValueError):
         select_to_token_budget(df, 10, "w", "score", n_buckets=0)
+
+
+def test_curriculum_order_stages_and_determinism(spark):
+    """Exact-quantile staging: 4 stages of ~equal size over a uniform
+    score, stage monotone in score, draw deterministic and
+    partition-independent."""
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        curriculum_order,
+    )
+    import pytest as _pt
+
+    rows = [(i, round(i / 100.0, 6)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    out = {r.doc_id: r for r in curriculum_order(df, "score", 4).collect()}
+    assert len(out) == 100
+    sizes = {}
+    for r in out.values():
+        sizes[r.stage] = sizes.get(r.stage, 0) + 1
+    assert set(sizes) == {0, 1, 2, 3}
+    assert all(20 <= n <= 30 for n in sizes.values()), sizes
+    # stage monotone in score
+    ordered = sorted(out.values(), key=lambda r: r.score)
+    stages = [r.stage for r in ordered]
+    assert stages == sorted(stages)
+    # deterministic under repartition
+    again = {
+        r.doc_id: r
+        for r in curriculum_order(
+            df.repartition(7), "score", 4
+        ).collect()
+    }
+    assert {(r.doc_id, r.stage, r.draw) for r in out.values()} == {
+        (r.doc_id, r.stage, r.draw) for r in again.values()
+    }
+    with _pt.raises(ValueError):
+        curriculum_order(df, "score", 1)
+    assert curriculum_order(df.limit(0), "score", 4).count() == 0
