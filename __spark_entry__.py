@@ -2314,6 +2314,31 @@ def _dsir_cte() -> str:
     """
 
 
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the MATERIALIZED inverted index (postings
+    partitioned by term-hash bucket + generation, dfreq/stats as the
+    committed meta): builds generation 0 under a scratch dir, then
+    answers the same query as bm25_topk through partition-pruned
+    reads — identical output by the shared scoring tail."""
+    import tempfile
+
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        bm25_topk_from_index,
+        build_inverted_index,
+    )
+
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    idx = tempfile.mkdtemp(prefix="bm25_index_")
+    build_inverted_index(docs, idx, n_buckets=16)
+    out = bm25_topk_from_index(
+        spark, idx, ["customer", "merge", "scan", "spark"], k=20
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _knn_cte() -> str:
     """Shared DuckDB prefix: the exact 5-NN graph over the first 200
     embedding vectors (cosine DESC, dst ASC rank — the same total
@@ -2513,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_edges": q_knn_graph_edges,
         "label_propagation": q_label_propagation,
         "curriculum_order": q_curriculum_order,
+        "bm25_topk_indexed": q_bm25_topk_indexed,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -2523,7 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "windowed_spending_per_customer": _WINDOW_EXPANSION
         + """
         SELECT user_id, window_start,
@@ -4837,3 +4863,7 @@ def oracle_sql() -> dict[str, str]:
         FROM st
         """,
     }
+    # the indexed BM25 path must produce byte-identical output to the
+    # query-time path (shared scoring tail) — same oracle by design
+    oracles["bm25_topk_indexed"] = oracles["bm25_topk"]
+    return oracles

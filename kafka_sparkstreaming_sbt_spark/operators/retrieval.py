@@ -103,31 +103,9 @@ def bm25_scores(
     # aggregation, broadcast back onto the postings
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
-    idf = F.ln(
-        1.0
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    avgdl = F.col("total_dl") / F.col("n_docs")
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
-    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
-    contrib_micro = F.round(contrib * _MICRO).cast("long")
-
-    return (
-        tf.join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(stats))
-        .select(id_col, contrib_micro.alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_hit_terms"),
-            F.sum("c").alias("score_micro"),
-        )
-        .select(
-            id_col,
-            "n_hit_terms",
-            "score_micro",
-            F.round(F.col("score_micro") / _MICRO, 6).alias("score"),
-        )
-    )
+    # scoring tail shared with the materialized-index path
+    # (_score_postings) so the two are bit-identical by construction
+    return _score_postings(tf, dfreq, stats, k1, b, id_col)
 
 
 def bm25_topk(
@@ -219,5 +197,293 @@ def rrf_fuse(
     return global_topk_with_rank(
         fused,
         [("rrf_nano", "desc"), (id_col, "asc")],
+        k,
+    )
+
+
+# ---------------------------------------------------------------------
+# Materialized inverted index — the lake-artifact form of BM25.
+# bm25_topk re-derives postings from text on every query (right when
+# queries are rare and the corpus hot in cache); a search-serving or
+# repeated-retrieval workload wants the postings computed ONCE and
+# pruned at read time.  Layout under ``index_dir``:
+#
+#   postings/upto=G/bucket=B/*.parquet   (doc_id, dl, token, tf)
+#   meta/upto=G/dfreq/*.parquet          (token, df, bucket)
+#   meta/upto=G/stats/*.parquet          (n_docs, total_dl, n_buckets)
+#
+# ``bucket = pmod(xxhash64(token), n_buckets)`` is a PARTITION column:
+# a query prunes to its terms' bucket DIRECTORIES before any read —
+# the inverted-index seek, expressed as parquet partition pruning.
+# ``upto`` is the generation number AND a partition column: appended
+# postings are written under upto=G+1 FIRST, the merged meta commits
+# LAST (parquet ``_SUCCESS`` as the commit record), and readers take
+# the max committed meta generation and filter ``upto <= G`` — so a
+# crash between the two writes leaves the new postings invisible, a
+# replayed append dynamically overwrites the same upto=G+1 dirs
+# (idempotent), and no reader ever sees postings priced with stale
+# df/avgdl.  Single-writer contract, like every lake artifact here.
+# ---------------------------------------------------------------------
+
+
+def _score_postings(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring tail over (id, dl, token, tf) postings +
+    (token, df) + 1-row (n_docs, total_dl) — the ONE implementation
+    of the contribution arithmetic, so the query-time and indexed
+    paths are bit-identical by construction (integer micro-unit
+    contributions, order-independent sums)."""
+    idf = F.ln(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    contrib_micro = F.round(contrib * _MICRO).cast("long")
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, contrib_micro.alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("c").alias("score_micro"),
+        )
+        .select(
+            id_col,
+            "n_hit_terms",
+            "score_micro",
+            F.round(F.col("score_micro") / _MICRO, 6).alias("score"),
+        )
+    )
+
+
+def _index_postings(
+    df: DataFrame,
+    n_buckets: int,
+    upto: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("token"),
+        )
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            id_col,
+            "dl",
+            "token",
+            "tf",
+            F.lit(upto).alias("upto"),
+            F.pmod(F.xxhash64("token"), F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+        )
+    )
+
+
+def _committed_generation(spark, index_dir: str) -> int:
+    """Max generation G whose meta dir carries BOTH _SUCCESS markers
+    (dfreq + stats) — the read frontier.  -1 if none."""
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        _success_marker_exists,
+    )
+
+    jvm = spark._jvm
+    meta = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/meta")
+    fs = meta.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(meta):
+        return -1
+    best = -1
+    for st in fs.listStatus(meta):
+        name = st.getPath().getName()
+        if not name.startswith("upto="):
+            continue
+        g = int(name.split("=", 1)[1])
+        base = f"{index_dir}/meta/{name}"
+        if _success_marker_exists(
+            spark, f"{base}/dfreq"
+        ) and _success_marker_exists(spark, f"{base}/stats"):
+            best = max(best, g)
+    return best
+
+
+def build_inverted_index(
+    df: DataFrame,
+    index_dir: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Materialize generation 0 of the index from ``df``.  Returns a
+    small report dict.  One corpus scan builds the postings (one
+    shuffle on (id, token)); dfreq and stats are aggregations OF the
+    postings, so text is never re-tokenized."""
+    spark = df.sparkSession
+    post = _index_postings(df, n_buckets, 0, text_col, id_col)
+    (
+        post.write.mode("overwrite")
+        .partitionBy("upto", "bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(f"{index_dir}/postings")
+    )
+    written = spark.read.parquet(f"{index_dir}/postings").filter(
+        F.col("upto") == 0
+    )
+    dfreq = written.groupBy("token", "bucket").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    dfreq.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/meta/upto=0/dfreq"
+    )
+    # total_dl must count each doc once, not once per posting
+    doclen = written.groupBy(id_col).agg(F.max("dl").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    )
+    stats.write.mode("overwrite").parquet(
+        f"{index_dir}/meta/upto=0/stats"
+    )
+    row = spark.read.parquet(f"{index_dir}/meta/upto=0/stats").first()
+    return {
+        "generation": 0,
+        "n_docs": row.n_docs,
+        "total_dl": row.total_dl,
+        "n_buckets": n_buckets,
+    }
+
+
+def append_to_index(
+    df_new: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Append a document batch as generation G+1: new postings land
+    under ``postings/upto=G+1`` first (dynamic overwrite — a replayed
+    append rewrites the same dirs, idempotent), then the MERGED
+    dfreq/stats commit as ``meta/upto=G+1``.  Old postings are never
+    rewritten; daily cost is proportional to the batch.  Crash
+    between the writes: the orphan postings are invisible (readers
+    stop at the committed meta) and the next append replays them."""
+    spark = df_new.sparkSession
+    g = _committed_generation(spark, index_dir)
+    if g < 0:
+        raise ValueError(
+            f"no committed index at {index_dir} — build_inverted_index first"
+        )
+    stats_old = spark.read.parquet(
+        f"{index_dir}/meta/upto={g}/stats"
+    ).first()
+    n_buckets = stats_old.n_buckets
+    post = _index_postings(df_new, n_buckets, g + 1, text_col, id_col)
+    (
+        post.write.mode("overwrite")
+        .partitionBy("upto", "bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(f"{index_dir}/postings")
+    )
+    new_rows = spark.read.parquet(f"{index_dir}/postings").filter(
+        F.col("upto") == g + 1
+    )
+    dfreq_new = new_rows.groupBy("token", "bucket").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    dfreq_old = spark.read.parquet(f"{index_dir}/meta/upto={g}/dfreq")
+    merged = (
+        dfreq_old.unionByName(dfreq_new)
+        .groupBy("token", "bucket")
+        .agg(F.sum("df").alias("df"))
+    )
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/meta/upto={g + 1}/dfreq"
+    )
+    doclen = new_rows.groupBy(id_col).agg(F.max("dl").alias("dl"))
+    add = doclen.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).first()
+    spark.createDataFrame(
+        [
+            (
+                int(stats_old.n_docs) + int(add.n or 0),
+                int(stats_old.total_dl) + int(add.t or 0),
+                int(n_buckets),
+            )
+        ],
+        "n_docs long, total_dl long, n_buckets long",
+    ).write.mode("overwrite").parquet(
+        f"{index_dir}/meta/upto={g + 1}/stats"
+    )
+    return {
+        "generation": g + 1,
+        "n_new_docs": int(add.n or 0),
+    }
+
+
+def bm25_topk_from_index(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 over the MATERIALIZED index: identical output to
+    :func:`bm25_topk` on the indexed corpus (same scoring tail, same
+    integer arithmetic), but the read is pruned to the query terms'
+    bucket directories (partition pruning on ``bucket``) + committed
+    generations (partition pruning on ``upto``) + a token pushdown
+    inside the pruned files — the inverted-index seek, declaratively."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    g = _committed_generation(spark, index_dir)
+    if g < 0:
+        raise ValueError(f"no committed index at {index_dir}")
+    stats_df = spark.read.parquet(f"{index_dir}/meta/upto={g}/stats")
+    n_buckets = stats_df.first().n_buckets
+    terms = sorted(set(query_terms))
+    # |q|-row collect: the terms' partition buckets (xxhash64 is
+    # JVM-side, so evaluate it with a tiny one-column frame)
+    trows = spark.createDataFrame(
+        [(t,) for t in terms], "token string"
+    ).select(
+        "token",
+        F.pmod(F.xxhash64("token"), F.lit(int(n_buckets))).alias("b"),
+    )
+    buckets = sorted({int(r.b) for r in trows.collect()})
+    post = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(
+            (F.col("upto") <= g)
+            & F.col("bucket").isin(buckets)
+            & F.col("token").isin(terms)
+        )
+        .select(id_col, "dl", "token", "tf")
+    )
+    dfreq = (
+        spark.read.parquet(f"{index_dir}/meta/upto={g}/dfreq")
+        .filter(F.col("bucket").isin(buckets) & F.col("token").isin(terms))
+        .select("token", "df")
+    )
+    stats = stats_df.select("n_docs", "total_dl")
+    scored = _score_postings(post, dfreq, stats, k1, b, id_col)
+    return global_topk_with_rank(
+        scored,
+        [("score_micro", "desc"), (id_col, "asc")],
         k,
     )

@@ -934,7 +934,14 @@ def run_graph_scale(spark: SparkSession, n_vecs: int) -> dict:
     }
     recall = round(len(got & exact) / max(len(exact), 1), 4)
 
-    seeds = emb.filter(F.col("vec_id") % 200 == 0).select(
+    # seeds: the first 10 members of EVERY cluster (vec_id <
+    # 10 * n_clusters covers each residue class exactly 10 times).
+    # NOT a modular stride like vec_id % 200 == 0 — that aliases
+    # with the vid % n_clusters cluster assignment (gcd(200, 500) =
+    # 100 -> seeds land in 5 of 500 clusters) and propagation then
+    # correctly saturates only the seeded 1% — measured before this
+    # comment existed.
+    seeds = emb.filter(F.col("vec_id") < 10 * n_clusters).select(
         "vec_id", (F.col("vec_id") % n_clusters).alias("label")
     )
     t0 = time.perf_counter()
@@ -945,6 +952,7 @@ def run_graph_scale(spark: SparkSession, n_vecs: int) -> dict:
     n_prop = labeled.filter(F.col("origin") == "propagated").count()
     acc = round(truth_ok.count() / max(n_prop, 1), 4)
     lp_wall = round(time.perf_counter() - t0, 2)
+    coverage = round(labeled.count() / n_vecs, 4)
     rerun = label_propagation(edges.repartition(97), seeds, n_rounds=3)
     lp_mism = labeled.exceptAll(rerun).count() + rerun.exceptAll(
         labeled
@@ -956,6 +964,7 @@ def run_graph_scale(spark: SparkSession, n_vecs: int) -> dict:
         "knn_recall_at_10": recall,
         "lp_wall_s": lp_wall,
         "lp_n_propagated": n_prop,
+        "lp_coverage": coverage,
         "lp_accuracy": acc,
         "lp_repartition_mismatches": lp_mism,
     }
@@ -2293,6 +2302,12 @@ def main() -> int:
                 f"{g['lp_n_propagated']:,} propagated nodes "
                 f"(floor 0.99)",
                 g["lp_accuracy"] >= 0.99,
+            ),
+            (
+                f"label propagation coverage {g['lp_coverage']} of "
+                f"{g['n_vecs']:,} nodes after 3 rounds from 1% "
+                f"seeds (floor 0.9)",
+                g["lp_coverage"] >= 0.9,
             ),
             (
                 f"label propagation bit-identical under "

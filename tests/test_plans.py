@@ -59,7 +59,11 @@ def test_ann_rank_pruned_map_side(spark, sf_small):
     WindowGroupLimit BELOW the exchange — each map partition keeps only
     its k best rows per query, so the shuffle carries Q x k x P rows,
     never the full Q x N scored set."""
-    for q in (entry_mod.q_ann_cosine_topk, entry_mod.q_ivf_topk):
+    for q in (
+        entry_mod.q_ann_cosine_topk,
+        entry_mod.q_ivf_topk,
+        entry_mod.q_hard_negatives,
+    ):
         lines = _physical(q(spark, sf_small)).splitlines()
         partial = [
             i
@@ -228,6 +232,8 @@ _BOUNDED_NESTED_LOOP = {
     "dsir_selected_docs",
     "nb_quality_scores",
     "bm25_topk",  # 2-row avgdl/N scalar joined lazily (tf_idf pattern)
+    # same 1-row stats scalar cross join, read from the index meta
+    "bm25_topk_indexed",
     # bm25 leg's scalar + the <= 1-row broadcast query-vector cross
     # join of the dense leg — both bounded by construction
     "hybrid_retrieval_rrf",
@@ -358,3 +364,34 @@ def test_ivf_probe_broadcast_is_size_guarded(spark, sf_small, monkeypatch):
     assert sorted(map(tuple, small.collect())) == sorted(
         map(tuple, large.collect())
     )
+
+
+def test_token_budget_window_is_bucketed_and_prune_reaches_scan(
+    spark, sf_small
+):
+    """select_to_token_budget must never build the single-partition
+    global window it replaces: its one Window is PARTITIONED BY the
+    range bucket, the only exchange is the bucket hash exchange, and
+    the over-budget-bucket prune is a scan-side data filter (below
+    the exchange), so dropped buckets never shuffle."""
+    plan = _physical(
+        entry_mod.q_token_budget_selection(spark, sf_small)
+    )
+    lines = plan.splitlines()
+    win = [i for i, l in enumerate(lines) if "Window [" in l]
+    assert win, "no Window operator found"
+    assert "_bucket" in lines[win[0]]
+    exch = [
+        i
+        for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(_bucket" in l
+    ]
+    assert exch, "window exchange must partition by the bucket"
+    # the bucket-membership prune is pushed into the scan-side
+    # Filter/DataFilters BELOW (printed after) the exchange
+    scan_filter = [
+        i
+        for i, l in enumerate(lines)
+        if i > exch[0] and "Filter" in l and "FLOOR" in l
+    ]
+    assert scan_filter, "bucket prune did not reach the scan side"

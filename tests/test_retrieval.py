@@ -151,3 +151,113 @@ def test_rrf_fuse_validates_inputs(spark):
     leg = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
     with pytest.raises(ValueError):
         rrf_fuse([leg], k=0)
+
+
+def test_inverted_index_matches_query_time_bm25(spark, tmp_path):
+    """Materialized-index BM25 == query-time BM25 exactly (shared
+    scoring tail), for multiple queries, on generation 0."""
+    import pyspark.sql.functions as F
+
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_inverted_index,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    docs = read_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    rep = build_inverted_index(docs, idx, n_buckets=8)
+    assert rep["generation"] == 0 and rep["n_docs"] == docs.count()
+    for q in (["customer", "merge"], ["spark"], ["scan", "window", "key"]):
+        a = sorted(
+            map(tuple, bm25_topk_from_index(spark, idx, q, k=15).collect())
+        )
+        b = sorted(map(tuple, bm25_topk(docs, q, k=15).collect()))
+        assert a == b, q
+
+
+def test_inverted_index_append_and_crash_replay(spark, tmp_path):
+    """Incremental append == full rebuild on the union corpus; a
+    crash between postings and meta leaves readers on the old
+    generation; the replayed append converges to the same state (no
+    duplicate postings)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        append_to_index,
+        bm25_topk,
+        bm25_topk_from_index,
+        build_inverted_index,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    docs = read_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    n = docs.count()
+    old = docs.filter(F.col("doc_id") < n * 3 // 4)
+    new = docs.filter(F.col("doc_id") >= n * 3 // 4)
+    idx = str(tmp_path / "idx")
+    build_inverted_index(old, idx, n_buckets=8)
+    q = ["customer", "merge", "scan"]
+    gen0 = sorted(
+        map(tuple, bm25_topk_from_index(spark, idx, q, k=15).collect())
+    )
+    append_to_index(new, idx)
+    want = sorted(map(tuple, bm25_topk(docs, q, k=15).collect()))
+    got = sorted(
+        map(tuple, bm25_topk_from_index(spark, idx, q, k=15).collect())
+    )
+    assert got == want
+    # crash: meta gen 1 vanishes -> reader rolls back to gen 0 even
+    # though gen-1 postings exist on disk
+    shutil.rmtree(f"{idx}/meta/upto=1")
+    rolled = sorted(
+        map(tuple, bm25_topk_from_index(spark, idx, q, k=15).collect())
+    )
+    assert rolled == gen0
+    # replay converges (dynamic overwrite of the same upto dirs)
+    append_to_index(new, idx)
+    again = sorted(
+        map(tuple, bm25_topk_from_index(spark, idx, q, k=15).collect())
+    )
+    assert again == want
+
+
+def test_inverted_index_read_is_partition_pruned(spark, tmp_path):
+    """The indexed query's postings scan must prune on BOTH partition
+    columns — bucket (the terms' hash buckets) and upto (committed
+    generations) — and push the token filter into the files."""
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        bm25_topk_from_index,
+        build_inverted_index,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    docs = read_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    build_inverted_index(docs, idx, n_buckets=8)
+    plan = (
+        bm25_topk_from_index(spark, idx, ["customer"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pruned = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l
+        and "bucket" in l
+        and "upto" in l
+    ]
+    assert pruned, "postings scan not partition-pruned"
+    assert any(
+        "token" in l and "DataFilters" in l for l in plan.splitlines()
+    )
