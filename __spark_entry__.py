@@ -2339,6 +2339,31 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_bm25_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 serving: three queries scored against the corpus
+    in ONE scan (term-union broadcast semi-join prunes the postings
+    before the one aggregation shuffle; tf/df computed once and
+    fanned out per query; map-side-pruned per-query rank)."""
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        bm25_topk_many,
+    )
+
+    _utc(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    qs = spark.createDataFrame(
+        [
+            (1, ["customer", "merge"]),
+            (2, ["spark"]),
+            (3, ["scan", "window", "key"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    out = bm25_topk_many(docs, qs, k=15)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _knn_cte() -> str:
     """Shared DuckDB prefix: the exact 5-NN graph over the first 200
     embedding vectors (cosine DESC, dst ASC rank — the same total
@@ -2539,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "curriculum_order": q_curriculum_order,
         "bm25_topk_indexed": q_bm25_topk_indexed,
+        "bm25_multi_query": q_bm25_multi_query,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,
@@ -4866,4 +4892,51 @@ def oracle_sql() -> dict[str, str]:
     # the indexed BM25 path must produce byte-identical output to the
     # query-time path (shared scoring tail) — same oracle by design
     oracles["bm25_topk_indexed"] = oracles["bm25_topk"]
+    # batched serving: same per-(doc, term) arithmetic, per-query rank
+    oracles["bm25_multi_query"] = """
+        WITH qt(query_id, token) AS (
+          VALUES (1, 'customer'), (1, 'merge'), (2, 'spark'),
+                 (3, 'scan'), (3, 'window'), (3, 'key')
+        ),
+        base AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                 string_split(text, ' ') AS toks
+          FROM documents
+        ),
+        stats AS (SELECT COUNT(*) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) AS total_dl
+                  FROM base),
+        tf AS (
+          SELECT t.doc_id, t.dl, t.token, COUNT(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS token FROM base) t
+          WHERE t.token IN (SELECT DISTINCT token FROM qt)
+          GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT tf.doc_id, tf.token,
+                 CAST(ROUND(
+                   ln(1.0::DOUBLE + (stats.n_docs - dfreq.df
+                                     + 0.5::DOUBLE)
+                                    / (dfreq.df + 0.5::DOUBLE))
+                   * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+                   / (tf.tf + 1.2::DOUBLE
+                        * (1.0::DOUBLE - 0.75::DOUBLE
+                           + (0.75::DOUBLE * tf.dl)
+                             / (stats.total_dl / stats.n_docs)))
+                   * 1000000) AS BIGINT) AS c
+          FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+        )
+        SELECT qt.query_id, contrib.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+               CAST(SUM(c) AS BIGINT) AS score_micro,
+               ROUND(SUM(c) / 1000000.0, 6) AS score,
+               row_number() OVER (PARTITION BY qt.query_id
+                                  ORDER BY SUM(c) DESC,
+                                           contrib.doc_id)
+                 AS rank
+        FROM contrib JOIN qt USING (token)
+        GROUP BY qt.query_id, contrib.doc_id
+        QUALIFY rank <= 15
+    """
     return oracles

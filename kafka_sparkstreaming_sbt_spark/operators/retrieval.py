@@ -487,3 +487,99 @@ def bm25_topk_from_index(
         [("score_micro", "desc"), (id_col, "asc")],
         k,
     )
+
+
+def bm25_topk_many(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Batched BM25 — the retrieval-SERVING shape: score a whole
+    TABLE of queries ``(query_id, terms array)`` against the corpus
+    in ONE pass, instead of one corpus scan per query.  Output:
+    ``(query_id, doc_id, n_hit_terms, score_micro, score, rank)``,
+    rank 1..k per query under the (score_micro DESC, doc ASC) total
+    order — per-(doc, term) arithmetic is identical to
+    :func:`bm25_scores` (same integer micro-unit contributions), so
+    each query's result equals its single-query run exactly.
+
+    Scale shape: the query-term UNION is aggregated once (a table
+    bounded by total query vocabulary) and broadcast; tokens explode
+    map-side and the broadcast semi-join prunes non-query tokens
+    BEFORE the (doc, token) aggregation shuffle — so the postings
+    exchange still carries only hit postings, Q times cheaper than Q
+    separate scans.  tf and df are computed ONCE per (doc, token) /
+    token and fanned out to queries by a second broadcast join; the
+    per-query cut is the map-side-pruned WindowGroupLimit rank
+    (partitioned by query — never global).
+    """
+    from pyspark.sql import Window
+
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.array_distinct(F.col(terms_col))).alias(
+                "token"
+            ),
+        )
+        .distinct()
+    )
+    all_terms = qt.select("token").distinct()
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("token"),
+    ).join(F.broadcast(all_terms), "token")
+    stats = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_dl"),
+    )
+    tf = base.groupBy(id_col, "dl", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored_terms = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.ln(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    per_query = (
+        scored_terms.select(
+            id_col,
+            "token",
+            F.round(contrib * _MICRO).cast("long").alias("c"),
+        )
+        .join(F.broadcast(qt), "token")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("c").alias("score_micro"),
+        )
+        .select(
+            "query_id",
+            id_col,
+            "n_hit_terms",
+            "score_micro",
+            F.round(F.col("score_micro") / _MICRO, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_query.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -234,6 +234,7 @@ _BOUNDED_NESTED_LOOP = {
     "bm25_topk",  # 2-row avgdl/N scalar joined lazily (tf_idf pattern)
     # same 1-row stats scalar cross join, read from the index meta
     "bm25_topk_indexed",
+    "bm25_multi_query",  # same 1-row stats scalar, batched serving
     # bm25 leg's scalar + the <= 1-row broadcast query-vector cross
     # join of the dense leg — both bounded by construction
     "hybrid_retrieval_rrf",

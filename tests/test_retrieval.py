@@ -261,3 +261,68 @@ def test_inverted_index_read_is_partition_pruned(spark, tmp_path):
     assert any(
         "token" in l and "DataFilters" in l for l in plan.splitlines()
     )
+
+
+def test_bm25_topk_many_equals_per_query_runs(spark):
+    """Batched serving == N single-query runs exactly (same integer
+    contribution arithmetic), per-query ranks dense, shared terms
+    between queries scored independently per query."""
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_many,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    docs = read_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    queries = [
+        (1, ["customer", "merge"]),
+        (2, ["merge", "spark"]),  # shares 'merge' with query 1
+        (3, ["scan"]),
+    ]
+    qs = spark.createDataFrame(
+        queries, "query_id long, terms array<string>"
+    )
+    many = {
+        (r.query_id, r.doc_id): (
+            r.n_hit_terms, r.score_micro, r.score, r.rank
+        )
+        for r in bm25_topk_many(docs, qs, k=10).collect()
+    }
+    for qid, terms in queries:
+        got = {
+            k[1]: v for k, v in many.items() if k[0] == qid
+        }
+        want = {
+            r.doc_id: (r.n_hit_terms, r.score_micro, r.score, r.rank)
+            for r in bm25_topk(docs, terms, k=10).collect()
+        }
+        assert got == want, qid
+
+
+def test_bm25_topk_many_rank_pruned_map_side(spark):
+    """The per-query cut must be Catalyst's partial WindowGroupLimit
+    below the rank exchange — Q x k x partitions rows shuffle, never
+    the full hit set."""
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        bm25_topk_many,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    docs = read_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    qs = spark.createDataFrame(
+        [(1, ["customer"])], "query_id long, terms array<string>"
+    )
+    plan = (
+        bm25_topk_many(docs, qs, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert any(
+        "WindowGroupLimit" in l and "Partial" in l
+        for l in plan.splitlines()
+    )
