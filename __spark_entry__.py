@@ -2317,12 +2317,17 @@ def _dsir_cte() -> str:
 def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 over the MATERIALIZED inverted index (postings
     partitioned by term-hash bucket + generation, dfreq/stats as the
-    committed meta): builds generation 0 under a scratch dir, then
+    committed meta): builds generation 0 under a deterministic
+    per-sf scratch dir — reused across invocations, so repeated
+    calls (and plan-only calls from test_plans) hit the committed
+    generation instead of leaking a fresh build per call — then
     answers the same query as bm25_topk through partition-pruned
     reads — identical output by the shared scoring tail."""
+    import hashlib
     import tempfile
 
     from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        _committed_generation,
         bm25_topk_from_index,
         build_inverted_index,
     )
@@ -2331,8 +2336,10 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
-    idx = tempfile.mkdtemp(prefix="bm25_index_")
-    build_inverted_index(docs, idx, n_buckets=16)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/bm25_index_{tag}"
+    if _committed_generation(spark, idx) < 0:
+        build_inverted_index(docs, idx, n_buckets=16)
     out = bm25_topk_from_index(
         spark, idx, ["customer", "merge", "scan", "spark"], k=20
     )
@@ -2429,13 +2436,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # ROTATED in r8 (VERDICT r7 #4): the r6/r7 families (PQ, BM25, RRF,
     # PageRank, profiling, Bloom, soft-dedup, DSIR, NB, WARC) moved
-    # INTO the gate window; ten long-stable same-family variants
-    # (windowed_spending_per_event, daily_spending_direct,
-    # monthly_order_stats, parts_without_bulk, customer_order_gaps,
-    # purchase_prior_activity, redact_pii, repetition_stats,
-    # benchmark_overlap, packed_sequences) moved to overflow — still
-    # oracle-gated by the full sim, just past the driver's 50-row
-    # record.
+    # INTO the gate window; ten long-stable same-family variants moved
+    # to overflow — still oracle-gated by the full sim, just past the
+    # driver's 50-row record.
+    #
+    # ROTATED AGAIN in r9 (VERDICT r8 #4): the r8 families
+    # (duplicate_span_docs, duplicated_span_report, normalized_docs,
+    # bpe_pair_stats, gopher_quality_flags, token_budget_selection,
+    # hard_negatives, knn_graph_edges, label_propagation,
+    # bm25_multi_query) moved INTO the gate window for driver-verified
+    # rows; ten long-stable r1-r5 entries (order_status_pivot,
+    # rolling_customer_spend, cohort_retention, customer_trend,
+    # purchase_attribution, latest_event_per_user, purchase_state_pit,
+    # quantity_quantiles, bigram_pmi, ngram_jaccard_pairs) moved to
+    # overflow — each family keeps window coverage via its siblings.
     return {
         # -- reference parity (SURVEY §2) --
         "windowed_spending_per_customer": q_windowed_spending_per_customer,
@@ -2446,48 +2460,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers_per_nation": q_top_customers_per_nation,
         "order_priority_rollup": q_order_priority_rollup,
-        "order_status_pivot": q_order_status_pivot,
         "lapsed_customers": q_lapsed_customers,
         "multi_grain_rollup": q_multi_grain_rollup,
-        "rolling_customer_spend": q_rolling_customer_spend,
         "promo_revenue_share": q_promo_revenue_share,
-        "cohort_retention": q_cohort_retention,
-        "customer_trend": q_customer_trend,
         # -- events / time series / state --
         "user_sessions": q_user_sessions,
-        "purchase_attribution": q_purchase_attribution,
         "skewed_event_totals": q_skewed_event_totals,
-        "latest_event_per_user": q_latest_event_per_user,
         "scd2_user_state": q_scd2_user_state,
-        "purchase_state_pit": q_purchase_state_pit,
-        # -- sampling / stats --
+        # -- sampling / stats / selection --
         "stratified_sample": q_stratified_sample,
         "split_assignment": q_split_assignment,
-        "quantity_quantiles": q_quantity_quantiles,
-        # -- text analysis --
+        "token_budget_selection": q_token_budget_selection,
+        # -- text analysis / quality --
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "tf_idf": q_tf_idf,
-        "bigram_pmi": q_bigram_pmi,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "chunk_dedup_docs": q_chunk_dedup_docs,
+        "normalized_docs": q_normalized_docs,
+        "gopher_quality_flags": q_gopher_quality_flags,
+        "bpe_pair_stats": q_bpe_pair_stats,
         # -- dedup --
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "near_dup_groups": q_near_dup_groups,
         "canonical_docs": q_canonical_docs,
         "bloom_screened_docs": q_bloom_screened_docs,
         "soft_dedup_weights": q_soft_dedup_weights,
-        # -- similarity search / quantization --
+        "duplicate_span_docs": q_duplicate_span_docs,
+        "duplicated_span_report": q_duplicated_span_report,
+        # -- similarity search / quantization / graph --
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_similar_pairs": q_embedding_similar_pairs,
         "ivf_topk": q_ivf_topk,
         "pq_topk_rerank": q_pq_topk_rerank,
-        # -- retrieval / graph / selection / profiling (r6-r7) --
+        "hard_negatives": q_hard_negatives,
+        "knn_graph_edges": q_knn_graph_edges,
+        "label_propagation": q_label_propagation,
+        # -- retrieval / graph / selection / profiling (r6-r8) --
         "bm25_topk": q_bm25_topk,
+        "bm25_multi_query": q_bm25_multi_query,
         "hybrid_retrieval_rrf": q_hybrid_retrieval,
         "pagerank_weights": q_pagerank_weights,
         "dsir_selected_docs": q_dsir_selected_docs,
@@ -2498,6 +2512,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         # ---- overflow: same-family variants (all still oracle-gated;
         # ---- past the driver gate's 50-row record) ----
+        "order_status_pivot": q_order_status_pivot,
+        "rolling_customer_spend": q_rolling_customer_spend,
+        "cohort_retention": q_cohort_retention,
+        "customer_trend": q_customer_trend,
+        "purchase_attribution": q_purchase_attribution,
+        "latest_event_per_user": q_latest_event_per_user,
+        "purchase_state_pit": q_purchase_state_pit,
+        "quantity_quantiles": q_quantity_quantiles,
+        "bigram_pmi": q_bigram_pmi,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "windowed_spending_per_event": q_windowed_spending_per_event,
         "daily_spending_direct": q_daily_spending_direct,
         "monthly_order_stats": q_monthly_order_stats,
@@ -2548,23 +2572,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "pq_codes": q_pq_codes,
         "boilerplate_cleaned_docs": q_boilerplate_cleaned_docs,
-        "duplicate_span_docs": q_duplicate_span_docs,
         "incremental_span_dedup": q_incremental_span_dedup,
-        "duplicated_span_report": q_duplicated_span_report,
-        "normalized_docs": q_normalized_docs,
-        "bpe_pair_stats": q_bpe_pair_stats,
         "dsir_doc_weights": q_dsir_doc_weights,
         "corpus_diff": q_corpus_diff,
         "table_profile": q_table_profile,
         "key_skew_report": q_key_skew_report,
-        "gopher_quality_flags": q_gopher_quality_flags,
-        "token_budget_selection": q_token_budget_selection,
-        "hard_negatives": q_hard_negatives,
-        "knn_graph_edges": q_knn_graph_edges,
-        "label_propagation": q_label_propagation,
         "curriculum_order": q_curriculum_order,
         "bm25_topk_indexed": q_bm25_topk_indexed,
-        "bm25_multi_query": q_bm25_multi_query,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,

@@ -31,6 +31,9 @@ upstream if the downstream tokenizer needs one).
 
 from __future__ import annotations
 
+import heapq
+from collections import defaultdict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -182,29 +185,213 @@ def bpe_train_merges(
     )
 
 
+def _greedy_merge_local(syms: list, left: str, right: str) -> list:
+    """Python twin of :func:`_apply_merge`: one greedy left-to-right
+    non-overlapping pass ('a a a' + (a,a) -> [aa, a]).  Kept
+    byte-identical in semantics to the Catalyst fold — the
+    property/equality tests in tests/test_bpe.py pin the pair."""
+    out, i, merged = [], 0, left + right
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train_merges_local(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    eow_marker: str | None = None,
+    max_vocab_rows: int = 20_000_000,
+) -> DataFrame:
+    """Production-scale BPE trainer: identical merge table to
+    :func:`bpe_train_merges` (same weighted pair counts, same
+    (count DESC, left, right) tiebreak, same greedy pass), but the
+    merge LOOP runs driver-side over the collected word-TYPE table —
+    a documented bounded artifact (the PQ-codebook precedent: the
+    vocabulary is the model-sized object, ~1 M rows at 100 TB, not
+    the corpus) — so training 30 K-100 K merges costs zero Spark
+    jobs per round instead of two, and no expression tree ever
+    chains ``n_merges`` Catalyst folds.
+
+    The ONE corpus-sized shuffle (:func:`word_vocab`) stays
+    distributed; ``max_vocab_rows`` guards the collect (raise it
+    deliberately, or pre-filter rare types upstream, if a corpus
+    legitimately exceeds it).  Per round the loop is the classic
+    incremental-update algorithm (Sennrich et al.'s fast path): pair
+    counts live in a dict, the argmax is a lazy max-heap keyed
+    (-count, left, right) — exactly the distributed trainer's total
+    order — and applying the winning pair touches only the words
+    that contain it, so cost per merge is proportional to the
+    affected type set, independent of both corpus size AND rounds
+    already trained.  SCALECHECK pins >= 1,000 merges on the 500 K-doc
+    table with exact prefix equality to the distributed trainer."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = df.sparkSession
+    vocab_df = word_vocab(df, text_col)
+    n_types = vocab_df.count()
+    if n_types > max_vocab_rows:
+        raise ValueError(
+            f"word-type table has {n_types} rows >"
+            f" max_vocab_rows={max_vocab_rows}; the local merge loop"
+            " collects the VOCABULARY (not the corpus) — raise the"
+            " cap deliberately or pre-filter rare types upstream"
+        )
+    rows = vocab_df.collect()  # bounded: word types, not tokens
+    words: list[list[str]] = []
+    wcounts: list[int] = []
+    for r in rows:
+        syms = list(r.word)
+        if eow_marker is not None:
+            syms.append(eow_marker)
+        words.append(syms)
+        wcounts.append(int(r.wcount))
+
+    pair_counts: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    for i, syms in enumerate(words):
+        c = wcounts[i]
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += c
+            pair_words[(a, b)].add(i)
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    out_rows = []
+    for rank in range(1, n_merges + 1):
+        # lazy-deletion argmax: pop until the entry is current
+        best = None
+        while heap:
+            negc, left, right = heapq.heappop(heap)
+            if pair_counts.get((left, right)) == -negc and -negc > 0:
+                best = (left, right, -negc)
+                break
+        if best is None:
+            break
+        left, right, cnt = best
+        out_rows.append((rank, left, right, cnt))
+        for i in sorted(pair_words[(left, right)]):
+            syms, c = words[i], wcounts[i]
+            touched = set()
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= c
+                pair_words[(a, b)].discard(i)
+                touched.add((a, b))
+            new = _greedy_merge_local(syms, left, right)
+            words[i] = new
+            for a, b in zip(new, new[1:]):
+                pair_counts[(a, b)] += c
+                pair_words[(a, b)].add(i)
+                touched.add((a, b))
+            for p in touched:
+                c_now = pair_counts[p]
+                if c_now <= 0:
+                    pair_counts.pop(p, None)
+                    pair_words.pop(p, None)
+                else:
+                    heapq.heappush(heap, (-c_now, p[0], p[1]))
+        pair_counts.pop((left, right), None)
+        pair_words.pop((left, right), None)
+    return spark.createDataFrame(
+        out_rows,
+        "merge_rank long, left string, right string, pair_count long",
+    )
+
+
+def _apply_merges_local(
+    syms: list, rank_of: dict
+) -> list:
+    """Apply a FULL rank-ordered merge table to one word's symbols,
+    cost independent of table size: repeatedly find the
+    lowest-ranked pair present among current adjacencies and run its
+    greedy pass.  Equivalent to applying every merge once in rank
+    order (a merge at rank i can never re-enable a pair of rank
+    j < i: new adjacencies always involve the freshly-merged symbol,
+    which did not exist at rank j) — the equivalence the
+    local-vs-fold equality tests pin."""
+    while len(syms) >= 2:
+        best_rank, best_pair = None, None
+        for a, b in zip(syms, syms[1:]):
+            r = rank_of.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (a, b)
+        if best_pair is None:
+            break
+        syms = _greedy_merge_local(syms, *best_pair)
+    return syms
+
+
 def bpe_vocab_tokens(
     df: DataFrame,
     merges: DataFrame,
     text_col: str = "text",
     eow_marker: str | None = None,
+    method: str = "auto",
+    fold_batch: int = 64,
 ) -> DataFrame:
     """Tokenize the corpus VOCABULARY with a trained merge table:
     ``(word, tokens, wcount)`` — the artifact a tokenizer ships.
     Merges are collected once in rank order (n_merges rows — bounded:
-    it is the model) and applied as chained codegen'd folds; pass the
-    same ``eow_marker`` the trainer used.  Join the mapping to a
-    token stream downstream for doc-level encoding
-    (:func:`bpe_encode_docs`)."""
+    it is the model); pass the same ``eow_marker`` the trainer used.
+    Join the mapping to a token stream downstream for doc-level
+    encoding (:func:`bpe_encode_docs`).
+
+    Application tiers (identical output — equality-tested):
+
+    - ``"fold"`` — chained codegen'd Catalyst folds over the
+      distributed vocabulary, ``localCheckpoint`` every
+      ``fold_batch`` merges so no single expression tree chains more
+      than ``fold_batch`` folds (the analyzer/codegen ceiling a
+      30 K-merge table would otherwise hit).
+    - ``"local"`` — the word-type table (bounded: it is vocabulary-
+      sized) collects to the driver and each word is encoded by
+      lowest-rank-first pair search, cost independent of the merge
+      count — the production shape for real tokenizer models.
+    - ``"auto"`` — ``"fold"`` when the table fits in one fold batch,
+      else ``"local"``.
+    """
     ordered = [
         (r.left, r.right)
         for r in merges.orderBy("merge_rank").collect()
     ]
+    if method == "auto":
+        method = "fold" if len(ordered) <= fold_batch else "local"
     vocab = word_vocab(df, text_col).select(
         "word", _word_symbols(eow_marker).alias("syms"), "wcount"
     )
+    if method == "local":
+        spark = df.sparkSession
+        rank_of = {p: i for i, p in enumerate(ordered)}
+        rows = vocab.select("word", "wcount").collect()
+        data = []
+        for r in rows:
+            syms = list(r.word)
+            if eow_marker is not None:
+                syms.append(eow_marker)
+            data.append(
+                (r.word, _apply_merges_local(syms, rank_of), r.wcount)
+            )
+        return spark.createDataFrame(
+            data, "word string, tokens array<string>, wcount long"
+        )
+    if method != "fold":
+        raise ValueError(f"unknown method {method!r}")
     out = F.col("syms")
+    applied = 0
     for left, right in ordered:
         out = _apply_merge(out, left, right)
+        applied += 1
+        if applied % fold_batch == 0:
+            vocab = vocab.select(
+                "word", out.alias("syms"), "wcount"
+            ).localCheckpoint()
+            out = F.col("syms")
     return vocab.select(
         "word", out.alias("tokens"), "wcount"
     )

@@ -291,8 +291,15 @@ def _window_marks(base: DataFrame, w: int, id_col: str) -> DataFrame:
         .select(
             id_col,
             "_toks",
+            # guard the expression, not just the filter: Spark
+            # sequence(0, -k) counts DOWN and the optimizer can
+            # evaluate an inlined projection alongside the predicate
+            # (the with_shingles lesson, dedup_fuzzy.py)
             F.explode(
-                F.sequence(F.lit(0), F.col("_n") - w)
+                F.when(
+                    F.col("_n") >= w,
+                    F.sequence(F.lit(0), F.col("_n") - w),
+                ).otherwise(F.expr("CAST(array() AS array<int>)"))
             ).alias("_start"),
         )
         .select(

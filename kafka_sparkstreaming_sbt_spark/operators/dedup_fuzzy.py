@@ -33,12 +33,23 @@ def with_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingle set per document; drops docs with
-    fewer than ``n`` tokens (no shingle support)."""
+    fewer than ``n`` tokens (no shingle support).
+
+    The shingle expression itself is guarded for short docs — Spark
+    ``sequence(1, 0)`` counts DOWN (yielding a slice at start 0,
+    a runtime error), and the ``filter`` alone does not protect the
+    expression: the optimizer can inline the collapsed projection
+    into operators evaluated alongside the predicate, so a 2-token
+    doc crashed the whole plan (surfaced by the streaming span stage,
+    which legitimately shortens docs below ``n``)."""
     toks = F.split(F.col(text_col), " ")
     n_sh = F.size(toks) - (n - 1)
+    seq = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.expr("CAST(array() AS array<int>)")
+    )
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), n_sh),
+            seq,
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )

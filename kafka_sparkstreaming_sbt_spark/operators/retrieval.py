@@ -326,12 +326,39 @@ def build_inverted_index(
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    overwrite: bool = False,
 ) -> dict:
     """Materialize generation 0 of the index from ``df``.  Returns a
     small report dict.  One corpus scan builds the postings (one
     shuffle on (id, token)); dfreq and stats are aggregations OF the
-    postings, so text is never re-tokenized."""
+    postings, so text is never re-tokenized.
+
+    Rebuilding over a directory that already carries committed
+    generations >= 1 would leave the stale higher-generation meta in
+    place, and readers (which stop at the MAX committed meta) would
+    merge fresh gen-0 postings with stale postings/df/stats — so a
+    build over a committed index fails fast unless ``overwrite=True``,
+    which removes ``meta/`` and ``postings/`` wholesale first."""
     spark = df.sparkSession
+    g = _committed_generation(spark, index_dir)
+    if g >= 0:
+        if not overwrite:
+            raise ValueError(
+                f"index at {index_dir} already has committed generation"
+                f" {g}; a fresh generation-0 build over it would leave"
+                " stale higher-generation meta readable — pass"
+                " overwrite=True to drop the whole index first, or"
+                " use append_to_index"
+            )
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for sub in ("meta", "postings"):
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{sub}"),
+                True,
+            )
     post = _index_postings(df, n_buckets, 0, text_col, id_col)
     (
         post.write.mode("overwrite")
@@ -374,12 +401,16 @@ def append_to_index(
     id_col: str = "doc_id",
 ) -> dict:
     """Append a document batch as generation G+1: new postings land
-    under ``postings/upto=G+1`` first (dynamic overwrite — a replayed
-    append rewrites the same dirs, idempotent), then the MERGED
-    dfreq/stats commit as ``meta/upto=G+1``.  Old postings are never
-    rewritten; daily cost is proportional to the batch.  Crash
-    between the writes: the orphan postings are invisible (readers
-    stop at the committed meta) and the next append replays them."""
+    under ``postings/upto=G+1`` first, then the MERGED dfreq/stats
+    commit as ``meta/upto=G+1``.  Old postings are never rewritten;
+    daily cost is proportional to the batch.  Crash between the
+    writes: the orphan postings are invisible (readers stop at the
+    committed meta), and because the next append may carry a
+    DIFFERENT batch — whose dynamic overwrite would only rewrite its
+    own buckets, leaving the crashed batch's orphan buckets to be
+    silently folded into the new generation's dfreq/stats — any
+    uncommitted ``postings/upto=G+1`` directory is deleted wholesale
+    before the new batch is written."""
     spark = df_new.sparkSession
     g = _committed_generation(spark, index_dir)
     if g < 0:
@@ -390,6 +421,16 @@ def append_to_index(
         f"{index_dir}/meta/upto={g}/stats"
     ).first()
     n_buckets = stats_old.n_buckets
+    # Crash recovery: drop orphan postings from a partially-committed
+    # prior append — the replacement batch need not cover the same
+    # bucket set, so dynamic overwrite alone cannot evict them.
+    jvm = spark._jvm
+    orphan = jvm.org.apache.hadoop.fs.Path(
+        f"{index_dir}/postings/upto={g + 1}"
+    )
+    fs = orphan.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(orphan):
+        fs.delete(orphan, True)
     post = _index_postings(df_new, n_buckets, g + 1, text_col, id_col)
     (
         post.write.mode("overwrite")

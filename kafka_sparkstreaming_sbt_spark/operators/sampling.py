@@ -406,6 +406,8 @@ def curriculum_order(
     n_stages: int = 4,
     id_col: str = "doc_id",
     seed: int = 7,
+    exact: bool = True,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Curriculum staging: assign every row to one of ``n_stages``
     difficulty stages by exact score quantile (stage 0 = lowest
@@ -420,21 +422,40 @@ def curriculum_order(
     input partitioning (same determinism contract as
     :func:`deterministic_sample`).
 
-    Scale: one exact-percentile aggregate collects ``n_stages - 1``
-    threshold scalars (exact ``F.percentile`` — matches DuckDB
-    ``quantile_cont`` bit-for-bit on 6-dp-rounded inputs); stage
-    assignment and the draw are then zero-shuffle codegen'd maps.
-    No global sort happens here — the (stage, draw) key IS the
-    curriculum order, and writers range-partition on it only when
-    materializing (the sort is the consumer's one unavoidable
-    exchange, not this operator's).
+    Scale: one percentile aggregate collects ``n_stages - 1``
+    threshold scalars; stage assignment and the draw are then
+    zero-shuffle codegen'd maps.  No global sort happens here — the
+    (stage, draw) key IS the curriculum order, and writers
+    range-partition on it only when materializing (the sort is the
+    consumer's one unavoidable exchange, not this operator's).
+
+    **Memory hazard of the exact tier**: exact ``F.percentile``
+    (which matches DuckDB ``quantile_cont`` bit-for-bit on
+    6-dp-rounded inputs — the oracle gate stays on it) buffers every
+    DISTINCT score value in the aggregation state.  At 100 TB a
+    double-valued score column has ~billions of distinct values —
+    unlike every other full-corpus aggregate here (sums/counts),
+    that state does not stay scalar.  Pass ``exact=False`` at corpus
+    scale to route to ``approx_percentile`` (bounded GK-sketch
+    state, ``approx_accuracy`` controls the rank error at
+    ~1/accuracy) — stage boundaries shift by at most the sketch's
+    rank error; within-stage determinism (the md5 draw) is
+    unaffected.  The same exact/approx split as ``profile``'s
+    ``exact=False`` HLL tier; tolerance pinned in
+    tests/test_sampling.py.
     """
     if n_stages < 2:
         raise ValueError(f"n_stages must be >= 2, got {n_stages}")
     fracs = [i / n_stages for i in range(1, n_stages)]
-    row = df.agg(
-        F.percentile(F.col(score_col), F.array(*[F.lit(f) for f in fracs])).alias("t")
-    ).collect()[0]
+    frac_arr = F.array(*[F.lit(f) for f in fracs])
+    pct = (
+        F.percentile(F.col(score_col), frac_arr)
+        if exact
+        else F.percentile_approx(
+            F.col(score_col), frac_arr, F.lit(approx_accuracy)
+        )
+    )
+    row = df.agg(pct.alias("t")).collect()[0]
     if row.t is None:
         return df.select(
             F.col(id_col),

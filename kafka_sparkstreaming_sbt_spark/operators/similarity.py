@@ -1933,6 +1933,21 @@ def hard_negatives(
         _norm(F.col(vec_col)).alias("q_norm"),
     )
     if method == "numpy":
+        # The BLAS tier materializes ids/labels as int64 ndarrays and
+        # emits a LongType schema, so its input domain is narrower
+        # than the SQL tier's (which passes types through): fail fast
+        # on non-integral id/label columns instead of miscasting.
+        integral = ("byte", "short", "int", "bigint", "long")
+        for frame, name in ((corpus, "corpus"), (queries, "queries")):
+            for col in (id_col, label_col):
+                dt = dict(frame.dtypes)[col]
+                if dt not in integral:
+                    raise ValueError(
+                        f"hard_negatives(method='numpy') requires"
+                        f" integer {col!r} in {name} (got {dt});"
+                        " factorize labels to integer codes first or"
+                        " use method='sql', which handles any type"
+                    )
         return _hard_negatives_numpy(
             corpus, q, k, vec_col, id_col, label_col
         )

@@ -187,9 +187,15 @@ def doc_fingerprints(
     df = parallelize_for_compute(df)
     toks = F.split(F.col(text_col), " ")
     n_sh = F.size(toks) - (shingle_n - 1)
+    # sequence(1, 0) counts DOWN in Spark (a slice at start 0 is a
+    # runtime error), so short docs guard the expression itself:
+    # their rolling fingerprint is NULL, not a crash
+    seq = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.expr("CAST(array() AS array<int>)")
+    )
     shingle_mins = F.array_min(
         F.transform(
-            F.sequence(F.lit(1), n_sh),
+            seq,
             lambda i: F.md5(
                 F.concat_ws(" ", F.slice(toks, i, shingle_n))
             ),
@@ -470,6 +476,10 @@ def benchmark_overlap(
     shuffle."""
     def shingles(frame: DataFrame):
         toks = F.split(F.col(text_col), " ")
+        n_sh = F.size(toks) - (n - 1)
+        seq = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+            F.expr("CAST(array() AS array<int>)")
+        )
         return (
             frame.filter(F.size(toks) >= n)
             .select(
@@ -477,7 +487,7 @@ def benchmark_overlap(
                 F.explode(
                     F.array_distinct(
                         F.transform(
-                            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                            seq,
                             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
                         )
                     )
@@ -536,6 +546,7 @@ def corpus_stats(
 def gopher_quality_flags(
     df: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
@@ -590,7 +601,7 @@ def gopher_quality_flags(
         F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / n_words, 6
     )
     out = df.select(
-        "doc_id",
+        id_col,
         n_words.alias("n_words"),
         mean_len.alias("mean_word_len"),
         stop_hits.alias("stop_hits"),
@@ -618,13 +629,16 @@ def gopher_quality_flags(
 
 
 def gopher_filter(
-    df: DataFrame, text_col: str = "text", **rule_kwargs
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **rule_kwargs,
 ) -> DataFrame:
     """Documents passing every :func:`gopher_quality_flags` rule —
     the filter form (left-semi back onto the full rows, so the text
     and any carried columns survive; the flags frame itself is the
     audit form)."""
-    kept = gopher_quality_flags(df, text_col, **rule_kwargs).filter(
-        "keep"
-    )
-    return df.join(kept.select("doc_id"), "doc_id", "left_semi")
+    kept = gopher_quality_flags(
+        df, text_col, id_col, **rule_kwargs
+    ).filter("keep")
+    return df.join(kept.select(id_col), id_col, "left_semi")

@@ -233,6 +233,31 @@ def materialize_corpus_signatures(
     ).write.mode("overwrite").parquet(base)
 
 
+def materialize_corpus_window_hashes(
+    corpus_docs: DataFrame,
+    span_dir: str,
+    window_tokens: int = 16,
+) -> None:
+    """One-time base artifact for the streaming ExactSubstr span
+    stage: the static corpus's DISTINCT window-hash set
+    (:func:`~..operators.chunking.window_hash_table`) at
+    ``span_dir/base`` — after this, no micro-batch ever re-windows
+    the static corpus.  Same ``_SUCCESS``-gated skip discipline as
+    :func:`materialize_corpus_signatures`: a partial table would
+    silently admit duplicated spans of the missing windows."""
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        window_hash_table,
+    )
+
+    spark = corpus_docs.sparkSession
+    base = f"{span_dir}/base"
+    if _success_marker_exists(spark, base):
+        return
+    window_hash_table(
+        corpus_docs, window_tokens=window_tokens
+    ).write.mode("overwrite").parquet(base)
+
+
 def materialize_drift_baseline(
     corpus_docs: DataFrame,
     drift_dir: str,
@@ -592,6 +617,8 @@ def screen_micro_batch(
     signature_dir: str | None = None,
     exact_dir: str | None = None,
     corpus_upto: int | None = None,
+    span_dir: str | None = None,
+    span_window_tokens: int = 16,
 ) -> tuple[int, int]:
     """One micro-batch of the ingest screen (the foreachBatch body,
     exposed for direct testing of the replay contract): screen
@@ -621,12 +648,24 @@ def screen_micro_batch(
     and each batch appends its own accepted rows' signatures, so
     per-trigger cost never includes re-shingling the corpus.  Corpus
     TEXT is still consulted, but only for candidate pairs (the
-    operator's semi-join prune)."""
+    operator's semi-join prune).
+
+    With ``span_dir`` (see :func:`materialize_corpus_window_hashes`)
+    the batch additionally passes the ExactSubstr duplicated-span
+    EXCISION stage (between the exact and near-dup screens): every
+    ``span_window_tokens``-token window already present in the
+    corpus/accepted window-hash table — or shared by >= 2 batch docs
+    — is excised from the batch's text, docs emptied by excision are
+    dropped, and each accepted partition appends its own windows'
+    hashes as ``span_dir/incr/batch_id=N`` (the signature-table
+    contract: strict-cutoff reads, idempotent per-partition
+    overwrites, compaction-foldable)."""
     spark = batch_df.sparkSession
     cutoff = batch_id if corpus_upto is None else corpus_upto
     n_in, accepted = _screen_text_core(
         batch_df, cutoff, corpus_docs, accepted_dir,
         threshold, shingle_n, n_bands, signature_dir, exact_dir,
+        span_dir, span_window_tokens,
     )
     # idempotent per-batch write: replaying batch N overwrites its
     # own partition, never touches earlier ones
@@ -634,7 +673,7 @@ def screen_micro_batch(
     accepted.write.mode("overwrite").parquet(accepted_path)
     _write_text_increments(
         spark, accepted_path, batch_id, shingle_n, n_bands,
-        signature_dir, exact_dir,
+        signature_dir, exact_dir, span_dir, span_window_tokens,
     )
     # count the PARTITION JUST WRITTEN, not `accepted` — a second
     # action on the lazy screen plan would re-run the whole bucket
@@ -653,6 +692,8 @@ def _screen_text_core(
     n_bands: int,
     signature_dir: str | None,
     exact_dir: str | None,
+    span_dir: str | None = None,
+    span_window_tokens: int = 16,
 ) -> tuple[int, DataFrame]:
     """The textual screen WITHOUT the lake write — (n_in, accepted
     rows as a lazy frame over the checkpointed batch).  Split out so
@@ -691,6 +732,35 @@ def _screen_text_core(
         batch_df = exact_screen_batch(
             batch_df, cutoff, exact_dir
         ).localCheckpoint(eager=True)
+    if span_dir is not None:
+        # ExactSubstr stage: excise windows already in the corpus/
+        # accepted window-hash table (strict-cutoff read, like the
+        # signature incrs) or shared within the batch; docs emptied
+        # by excision are dropped.  Runs AFTER the exact screen
+        # (reject-cheapest-first) and BEFORE the near-dup screen, so
+        # accepted text — and every artifact derived from the
+        # accepted partition (signatures, hashes, window incrs) — is
+        # the CLEANED text.
+        from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+            remove_duplicate_spans_incremental,
+        )
+
+        hashes = spark.read.parquet(f"{span_dir}/base")
+        prior_wh = _prior_partitions(
+            spark, f"{span_dir}/incr", cutoff
+        )
+        if prior_wh is not None:
+            hashes = hashes.unionByName(prior_wh.select("wh"))
+        batch_df = (
+            remove_duplicate_spans_incremental(
+                batch_df,
+                corpus_hashes=hashes,
+                window_tokens=span_window_tokens,
+            )
+            .filter(F.length("clean_text") > 0)
+            .select("doc_id", F.col("clean_text").alias("text"))
+            .localCheckpoint(eager=True)
+        )
     vs_corpus = (
         incremental_near_dup(
             batch_df,
@@ -732,6 +802,8 @@ def _write_text_increments(
     n_bands: int,
     signature_dir: str | None,
     exact_dir: str | None,
+    span_dir: str | None = None,
+    span_window_tokens: int = 16,
 ) -> None:
     """Signature/exact-screen maintenance for one ACCEPTED partition
     — reads the just-written parquet so the screen plan is never
@@ -756,6 +828,21 @@ def _write_text_increments(
         )
     if exact_dir is not None:
         _write_exact_incr(spark, exact_dir, batch_id, accepted_path)
+    if span_dir is not None:
+        from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+            window_hash_table,
+        )
+
+        # the accepted rows' (cleaned) window hashes — membership is
+        # all the incremental span screen tests, so overlap with the
+        # base table across appends is harmless (dedup on compaction,
+        # not on the write path)
+        window_hash_table(
+            spark.read.parquet(accepted_path).select("doc_id", "text"),
+            window_tokens=span_window_tokens,
+        ).write.mode("overwrite").parquet(
+            f"{span_dir}/incr/batch_id={batch_id}"
+        )
 
 
 def run_dedup_ingest_pipeline(
@@ -789,6 +876,8 @@ def run_dedup_ingest_pipeline(
     drift_null_jump: float = 0.02,
     drift_distinct_drop: float = 0.5,
     on_hold: Callable[[int, list[str]], None] | None = None,
+    span_dir: str | None = None,
+    span_window_tokens: int = 16,
 ) -> StreamingQuery:
     """Start the streaming ingest screen.
 
@@ -861,7 +950,20 @@ def run_dedup_ingest_pipeline(
     contributes no accepted partition and no signature/bloom
     increment, so the replay contract is untouched.  ``on_hold(
     batch_id, alarms)`` observes holds; ``on_batch`` still fires with
-    ``n_accepted=0`` so throughput accounting stays complete."""
+    ``n_accepted=0`` so throughput accounting stays complete.
+    ``span_dir`` (optional): ExactSubstr duplicated-span EXCISION as
+    a streaming stage (VERDICT r8 next-2) — the corpus's distinct
+    window-hash table is materialized once
+    (:func:`materialize_corpus_window_hashes`), each batch excises
+    every ``span_window_tokens``-token window already present in
+    corpus/accepted text (or shared by >= 2 batch docs), and each
+    accepted partition appends its own windows' hashes as
+    ``span_dir/incr/batch_id=N`` — the signature-table lifecycle
+    exactly: strict-cutoff reads (replay-safe), idempotent partition
+    overwrites, folded at every compaction.  Unlike the reject
+    screens this stage REWRITES text: accepted rows carry the
+    cleaned text, and all downstream artifacts (signatures, content
+    hashes, window incrs) derive from it."""
     spark = corpus_docs.sparkSession
     # finish any compaction a crash interrupted BEFORE the first
     # screen reads the lake (the write-ahead recovery contract)
@@ -877,6 +979,11 @@ def run_dedup_ingest_pipeline(
         recover_exact_screen(spark, exact_dir)
         materialize_exact_screen(
             corpus_docs, exact_dir, bloom_expected_items, bloom_fpp
+        )
+    if span_dir is not None:
+        recover_compaction(spark, f"{span_dir}/incr")
+        materialize_corpus_window_hashes(
+            corpus_docs, span_dir, span_window_tokens
         )
     quality_state: dict | None = None
     if quality_dir is not None:
@@ -920,6 +1027,11 @@ def run_dedup_ingest_pipeline(
             if signature_dir is not None:
                 compact_batch_partitions(
                     spark, f"{signature_dir}/incr", batch_id,
+                    target_file_bytes,
+                )
+            if span_dir is not None:
+                compact_batch_partitions(
+                    spark, f"{span_dir}/incr", batch_id,
                     target_file_bytes,
                 )
             if exact_dir is not None:
@@ -1036,6 +1148,8 @@ def run_dedup_ingest_pipeline(
             threshold, shingle_n, n_bands,
             signature_dir=signature_dir,
             exact_dir=exact_dir,
+            span_dir=span_dir,
+            span_window_tokens=span_window_tokens,
         )
         if on_batch is not None:
             on_batch(batch_id, n_raw if n_raw is not None else n, a)
@@ -1146,6 +1260,8 @@ def release_held_batches(
     semantic_threshold: float = 0.9,
     method: str = "sql",
     max_cell_size: int | None = None,
+    span_dir: str | None = None,
+    span_window_tokens: int = 16,
 ) -> dict[int, tuple[int, int] | None]:
     """Re-screen every batch in ``drift_dir/held`` through the FULL
     screen stack (drift gate vs the CURRENT baseline -> quality ->
@@ -1219,6 +1335,10 @@ def release_held_batches(
             _delete_batch_partition(
                 spark, f"{cells_dir}/incr", release_id
             )
+        if span_dir is not None:
+            _delete_batch_partition(
+                spark, f"{span_dir}/incr", release_id
+            )
         if quality_model is not None:
             from kafka_sparkstreaming_sbt_spark.operators.classify import (
                 quality_filter,
@@ -1262,6 +1382,8 @@ def release_held_batches(
                 signature_dir=signature_dir,
                 exact_dir=exact_dir,
                 corpus_upto=1 << 62,
+                span_dir=span_dir,
+                span_window_tokens=span_window_tokens,
             )
         _delete_batch_partition(spark, held_root, held_id)
     return results

@@ -512,9 +512,17 @@ def run_bpe_scale(
     - **argmax monotonicity**: pair_count is non-increasing in
       merge_rank — a merged pair's successor pairs can never beat the
       maximum that produced them;
-    - full 8-row table (the corpus is never too small to merge)."""
+    - full 8-row table (the corpus is never too small to merge);
+    - **production depth** (r9): the driver-local trainer
+      (bpe_train_merges_local — merge loop over the collected
+      word-TYPE table, the PQ-codebook bounded-artifact pattern)
+      trains 1,000 merges with its first 8 EXACTLY equal to the
+      distributed trainer's table, wall recorded — the regime where
+      the two-jobs-per-round distributed loop would pay ~2,000
+      sequential driver round-trips."""
     from kafka_sparkstreaming_sbt_spark.operators.bpe import (
         bpe_train_merges,
+        bpe_train_merges_local,
     )
 
     d = {"n_docs": n_docs}
@@ -544,6 +552,16 @@ def run_bpe_scale(
         all(a >= b for a, b in zip(counts, counts[1:]))
     )
     d["top_pair_count"] = counts[0] if counts else 0
+    t0 = time.perf_counter()
+    deep = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges_local(docs, n_merges=1000)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    d["local_wall_s"] = round(time.perf_counter() - t0, 2)
+    d["local_n_merges"] = len(deep)
+    d["local_prefix_equal"] = int(deep[: len(merges)] == merges)
     return d
 
 
@@ -1898,6 +1916,12 @@ def main() -> int:
             bpe_results[-1]["wall_s"],
             doc_factor,
         ),
+        scaling_row(
+            "bpe_train_merges_local (1000 rounds)",
+            bpe_results[0]["local_wall_s"],
+            bpe_results[-1]["local_wall_s"],
+            doc_factor,
+        ),
     ]
     if sel_results:
         s_small, s_big = sel_results[0], sel_results[-1]
@@ -2028,6 +2052,15 @@ def main() -> int:
                 d["deterministic"] == 1
                 and d["monotone"] == 1
                 and d["n_merges"] == 8,
+            )
+            for d in bpe_results
+        ],
+        *[
+            (
+                f"local BPE trainer: 1000 merges @ {d['n_docs']:,} "
+                f"in {d['local_wall_s']}s, distributed-prefix exact",
+                d["local_n_merges"] == 1000
+                and d["local_prefix_equal"] == 1,
             )
             for d in bpe_results
         ],
@@ -2437,6 +2470,24 @@ def main() -> int:
             f"| {d['n_docs']:,} | {d['wall_s']} | {d['n_merges']} | "
             f"{d['deterministic']} | {d['monotone']} | "
             f"{d['top_pair_count']:,} |"
+            for d in bpe_results
+        ],
+        "",
+        "Production depth (`bpe_train_merges_local` — the merge loop "
+        "over the COLLECTED word-type table, a documented bounded "
+        "artifact like the PQ codebooks; the one corpus-sized "
+        "shuffle stays distributed): 1,000 merges per scale, first "
+        "8 gated exactly equal to the distributed trainer's table.  "
+        "Wall is dominated by the vocabulary collect + incremental "
+        "pair updates, NOT by rounds x corpus — the regime where "
+        "the two-jobs-per-round loop would pay ~2,000 sequential "
+        "driver round-trips:",
+        "",
+        "| n_docs | local wall (s) | merges | prefix == distributed |",
+        "| --- | --- | --- | --- |",
+        *[
+            f"| {d['n_docs']:,} | {d['local_wall_s']} | "
+            f"{d['local_n_merges']} | {d['local_prefix_equal']} |"
             for d in bpe_results
         ],
     ]

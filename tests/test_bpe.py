@@ -240,3 +240,142 @@ def test_training_matches_reference_on_random_corpora(spark, words, k):
         for r in bpe_vocab_tokens(df, merges_df).collect()
     }
     assert toks == ref_syms
+
+
+# ---- production-scale local trainer -----------------------------
+
+
+def test_local_trainer_matches_distributed_and_reference(spark):
+    from kafka_sparkstreaming_sbt_spark.operators.bpe import (
+        bpe_train_merges_local,
+    )
+
+    df = _docs_from_words(spark, WORDS)
+    loc = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges_local(df, n_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    ref, _ = _ref_bpe(WORDS, 6)
+    assert loc == ref
+    dist = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges(df, n_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert loc == dist
+
+
+def test_local_trainer_deep_run_prefix_equals_shallow(spark):
+    """Training MORE merges never changes the earlier ones (BPE's
+    rank order is greedy-prefix-stable), and the deep run matches
+    the sequential reference exactly — the property the >=1k-merge
+    SCALECHECK row relies on."""
+    from kafka_sparkstreaming_sbt_spark.operators.bpe import (
+        bpe_train_merges_local,
+    )
+
+    df = _docs_from_words(spark, WORDS)
+    deep = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges_local(df, n_merges=50)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    ref, _ = _ref_bpe(WORDS, 50)
+    assert deep == ref  # early-stops when no pair remains
+    shallow = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges_local(df, n_merges=3)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert deep[:3] == shallow
+
+
+def test_local_trainer_eow_and_vocab_guard(spark):
+    from kafka_sparkstreaming_sbt_spark.operators.bpe import (
+        bpe_train_merges_local,
+    )
+
+    df = _docs_from_words(spark, WORDS)
+    a = [
+        tuple(r)
+        for r in bpe_train_merges(df, n_merges=6, eow_marker="</w>")
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    b = [
+        tuple(r)
+        for r in bpe_train_merges_local(
+            df, n_merges=6, eow_marker="</w>"
+        )
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert a == b
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_train_merges_local(df, n_merges=2, max_vocab_rows=2)
+
+
+def test_vocab_tokens_local_and_batched_fold_tiers_agree(spark):
+    """The three application tiers of bpe_vocab_tokens (single-
+    expression fold, fold batched at fold_batch=2, driver-local
+    lowest-rank-first) produce identical mappings."""
+    df = _docs_from_words(spark, WORDS)
+    merges = bpe_train_merges(df, n_merges=6)
+    want = {
+        r.word: (list(r.tokens), r.wcount)
+        for r in bpe_vocab_tokens(df, merges, method="fold").collect()
+    }
+    batched = {
+        r.word: (list(r.tokens), r.wcount)
+        for r in bpe_vocab_tokens(
+            df, merges, method="fold", fold_batch=2
+        ).collect()
+    }
+    local = {
+        r.word: (list(r.tokens), r.wcount)
+        for r in bpe_vocab_tokens(df, merges, method="local").collect()
+    }
+    assert batched == want
+    assert local == want
+    with pytest.raises(ValueError, match="unknown method"):
+        bpe_vocab_tokens(df, merges, method="nope")
+
+
+@given(words=_word_lists, k=st.integers(1, 4))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_local_trainer_matches_reference_on_random_corpora(
+    spark, words, k
+):
+    """Property: the incremental-update local trainer (heap argmax,
+    touched-set updates) equals the sequential recount-everything
+    reference on tiny-alphabet corpora where ties, overlapping pairs,
+    and re-created symbol strings are common — AND the local
+    application tier reproduces the reference's final vocabulary."""
+    from kafka_sparkstreaming_sbt_spark.operators.bpe import (
+        bpe_train_merges_local,
+    )
+
+    df = _docs_from_words(spark, words)
+    merges_df = bpe_train_merges_local(df, n_merges=k)
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    ref, ref_syms = _ref_bpe(words, k)
+    assert got == ref
+    toks = {
+        r.word: list(r.tokens)
+        for r in bpe_vocab_tokens(
+            df, merges_df, method="local"
+        ).collect()
+    }
+    assert toks == ref_syms

@@ -946,6 +946,30 @@ def test_hard_negatives_excludes_same_label_and_self(spark):
     assert np_rows == sorted(map(tuple, out))
 
 
+def test_hard_negatives_numpy_rejects_non_integer_labels(spark):
+    """The BLAS tier's input domain is narrower than the SQL tier's
+    (int64 ndarrays + a LongType schema): string labels must fail
+    fast with guidance, not miscast — while the SQL tier passes the
+    label type through untouched."""
+    import pytest
+
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "a"),
+        (2, [0.0, 1.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    with pytest.raises(ValueError, match="requires integer 'label'"):
+        hard_negatives(df, df, k=1, method="numpy")
+    # SQL tier handles the same frame fine
+    out = hard_negatives(df, df, k=1).collect()
+    assert all(r.query_label != r.neighbor_label for r in out)
+
+
 def test_knn_graph_blocked_recall_on_clustered_corpus(spark):
     """The cell-blocked kNN graph recovers >= 0.9 of the exact graph's
     edges on a CLUSTERED corpus (the realistic embedding shape —
@@ -985,3 +1009,38 @@ def test_knn_graph_blocked_recall_on_clustered_corpus(spark):
     }
     recall = len(blocked & exact) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_short_docs_dont_crash_shingle_plans(spark):
+    """Docs shorter than the shingle width must be DROPPED, not crash
+    the plan: Spark sequence(1, 0) counts DOWN (slice at start 0 is a
+    runtime error) and the length filter alone does not protect the
+    inlined expression — surfaced when the streaming span stage
+    started legitimately shortening docs below shingle_n."""
+    from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
+        incremental_near_dup,
+        minhash_near_dup_pairs,
+        with_shingles,
+    )
+    from kafka_sparkstreaming_sbt_spark.operators.text import (
+        benchmark_overlap,
+        doc_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "z1 z2"), (2, "m1 m2 m3 m4 m5 m6"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(0, "c1 c2 c3 c4 c5 c6")], "doc_id long, text string"
+    )
+    assert {r.doc_id for r in with_shingles(df).collect()} == {2}
+    assert minhash_near_dup_pairs(df, persist_shingles=False).count() == 0
+    assert incremental_near_dup(df, corpus).count() == 0
+    # doc_fingerprints has NO length filter: short docs get a NULL
+    # rolling fingerprint instead of a crash
+    fp = {r.doc_id: r for r in doc_fingerprints(df).collect()}
+    assert set(fp) == {1, 2, 3}
+    assert fp[1].fp_md5 is not None
+    bo = benchmark_overlap(df, corpus).collect()
+    assert all(not r.contaminated for r in bo)

@@ -229,6 +229,93 @@ def test_inverted_index_append_and_crash_replay(spark, tmp_path):
     assert again == want
 
 
+def test_rebuild_over_committed_index_fails_fast(spark, tmp_path):
+    """A generation-0 build over an index with committed generations
+    must fail fast (stale higher-generation meta would stay readable
+    and silently merge with the fresh postings); overwrite=True drops
+    the whole index and rebuilds cleanly."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        append_to_index,
+        bm25_topk,
+        bm25_topk_from_index,
+        build_inverted_index,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    docs = read_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    n = docs.count()
+    old = docs.filter(F.col("doc_id") < n // 2)
+    new = docs.filter(F.col("doc_id") >= n // 2)
+    idx = str(tmp_path / "idx")
+    build_inverted_index(old, idx, n_buckets=8)
+    append_to_index(new, idx)  # committed generation is now 1
+    with pytest.raises(ValueError, match="committed generation"):
+        build_inverted_index(old, idx, n_buckets=8)
+    # overwrite drops gen 0 AND gen 1 — the rebuilt index answers
+    # exactly like a fresh one over `old` (no stale gen-1 leakage)
+    build_inverted_index(old, idx, n_buckets=8, overwrite=True)
+    q = ["customer", "merge", "scan"]
+    got = sorted(
+        map(tuple, bm25_topk_from_index(spark, idx, q, k=15).collect())
+    )
+    want = sorted(map(tuple, bm25_topk(old, q, k=15).collect()))
+    assert got == want
+
+
+def test_append_after_crash_with_different_batch(spark, tmp_path):
+    """Crash recovery must hold even when the NEXT append carries a
+    DIFFERENT batch: orphan postings from the crashed batch (written
+    under upto=G+1 before the meta committed) must not leak into the
+    replacement generation's results."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        append_to_index,
+        bm25_topk,
+        bm25_topk_from_index,
+        build_inverted_index,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    docs = read_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    n = docs.count()
+    base = docs.filter(F.col("doc_id") < n // 2)
+    crashed = docs.filter(
+        (F.col("doc_id") >= n // 2) & (F.col("doc_id") < n * 3 // 4)
+    )
+    replacement = docs.filter(F.col("doc_id") >= n * 3 // 4)
+    idx = str(tmp_path / "idx")
+    build_inverted_index(base, idx, n_buckets=8)
+    # simulate a crash mid-append: postings for `crashed` land under
+    # upto=1 but the meta commit never happens
+    append_to_index(crashed, idx)
+    shutil.rmtree(f"{idx}/meta/upto=1")
+    # next append carries a different batch — its bucket set need not
+    # cover the crashed batch's buckets, so without the orphan sweep
+    # the crashed docs would be folded into generation 1
+    append_to_index(replacement, idx)
+    q = ["customer", "merge", "scan"]
+    want = sorted(
+        map(
+            tuple,
+            bm25_topk(base.unionByName(replacement), q, k=15).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, bm25_topk_from_index(spark, idx, q, k=15).collect())
+    )
+    assert got == want
+
+
 def test_inverted_index_read_is_partition_pruned(spark, tmp_path):
     """The indexed query's postings scan must prune on BOTH partition
     columns — bucket (the terms' hash buckets) and upto (committed

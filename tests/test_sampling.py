@@ -497,3 +497,37 @@ def test_curriculum_order_stages_and_determinism(spark):
     with _pt.raises(ValueError):
         curriculum_order(df, "score", 1)
     assert curriculum_order(df.limit(0), "score", 4).count() == 0
+
+
+def test_curriculum_order_approx_tier_tolerance(spark):
+    """exact=False routes the stage thresholds through
+    approx_percentile (bounded sketch state — the 100 TB tier): every
+    row still lands in a stage, stages stay monotone in score, and
+    each row's stage differs from the exact tier's by at most 1
+    (the sketch's rank error moves BOUNDARIES only); the md5 draw is
+    unchanged for rows whose stage agrees."""
+    from kafka_sparkstreaming_sbt_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    rows = [(i, round((i * 37 % 1000) / 1000.0, 6)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    exact = {
+        r.doc_id: r for r in curriculum_order(df, "score", 4).collect()
+    }
+    approx = {
+        r.doc_id: r
+        for r in curriculum_order(df, "score", 4, exact=False).collect()
+    }
+    assert set(approx) == set(exact)
+    ordered = sorted(approx.values(), key=lambda r: r.score)
+    stages = [r.stage for r in ordered]
+    assert stages == sorted(stages)
+    for i, r in exact.items():
+        assert abs(approx[i].stage - r.stage) <= 1, i
+        if approx[i].stage == r.stage:
+            assert approx[i].draw == r.draw
+    # at default accuracy (1e4) on 1k rows the sketch is exact
+    assert sum(
+        approx[i].stage != exact[i].stage for i in exact
+    ) == 0

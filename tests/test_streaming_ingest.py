@@ -961,3 +961,208 @@ def test_drift_gate_holds_broken_feed_and_passes_clean(spark, dirs):
         ]
     finally:
         shutil.rmtree(drift, ignore_errors=True)
+
+
+# ---- ExactSubstr span stage (VERDICT r8 next-2) -----------------
+
+
+SPAN_T = {
+    "c0": "s1 s2 s3 s4 a1 b1 c1 d1",
+    "u1": "k1 k2 k3 k4 k5 k6",
+    "mix": "x1 x2 s1 s2 s3 s4 y1 y2",
+    "mix2": "z1 k2 k3 k4 k5 z2",
+    "u3": "m1 m2 m3 m4 m5 m6",
+}
+
+
+def test_span_stage_excises_corpus_and_prior_batch_spans(spark, dirs):
+    """Streaming ExactSubstr: a batch doc's windows matching the
+    CORPUS window-hash table are excised (not the whole doc
+    rejected); a later batch's windows matching an EARLIER accepted
+    batch's (cleaned) text are excised via the incr table; a doc
+    whose text is entirely corpus spans empties out and is dropped."""
+    src, acc, ckpt = dirs
+    span_dir = tempfile.mkdtemp(prefix="span_")
+    try:
+        corpus = spark.createDataFrame(
+            [(0, SPAN_T["c0"])], "doc_id long, text string"
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(src)
+        )
+        q = run_dedup_ingest_pipeline(
+            stream, corpus, acc, ckpt,
+            span_dir=span_dir, span_window_tokens=4,
+        )
+        try:
+            # 10: one corpus 4-window inside fresh text -> excised;
+            # 11: clean; 12: exactly the corpus text -> empties out
+            wave1 = spark.createDataFrame(
+                [
+                    (10, SPAN_T["mix"]),
+                    (11, SPAN_T["u1"]),
+                    (12, SPAN_T["c0"]),
+                ],
+                "doc_id long, text string",
+            )
+            wave1.coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+            # 20: shares a 4-window with ACCEPTED doc 11 -> excised
+            # via the incr table; 21 clean
+            wave2 = spark.createDataFrame(
+                [(20, SPAN_T["mix2"]), (21, SPAN_T["u3"])],
+                "doc_id long, text string",
+            )
+            wave2.coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = {
+            r.doc_id: r.text for r in spark.read.parquet(acc).collect()
+        }
+        assert out == {
+            10: "x1 x2 y1 y2",
+            11: SPAN_T["u1"],
+            20: "z1 z2",
+            21: SPAN_T["u3"],
+        }
+        # incr table: one partition per batch, wh-only schema
+        incr = spark.read.parquet(f"{span_dir}/incr")
+        assert set(incr.columns) == {"wh", "batch_id"}
+        assert {
+            r.batch_id
+            for r in incr.select("batch_id").distinct().collect()
+        } == {0, 1}
+    finally:
+        shutil.rmtree(span_dir, ignore_errors=True)
+
+
+def test_span_stage_replay_idempotent_and_matches_one_shot(spark, dirs):
+    """Replaying a batch through the span-staged screen leaves the
+    lake AND the span incr byte-identical; the accepted text equals
+    the one-shot remove_duplicate_spans_incremental run on the same
+    inputs (the equivalence the streaming stage claims)."""
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        remove_duplicate_spans_incremental,
+        window_hash_table,
+    )
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        materialize_corpus_window_hashes,
+        screen_micro_batch,
+    )
+
+    _, acc, _ = dirs
+    span_dir = tempfile.mkdtemp(prefix="span_")
+    try:
+        corpus = spark.createDataFrame(
+            [(0, SPAN_T["c0"])], "doc_id long, text string"
+        )
+        materialize_corpus_window_hashes(corpus, span_dir, 4)
+        batch = spark.createDataFrame(
+            [(10, SPAN_T["mix"]), (11, SPAN_T["u1"])],
+            "doc_id long, text string",
+        )
+        n1, a1 = screen_micro_batch(
+            batch, 0, corpus, acc, span_dir=span_dir,
+            span_window_tokens=4,
+        )
+        lake1 = {tuple(r) for r in spark.read.parquet(acc).collect()}
+        incr1 = {
+            r.wh
+            for r in spark.read.parquet(f"{span_dir}/incr").collect()
+        }
+        # replay: same batch id, partitions already on disk
+        n2, a2 = screen_micro_batch(
+            batch, 0, corpus, acc, span_dir=span_dir,
+            span_window_tokens=4,
+        )
+        lake2 = {tuple(r) for r in spark.read.parquet(acc).collect()}
+        incr2 = {
+            r.wh
+            for r in spark.read.parquet(f"{span_dir}/incr").collect()
+        }
+        assert (n1, a1) == (n2, a2) == (2, 2)
+        assert lake1 == lake2 and incr1 == incr2
+        # one-shot equivalence on the same inputs
+        want = {
+            r.doc_id: r.clean_text
+            for r in remove_duplicate_spans_incremental(
+                batch,
+                corpus_hashes=window_hash_table(
+                    corpus, window_tokens=4
+                ),
+                window_tokens=4,
+            ).collect()
+        }
+        got = {
+            r.doc_id: r.text for r in spark.read.parquet(acc).collect()
+        }
+        assert got == {i: t for i, t in want.items() if t}
+        # the incr carries the CLEANED text's windows: doc 10's
+        # excised corpus span contributes nothing
+        clean_whs = {
+            r.wh
+            for r in window_hash_table(
+                spark.createDataFrame(
+                    [(10, "x1 x2 y1 y2"), (11, SPAN_T["u1"])],
+                    "doc_id long, text string",
+                ),
+                window_tokens=4,
+            ).collect()
+        }
+        assert incr1 == clean_whs
+    finally:
+        shutil.rmtree(span_dir, ignore_errors=True)
+
+
+def test_span_stage_compaction_folds_incr_and_preserves_verdicts(
+    spark, dirs
+):
+    """With compact_every the span incr table folds like the
+    signature incrs: partition count stays bounded and a post-fold
+    wave still excises spans learned from pre-fold batches."""
+    src, acc, ckpt = dirs
+    span_dir = tempfile.mkdtemp(prefix="span_")
+    try:
+        corpus = spark.createDataFrame(
+            [(0, SPAN_T["c0"])], "doc_id long, text string"
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(src)
+        )
+        q = run_dedup_ingest_pipeline(
+            stream, corpus, acc, ckpt,
+            span_dir=span_dir, span_window_tokens=4,
+            compact_every=2,
+        )
+        try:
+            for i, (did, text) in enumerate(
+                [(10, SPAN_T["u1"]), (11, SPAN_T["u3"])]
+            ):
+                spark.createDataFrame(
+                    [(did, text)], "doc_id long, text string"
+                ).coalesce(1).write.mode("append").json(src)
+                q.processAllAvailable()
+            # wave 3 (batch 2, triggers the fold of batches 0-1):
+            # shares a window with batch-0 doc 10
+            spark.createDataFrame(
+                [(20, SPAN_T["mix2"])], "doc_id long, text string"
+            ).coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = {
+            r.doc_id: r.text for r in spark.read.parquet(acc).collect()
+        }
+        assert out[20] == "z1 z2"
+        from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+            _list_batch_ids,
+        )
+
+        ids = _list_batch_ids(spark, f"{span_dir}/incr")
+        # batches 0-1 folded into one partition; batch 2 separate
+        assert len(ids) <= 3
+    finally:
+        shutil.rmtree(span_dir, ignore_errors=True)
