@@ -2440,16 +2440,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to overflow — still oracle-gated by the full sim, just past the
     # driver's 50-row record.
     #
-    # ROTATED AGAIN in r9 (VERDICT r8 #4): the r8 families
-    # (duplicate_span_docs, duplicated_span_report, normalized_docs,
-    # bpe_pair_stats, gopher_quality_flags, token_budget_selection,
-    # hard_negatives, knn_graph_edges, label_propagation,
-    # bm25_multi_query) moved INTO the gate window for driver-verified
-    # rows; ten long-stable r1-r5 entries (order_status_pivot,
-    # rolling_customer_spend, cohort_retention, customer_trend,
-    # purchase_attribution, latest_event_per_user, purchase_state_pit,
-    # quantity_quantiles, bigram_pmi, ngram_jaccard_pairs) moved to
-    # overflow — each family keeps window coverage via its siblings.
+    # ROTATED AGAIN in r9 (VERDICT r8 #4): nine r8 families
+    # (duplicate_span_docs, normalized_docs, bpe_pair_stats,
+    # gopher_quality_flags, token_budget_selection, hard_negatives,
+    # knn_graph_edges, label_propagation, bm25_multi_query) moved INTO
+    # the gate window for driver-verified rows; the entries moved to
+    # overflow are exactly the ones whose FAMILY keeps a window
+    # sibling (order_priority_rollup, split_assignment, text_quality,
+    # text_lang_id, canonical_docs, cohort_retention, customer_trend,
+    # purchase_state_pit, bigram_pmi) — the family-coverage contract
+    # in tests/test_gate_curation.py binds the rotation, and 50 slots
+    # cannot hold every legacy family AND all ten r8 entries, so
+    # duplicated_span_report (whose span family already has a driver
+    # row via duplicate_span_docs, and whose LIMIT-order oracle the
+    # full sim still hash-checks) leads the overflow instead.
     return {
         # -- reference parity (SURVEY §2) --
         "windowed_spending_per_customer": q_windowed_spending_per_customer,
@@ -2459,22 +2463,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers_per_nation": q_top_customers_per_nation,
-        "order_priority_rollup": q_order_priority_rollup,
+        "order_status_pivot": q_order_status_pivot,
         "lapsed_customers": q_lapsed_customers,
         "multi_grain_rollup": q_multi_grain_rollup,
+        "rolling_customer_spend": q_rolling_customer_spend,
         "promo_revenue_share": q_promo_revenue_share,
         # -- events / time series / state --
         "user_sessions": q_user_sessions,
+        "purchase_attribution": q_purchase_attribution,
         "skewed_event_totals": q_skewed_event_totals,
+        "latest_event_per_user": q_latest_event_per_user,
         "scd2_user_state": q_scd2_user_state,
         # -- sampling / stats / selection --
         "stratified_sample": q_stratified_sample,
-        "split_assignment": q_split_assignment,
+        "quantity_quantiles": q_quantity_quantiles,
         "token_budget_selection": q_token_budget_selection,
         # -- text analysis / quality --
         "text_token_stats": q_text_token_stats,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
         "tf_idf": q_tf_idf,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "chunk_dedup_docs": q_chunk_dedup_docs,
@@ -2485,12 +2490,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "near_dup_groups": q_near_dup_groups,
-        "canonical_docs": q_canonical_docs,
         "bloom_screened_docs": q_bloom_screened_docs,
         "soft_dedup_weights": q_soft_dedup_weights,
         "duplicate_span_docs": q_duplicate_span_docs,
-        "duplicated_span_report": q_duplicated_span_report,
         # -- similarity search / quantization / graph --
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_similar_pairs": q_embedding_similar_pairs,
@@ -2512,16 +2516,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         # ---- overflow: same-family variants (all still oracle-gated;
         # ---- past the driver gate's 50-row record) ----
-        "order_status_pivot": q_order_status_pivot,
-        "rolling_customer_spend": q_rolling_customer_spend,
+        "duplicated_span_report": q_duplicated_span_report,
+        "order_priority_rollup": q_order_priority_rollup,
+        "split_assignment": q_split_assignment,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "canonical_docs": q_canonical_docs,
         "cohort_retention": q_cohort_retention,
         "customer_trend": q_customer_trend,
-        "purchase_attribution": q_purchase_attribution,
-        "latest_event_per_user": q_latest_event_per_user,
         "purchase_state_pit": q_purchase_state_pit,
-        "quantity_quantiles": q_quantity_quantiles,
         "bigram_pmi": q_bigram_pmi,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "windowed_spending_per_event": q_windowed_spending_per_event,
         "daily_spending_direct": q_daily_spending_direct,
         "monthly_order_stats": q_monthly_order_stats,

@@ -72,6 +72,19 @@ FAMILIES: dict[str, set[str]] = {
     "source-warc": {"wet_roundtrip_docs"},
     "profile-drift": {"profile_drift_alarm"},
     "multimodal": {"multimodal_decode"},
+    # r8 families rotated into the window in r9 (VERDICT r8 #4) —
+    # registered here so a future rotation can't silently drop them.
+    # The span family counts either the excision or the report query;
+    # only one fits alongside every legacy family in 50 slots.
+    "span-dedup": {"duplicate_span_docs", "duplicated_span_report"},
+    "text-normalize": {"normalized_docs"},
+    "bpe": {"bpe_pair_stats"},
+    "quality-rules": {"gopher_quality_flags"},
+    "selection-budget": {"token_budget_selection"},
+    "ann-hard-negatives": {"hard_negatives"},
+    "graph-knn": {"knn_graph_edges"},
+    "graph-label-prop": {"label_propagation"},
+    "retrieval-batched": {"bm25_multi_query"},
 }
 
 
