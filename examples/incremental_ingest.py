@@ -11,6 +11,11 @@ corpus with itself:
               corpus members seniors-first + earlier in-cell batch
               rows, 2-probe boundary recovery)
 
+With ``--span-window N`` an ExactSubstr excision stage runs FIRST:
+corpus-duplicated N-token windows are cut out of the batch text (the
+streaming pipeline's ``span_dir`` stage, one-shot form), docs emptied
+by excision are rejected, and the dedup screens see the cleaned text.
+
 A batch doc is ACCEPTED only if neither screen finds a duplicate.
 Both screens cost O(|batch| x local-neighborhood), never corpus^2 —
 the shape that stays daily-runnable when the corpus is 100 TB and the
@@ -109,6 +114,7 @@ def screen_batch(
     batch_emb: DataFrame | None = None,
     jaccard_threshold: float = 0.5,
     semantic_threshold: float | None = None,
+    span_window: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run both incremental screens; returns (verdicts, report).
 
@@ -117,7 +123,18 @@ def screen_batch(
     curation metadata, not just the surviving subset.  Setting
     ``semantic_threshold`` REQUIRES both embedding tables
     (``vec_id`` == ``doc_id``) — a missing table raises immediately
-    rather than silently skipping a screen the caller asked for."""
+    rather than silently skipping a screen the caller asked for.
+
+    ``span_window``: optional ExactSubstr stage BEFORE the screens —
+    every ``span_window``-token window already present in the corpus
+    (or shared within the batch) is EXCISED from the batch text, the
+    same stage the streaming pipeline runs under ``span_dir``; docs
+    emptied by excision are flagged ``span_emptied`` and rejected.
+    The dedup screens then run on the CLEANED text, so boilerplate
+    spans can no longer glue unrelated docs into near-dup pairs.  In
+    production the corpus window-hash table is a materialized
+    artifact (``window_hash_table`` — the signature-table note);
+    recomputed here for self-containment."""
     if semantic_threshold is not None and (
         corpus_emb is None or batch_emb is None
     ):
@@ -126,6 +143,42 @@ def screen_batch(
             "missing — pass both embedding tables or drop the threshold"
         )
     batch_ids = batch_docs.select("doc_id")
+    span_report: dict = {}
+    span_emptied = None
+    if span_window is not None:
+        from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+            remove_duplicate_spans_incremental,
+        )
+
+        cleaned = remove_duplicate_spans_incremental(
+            batch_docs,
+            corpus_docs=corpus_docs,
+            window_tokens=span_window,
+        ).localCheckpoint(eager=True)
+        agg = cleaned.agg(
+            F.sum((F.col("n_spans") > 0).cast("int")).alias("d"),
+            F.sum("tokens_removed").alias("t"),
+            F.sum(
+                (F.length("clean_text") == 0).cast("int")
+            ).alias("e"),
+        ).first()
+        span_report = {
+            "span_excised_docs": int(agg.d or 0),
+            "span_tokens_removed": int(agg.t or 0),
+            "span_emptied_docs": int(agg.e or 0),
+        }
+        span_emptied = cleaned.filter(
+            F.length("clean_text") == 0
+        ).select("doc_id").withColumn("_sempty", F.lit(True))
+        batch_docs = (
+            batch_docs.drop("text")
+            .join(
+                cleaned.filter(F.length("clean_text") > 0).select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+        )
 
     textual_dups = (
         incremental_near_dup(
@@ -167,8 +220,18 @@ def screen_batch(
     else:
         verdicts = verdicts.withColumn("semantic_dup", F.lit(False))
 
+    if span_emptied is not None:
+        verdicts = verdicts.join(span_emptied, "doc_id", "left").select(
+            "doc_id", "textual_dup", "semantic_dup",
+            F.coalesce("_sempty", F.lit(False)).alias("span_emptied"),
+        )
+    else:
+        verdicts = verdicts.withColumn("span_emptied", F.lit(False))
     verdicts = verdicts.withColumn(
-        "accepted", ~F.col("textual_dup") & ~F.col("semantic_dup")
+        "accepted",
+        ~F.col("textual_dup")
+        & ~F.col("semantic_dup")
+        & ~F.col("span_emptied"),
     )
     agg = verdicts.agg(
         F.count(F.lit(1)).alias("batch"),
@@ -181,6 +244,7 @@ def screen_batch(
         "textual_dups": int(agg.t),
         "semantic_dups": int(agg.s),
         "accepted": int(agg.a),
+        **span_report,
     }
     return verdicts, report
 
@@ -191,6 +255,10 @@ def main() -> None:
     p.add_argument("--split-id", type=int, default=400)
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
     p.add_argument("--semantic-threshold", type=float, default=None)
+    p.add_argument(
+        "--span-window", type=int, default=None,
+        help="ExactSubstr excision window (tokens) before the screens",
+    )
     p.add_argument(
         "--drift-gate",
         action="store_true",
@@ -216,6 +284,7 @@ def main() -> None:
         emb.filter(F.col("vec_id") >= k),
         args.jaccard_threshold,
         args.semantic_threshold,
+        span_window=args.span_window,
     )
     print(json.dumps({**report, **drift}))
     spark.stop()

@@ -91,3 +91,45 @@ def test_batch_drift_report_clean_and_broken_feed(spark, sf_small):
     assert any(
         "source:distinct_collapse" == d for d in rep["drift_detail"]
     )
+
+
+def test_screen_batch_span_stage_excises_and_flags(spark):
+    """--span-window: a corpus span inside fresh batch text is excised
+    (doc still accepted, on its CLEANED text), a batch doc that IS a
+    corpus span empties out and is rejected as span_emptied, and the
+    report carries the excision accounting."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "s1 s2 s3 s4 c1 c2 c3 c4"),
+            (1, "q1 q2 q3 q4 q5 q6 q7 q8"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "x1 x2 s1 s2 s3 s4 y1 y2"),  # span excised, accepted
+            (101, "s1 s2 s3 s4 c1 c2 c3 c4"),  # all corpus spans -> emptied
+            (102, "m1 m2 m3 m4 m5 m6 m7 m8"),  # untouched
+        ],
+        "doc_id long, text string",
+    )
+    verdicts, report = screen_batch(
+        spark, corpus, batch,
+        jaccard_threshold=0.5, semantic_threshold=None, span_window=4,
+    )
+    rows = {r.doc_id: r for r in verdicts.collect()}
+    assert len(rows) == 3 == report["batch_docs"]
+    assert report["span_excised_docs"] == 2  # 100 and 101
+    assert report["span_emptied_docs"] == 1
+    assert report["span_tokens_removed"] == 4 + 8
+    assert rows[100].accepted and not rows[100].span_emptied
+    assert rows[101].span_emptied and not rows[101].accepted
+    assert rows[102].accepted
+    # without the span stage, doc 101 dies at the textual screen
+    # instead (it IS a corpus doc) and 100 survives with its span
+    _, plain = screen_batch(
+        spark, corpus, batch,
+        jaccard_threshold=0.5, semantic_threshold=None,
+    )
+    assert "span_excised_docs" not in plain
+    assert plain["textual_dups"] >= 1
