@@ -134,11 +134,15 @@ def main() -> None:
                         list(planted.embedding),  # semantic kill
                     ),
                 ]
+                # ONE file per wave: a multi-file wave can land in
+                # one OR two triggers depending on listing timing,
+                # which makes the per-wave counts (and the printed
+                # line count) nondeterministic
                 spark.createDataFrame(
                     [(r.doc_id, r.text, list(r.embedding)) for r in chunk]
                     + extra,
                     "doc_id long, text string, embedding array<double>",
-                ).coalesce(2).write.mode("append").json(tmp["src"])
+                ).coalesce(1).write.mode("append").json(tmp["src"])
                 q.processAllAvailable()
         finally:
             q.stop()

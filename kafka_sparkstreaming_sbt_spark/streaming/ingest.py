@@ -1369,6 +1369,8 @@ def release_held_batches(
                 signature_dir=signature_dir,
                 exact_dir=exact_dir,
                 corpus_upto=1 << 62,
+                span_dir=span_dir,
+                span_window_tokens=span_window_tokens,
             )
         else:
             results[held_id] = screen_micro_batch(
@@ -2018,6 +2020,8 @@ def run_multimodal_ingest_pipeline(
     on_batch: Callable[[int, int, int], None] | None = None,
     on_hold: Callable[[int, list[str]], None] | None = None,
     seed: int = 42,
+    span_dir: str | None = None,
+    span_window_tokens: int = 16,
 ) -> StreamingQuery:
     """Start the unified multimodal ingest screen.
 
@@ -2060,6 +2064,11 @@ def run_multimodal_ingest_pipeline(
         materialize_exact_screen(
             corpus_docs, exact_dir, bloom_expected_items, bloom_fpp
         )
+    if span_dir is not None:
+        recover_compaction(spark, f"{span_dir}/incr")
+        materialize_corpus_window_hashes(
+            corpus_docs, span_dir, span_window_tokens
+        )
     recover_compaction(spark, f"{cells_dir}/incr")
     recover_semantic_quantizer(spark, cells_dir)
     materialize_semantic_quantizer(
@@ -2090,6 +2099,11 @@ def run_multimodal_ingest_pipeline(
             if signature_dir is not None:
                 compact_batch_partitions(
                     spark, f"{signature_dir}/incr", batch_id,
+                    target_file_bytes,
+                )
+            if span_dir is not None:
+                compact_batch_partitions(
+                    spark, f"{span_dir}/incr", batch_id,
                     target_file_bytes,
                 )
             if exact_dir is not None:
@@ -2144,6 +2158,8 @@ def run_multimodal_ingest_pipeline(
             semantic_threshold=semantic_threshold, method=method,
             max_cell_size=max_cell_size,
             signature_dir=signature_dir, exact_dir=exact_dir,
+            span_dir=span_dir,
+            span_window_tokens=span_window_tokens,
         )
         if on_batch is not None:
             on_batch(batch_id, n_raw, a)
@@ -2172,6 +2188,8 @@ def screen_multimodal_micro_batch(
     signature_dir: str | None = None,
     exact_dir: str | None = None,
     corpus_upto: int | None = None,
+    span_dir: str | None = None,
+    span_window_tokens: int = 16,
 ) -> tuple[int, int]:
     """One micro-batch of the unified screen (the foreachBatch body
     past the drift/quality gates, exposed for direct replay-contract
@@ -2180,7 +2198,13 @@ def screen_multimodal_micro_batch(
     write, maintenance increments for exactly the written rows.
     Returns (n_in, n_accepted).  ``corpus_upto`` decouples the corpus
     cutoff from the partition id exactly as on
-    :func:`screen_micro_batch` (the held-batch release path)."""
+    :func:`screen_micro_batch` (the held-batch release path).
+
+    With ``span_dir`` the text leg runs the ExactSubstr excision
+    stage (see :func:`screen_micro_batch`) — and because the stage
+    REWRITES text, the accepted full rows carry the textual leg's
+    (possibly cleaned) text joined back to the batch's embeddings,
+    never the raw batch text."""
     spark = batch_df.sparkSession
     cutoff = batch_id if corpus_upto is None else corpus_upto
     batch_df = batch_df.select(
@@ -2190,8 +2214,12 @@ def screen_multimodal_micro_batch(
     _, text_ok = _screen_text_core(
         batch_df.select("doc_id", "text"), cutoff, corpus_docs,
         accepted_dir, threshold, shingle_n, n_bands, signature_dir,
-        exact_dir,
+        exact_dir, span_dir, span_window_tokens,
     )
+    # the survivors' (possibly span-cleaned) text feeds BOTH the
+    # semantic-stage prune and the accepted write: materialize once
+    # instead of re-running the screen plan per consumer
+    text_ok = text_ok.localCheckpoint(eager=True)
     # semantic stage over the textual survivors' vectors only
     vec_batch = (
         batch_df.select("doc_id", "embedding")
@@ -2203,15 +2231,21 @@ def screen_multimodal_micro_batch(
         semantic_threshold, "embedding", "doc_id", method,
         max_cell_size,
     )
-    # ONE accepted write: full rows for the kept ids
+    # ONE accepted write: full rows for the kept ids — text from the
+    # textual leg (cleaned when the span stage ran), embeddings from
+    # the checkpointed batch
     accepted_path = f"{accepted_dir}/batch_id={batch_id}"
-    batch_df.join(
-        verdicts.select("doc_id"), "doc_id", "left_semi"
-    ).write.mode("overwrite").parquet(accepted_path)
+    (
+        text_ok.join(verdicts.select("doc_id"), "doc_id", "left_semi")
+        .join(batch_df.select("doc_id", "embedding"), "doc_id")
+        .select("doc_id", "text", "embedding")
+        .write.mode("overwrite")
+        .parquet(accepted_path)
+    )
     # maintenance increments describe exactly the written rows
     _write_text_increments(
         spark, accepted_path, batch_id, shingle_n, n_bands,
-        signature_dir, exact_dir,
+        signature_dir, exact_dir, span_dir, span_window_tokens,
     )
     verdicts.write.mode("overwrite").parquet(
         f"{cells_dir}/incr/batch_id={batch_id}"

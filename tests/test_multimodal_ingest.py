@@ -317,3 +317,111 @@ def test_multimodal_drift_hold_keeps_embeddings(spark, dirs):
         assert len(held.collect()[0].embedding) == 8
     finally:
         shutil.rmtree(drift, ignore_errors=True)
+
+
+def test_multimodal_span_stage_cleans_accepted_text(spark, dirs):
+    """With span_dir, the unified screen excises corpus-duplicated
+    windows from batch text, the accepted FULL rows carry the CLEANED
+    text with their embeddings intact, the span incr records the
+    cleaned windows, and a replay is byte-identical."""
+    from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+        window_hash_table,
+    )
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        materialize_corpus_window_hashes,
+        materialize_semantic_quantizer,
+    )
+
+    src, acc, cells, ckpt = dirs
+    span_dir = tempfile.mkdtemp(prefix="span_")
+    try:
+        docs = spark.createDataFrame(
+            [(0, "s1 s2 s3 s4 c1 c2 c3 c4")], "doc_id long, text string"
+        )
+        emb = spark.createDataFrame(
+            [(0, _vec(0))], "doc_id long, embedding array<double>"
+        )
+        materialize_semantic_quantizer(
+            emb, cells, n_cells=1, id_col="doc_id"
+        )
+        materialize_corpus_window_hashes(docs, span_dir, 4)
+        # 100: corpus span inside fresh text, unique vector (residue 4)
+        # 101: entirely corpus spans -> emptied -> dropped
+        # 102: clean text, SEMANTIC dup of corpus vector 0
+        batch = spark.createDataFrame(
+            [
+                (100, "x1 x2 s1 s2 s3 s4 y1 y2", _vec(4)),
+                (101, "s1 s2 s3 s4 c1 c2 c3 c4", _vec(5)),
+                (102, "m1 m2 m3 m4 m5 m6 m7 m8", _vec(0)),
+            ],
+            SCHEMA,
+        )
+        n, a = screen_multimodal_micro_batch(
+            batch, 0, docs, emb, acc, cells,
+            span_dir=span_dir, span_window_tokens=4,
+        )
+        assert (n, a) == (3, 1)
+        out = {r.doc_id: r for r in spark.read.parquet(acc).collect()}
+        assert set(out) == {100}
+        assert out[100].text == "x1 x2 y1 y2"  # cleaned, not raw
+        assert list(out[100].embedding) == _vec(4)
+        # span incr holds the CLEANED text's windows only
+        incr = {
+            r.wh
+            for r in spark.read.parquet(f"{span_dir}/incr").collect()
+        }
+        want = {
+            r.wh
+            for r in window_hash_table(
+                spark.createDataFrame(
+                    [(100, "x1 x2 y1 y2")], "doc_id long, text string"
+                ),
+                window_tokens=4,
+            ).collect()
+        }
+        assert incr == want
+        # replay: same batch id -> identical lake + incr
+        n2, a2 = screen_multimodal_micro_batch(
+            batch, 0, docs, emb, acc, cells,
+            span_dir=span_dir, span_window_tokens=4,
+        )
+        assert (n2, a2) == (3, 1)
+        out2 = {r.doc_id: r for r in spark.read.parquet(acc).collect()}
+        assert {(k, v.text) for k, v in out.items()} == {
+            (k, v.text) for k, v in out2.items()
+        }
+    finally:
+        shutil.rmtree(span_dir, ignore_errors=True)
+
+
+def test_multimodal_pipeline_with_span_dir_end_to_end(spark, dirs):
+    """The streaming form: span_dir on run_multimodal_ingest_pipeline
+    — wave-2 text sharing a window with a wave-1 SURVIVOR's cleaned
+    text is excised via the incr table."""
+    src, acc, cells, ckpt = dirs
+    span_dir = tempfile.mkdtemp(prefix="span_")
+    try:
+        docs, emb = _corpus(spark)
+        stream = spark.readStream.schema(SCHEMA).json(src)
+        q = run_multimodal_ingest_pipeline(
+            stream, docs, emb, acc, cells, ckpt,
+            span_dir=span_dir, span_window_tokens=4,
+        )
+        try:
+            # wave 1: unique text+vector (residue 5)
+            spark.createDataFrame(
+                [(100, "k1 k2 k3 k4 k5 k6", _vec(5))], SCHEMA
+            ).coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+            # wave 2: shares window (k2 k3 k4 k5) with accepted 100
+            spark.createDataFrame(
+                [(200, "z1 k2 k3 k4 k5 z2", _vec(6))], SCHEMA
+            ).coalesce(1).write.mode("append").json(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = {r.doc_id: r.text for r in spark.read.parquet(acc).collect()}
+        assert out[100] == "k1 k2 k3 k4 k5 k6"
+        assert out[200] == "z1 z2"
+    finally:
+        shutil.rmtree(span_dir, ignore_errors=True)
