@@ -2314,16 +2314,41 @@ def _dsir_cte() -> str:
     """
 
 
+def _documents_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of ``{sf_dir}/documents.parquet`` (file or
+    part-file directory): md5 over sorted (relpath, size, mtime_ns)
+    triples, so a regenerated table at the same path yields a NEW
+    scratch key instead of silently answering from a stale index."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                parts.append(
+                    (os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
+                )
+    else:
+        st = os.stat(root)
+        parts.append((".", st.st_size, st.st_mtime_ns))
+    return hashlib.md5(repr(sorted(parts)).encode()).hexdigest()[:16]
+
+
 def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 over the MATERIALIZED inverted index (postings
     partitioned by term-hash bucket + generation, dfreq/stats as the
-    committed meta): builds generation 0 under a deterministic
-    per-sf scratch dir — reused across invocations, so repeated
-    calls (and plan-only calls from test_plans) hit the committed
-    generation instead of leaking a fresh build per call — then
-    answers the same query as bm25_topk through partition-pruned
-    reads — identical output by the shared scoring tail."""
-    import hashlib
+    committed meta): builds generation 0 under a scratch dir keyed by
+    a CONTENT fingerprint of the documents table (path alone is not
+    enough: regenerating the data at the same sf_dir must invalidate
+    the cache) — reused across invocations, so repeated calls (and
+    plan-only calls from test_plans) hit the committed generation
+    instead of leaking a fresh build per call — then answers the same
+    query as bm25_topk through partition-pruned reads — identical
+    output by the shared scoring tail."""
     import tempfile
 
     from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
@@ -2336,7 +2361,7 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tag = _documents_fingerprint(sf_dir)
     idx = f"{tempfile.gettempdir()}/bm25_index_{tag}"
     if _committed_generation(spark, idx) < 0:
         build_inverted_index(docs, idx, n_buckets=16)
@@ -2454,6 +2479,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # duplicated_span_report (whose span family already has a driver
     # row via duplicate_span_docs, and whose LIMIT-order oracle the
     # full sim still hash-checks) leads the overflow instead.
+    #
+    # THIRD ROTATION in r10 (VERDICT r9 #4): six long-sim-only entries
+    # get driver rows — duplicated_span_report, curriculum_order,
+    # bm25_topk_indexed, corpus_diff, table_profile, key_skew_report —
+    # each displacing a long-stable SAME-FAMILY resident (same
+    # operator module, family sets updated in test_gate_curation.py):
+    # duplicate_span_docs (chunking/span), stratified_sample
+    # (sampling), bm25_topk (retrieval), latest_event_per_user (cdc),
+    # profile_drift_alarm (profile), skewed_event_totals (skew).  The
+    # displaced six lead the overflow — still hash-checked against
+    # their oracles by the full local sim every session.
     return {
         # -- reference parity (SURVEY §2) --
         "windowed_spending_per_customer": q_windowed_spending_per_customer,
@@ -2471,11 +2507,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- events / time series / state --
         "user_sessions": q_user_sessions,
         "purchase_attribution": q_purchase_attribution,
-        "skewed_event_totals": q_skewed_event_totals,
-        "latest_event_per_user": q_latest_event_per_user,
+        "key_skew_report": q_key_skew_report,
+        "corpus_diff": q_corpus_diff,
         "scd2_user_state": q_scd2_user_state,
         # -- sampling / stats / selection --
-        "stratified_sample": q_stratified_sample,
+        "curriculum_order": q_curriculum_order,
         "quantity_quantiles": q_quantity_quantiles,
         "token_budget_selection": q_token_budget_selection,
         # -- text analysis / quality --
@@ -2494,7 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": q_near_dup_groups,
         "bloom_screened_docs": q_bloom_screened_docs,
         "soft_dedup_weights": q_soft_dedup_weights,
-        "duplicate_span_docs": q_duplicate_span_docs,
+        "duplicated_span_report": q_duplicated_span_report,
         # -- similarity search / quantization / graph --
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_similar_pairs": q_embedding_similar_pairs,
@@ -2504,19 +2540,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_edges": q_knn_graph_edges,
         "label_propagation": q_label_propagation,
         # -- retrieval / graph / selection / profiling (r6-r8) --
-        "bm25_topk": q_bm25_topk,
+        "bm25_topk_indexed": q_bm25_topk_indexed,
         "bm25_multi_query": q_bm25_multi_query,
         "hybrid_retrieval_rrf": q_hybrid_retrieval,
         "pagerank_weights": q_pagerank_weights,
         "dsir_selected_docs": q_dsir_selected_docs,
         "nb_quality_scores": q_nb_quality_scores,
         "wet_roundtrip_docs": q_wet_roundtrip_docs,
-        "profile_drift_alarm": q_profile_drift_alarm,
+        "table_profile": q_table_profile,
         # -- multimodal --
         "multimodal_decode": q_multimodal_decode,
         # ---- overflow: same-family variants (all still oracle-gated;
         # ---- past the driver gate's 50-row record) ----
-        "duplicated_span_report": q_duplicated_span_report,
+        "duplicate_span_docs": q_duplicate_span_docs,
+        "bm25_topk": q_bm25_topk,
+        "stratified_sample": q_stratified_sample,
+        "latest_event_per_user": q_latest_event_per_user,
+        "profile_drift_alarm": q_profile_drift_alarm,
+        "skewed_event_totals": q_skewed_event_totals,
         "order_priority_rollup": q_order_priority_rollup,
         "split_assignment": q_split_assignment,
         "text_quality": q_text_quality,
@@ -2578,11 +2619,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_cleaned_docs": q_boilerplate_cleaned_docs,
         "incremental_span_dedup": q_incremental_span_dedup,
         "dsir_doc_weights": q_dsir_doc_weights,
-        "corpus_diff": q_corpus_diff,
-        "table_profile": q_table_profile,
-        "key_skew_report": q_key_skew_report,
-        "curriculum_order": q_curriculum_order,
-        "bm25_topk_indexed": q_bm25_topk_indexed,
         # ---- rows-only (NON_SQL_QUERIES, pytest-gated) last ----
         "approx_distinct_users": q_approx_distinct_users,
         "approx_value_quantiles": q_approx_value_quantiles,

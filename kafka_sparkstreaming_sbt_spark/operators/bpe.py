@@ -310,11 +310,14 @@ def _apply_merges_local(
     """Apply a FULL rank-ordered merge table to one word's symbols,
     cost independent of table size: repeatedly find the
     lowest-ranked pair present among current adjacencies and run its
-    greedy pass.  Equivalent to applying every merge once in rank
-    order (a merge at rank i can never re-enable a pair of rank
-    j < i: new adjacencies always involve the freshly-merged symbol,
-    which did not exist at rank j) — the equivalence the
-    local-vs-fold equality tests pin."""
+    greedy pass.  For a TRAINER-PRODUCED table this is equivalent to
+    applying every merge once in rank order (a merge at rank i can
+    never re-enable a pair of rank j < i, because rank j's symbols
+    all exist before rank i's merged symbol does) — the equivalence
+    the local-vs-fold equality tests pin.  A hand-built table that
+    violates the trainer invariant (a low-ranked pair whose symbols
+    are only produced by a higher-ranked merge) diverges; see
+    :func:`bpe_vocab_tokens`'s docstring for the counter-example."""
     while len(syms) >= 2:
         best_rank, best_pair = None, None
         for a, b in zip(syms, syms[1:]):
@@ -334,6 +337,7 @@ def bpe_vocab_tokens(
     eow_marker: str | None = None,
     method: str = "auto",
     fold_batch: int = 64,
+    max_vocab_rows: int = 20_000_000,
 ) -> DataFrame:
     """Tokenize the corpus VOCABULARY with a trained merge table:
     ``(word, tokens, wcount)`` — the artifact a tokenizer ships.
@@ -355,6 +359,20 @@ def bpe_vocab_tokens(
       count — the production shape for real tokenizer models.
     - ``"auto"`` — ``"fold"`` when the table fits in one fold batch,
       else ``"local"``.
+
+    The fold/local equivalence assumes a TRAINER-PRODUCED table
+    (each merge's left/right symbols exist by the time its rank is
+    reached — the invariant both trainers guarantee).  For an
+    arbitrary hand-built table where a LOW-ranked pair only becomes
+    adjacent through a HIGHER-ranked merge (e.g. rank 1 ('ab','c'),
+    rank 2 ('a','b') on "abc"), the tiers legitimately diverge: fold
+    applies each merge exactly once in rank order (yielding
+    [ab, c]), local re-scans for the lowest rank present after every
+    merge (yielding [abc]).  ``max_vocab_rows`` guards the local
+    tier's word-TYPE collect exactly as in
+    :func:`bpe_train_merges_local` — the vocabulary is the bounded
+    model-sized artifact, not the corpus; raise the cap deliberately
+    if a corpus legitimately exceeds it.
     """
     ordered = [
         (r.left, r.right)
@@ -368,6 +386,15 @@ def bpe_vocab_tokens(
     if method == "local":
         spark = df.sparkSession
         rank_of = {p: i for i, p in enumerate(ordered)}
+        n_types = vocab.count()
+        if n_types > max_vocab_rows:
+            raise ValueError(
+                f"word-type table has {n_types} rows >"
+                f" max_vocab_rows={max_vocab_rows}; the local tier"
+                " collects the VOCABULARY (not the corpus) — raise"
+                " the cap deliberately, pre-filter rare types"
+                " upstream, or use method='fold'"
+            )
         rows = vocab.select("word", "wcount").collect()
         data = []
         for r in rows:

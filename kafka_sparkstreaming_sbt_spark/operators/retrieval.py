@@ -338,7 +338,18 @@ def build_inverted_index(
     place, and readers (which stop at the MAX committed meta) would
     merge fresh gen-0 postings with stale postings/df/stats — so a
     build over a committed index fails fast unless ``overwrite=True``,
-    which removes ``meta/`` and ``postings/`` wholesale first."""
+    which removes ``meta/`` and ``postings/`` wholesale first.
+
+    Crash contract for ``overwrite=True`` (no commit marker spans the
+    delete + rebuild): a crash after ``meta/`` is deleted but before
+    generation 0's dfreq+stats commit leaves postings with NO
+    committed meta — readers correctly see an EMPTY index
+    (``_committed_generation`` returns -1, queries over it fail
+    fast / return nothing stale), and the recovery is a from-scratch
+    rebuild of generation 0.  This is an AVAILABILITY gap, never a
+    correctness one: at no point can a reader observe a mix of old
+    and new generations, which is exactly the silent-merge corruption
+    the fail-fast above exists to prevent."""
     spark = df.sparkSession
     g = _committed_generation(spark, index_dir)
     if g >= 0:

@@ -1937,7 +1937,9 @@ def hard_negatives(
         # emits a LongType schema, so its input domain is narrower
         # than the SQL tier's (which passes types through): fail fast
         # on non-integral id/label columns instead of miscasting.
-        integral = ("byte", "short", "int", "bigint", "long")
+        # df.dtypes spells the integer types in SQL form — tinyint /
+        # smallint / int / bigint — never 'byte'/'short'/'long'.
+        integral = ("tinyint", "smallint", "int", "bigint")
         for frame, name in ((corpus, "corpus"), (queries, "queries")):
             for col in (id_col, label_col):
                 dt = dict(frame.dtypes)[col]

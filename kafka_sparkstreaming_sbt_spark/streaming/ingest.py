@@ -38,12 +38,35 @@ rows themselves.  Without it the signatures are recomputed per batch
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
+
+
+@contextmanager
+def _staged(stage_sec: dict | None, name: str):
+    """Accumulate wall seconds for one screen stage into
+    ``stage_sec[name]`` (no-op when ``stage_sec`` is None — the
+    default; profiling adds zero overhead unless asked for).  Stage
+    boundaries sit on the screens' existing EAGER materialization
+    points (localCheckpoint / write / count), so the attribution
+    matches where Spark actually executes each lazy sub-plan —
+    enabling it never adds actions or changes any plan."""
+    if stage_sec is None:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        stage_sec[name] = round(
+            stage_sec.get(name, 0.0) + time.perf_counter() - t0, 3
+        )
 
 
 def _prior_partitions(
@@ -694,11 +717,15 @@ def _screen_text_core(
     exact_dir: str | None,
     span_dir: str | None = None,
     span_window_tokens: int = 16,
+    stage_sec: dict | None = None,
 ) -> tuple[int, DataFrame]:
     """The textual screen WITHOUT the lake write — (n_in, accepted
     rows as a lazy frame over the checkpointed batch).  Split out so
     the unified multimodal pipeline can interpose the semantic stage
-    between the screen and the single accepted-partition write."""
+    between the screen and the single accepted-partition write.
+    ``stage_sec`` (optional) accumulates per-stage wall seconds at
+    the eager stages (exact / span); the near-dup plan returned here
+    is lazy, so its cost lands wherever the caller materializes."""
     from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
         incremental_near_dup,
         minhash_near_dup_pairs,
@@ -729,9 +756,10 @@ def _screen_text_core(
         # exact copies die here (cheap); survivors re-materialize so
         # the three near-dup consumers don't replay the hash screen
         # (the cutoff, not the partition id, bounds what it reads)
-        batch_df = exact_screen_batch(
-            batch_df, cutoff, exact_dir
-        ).localCheckpoint(eager=True)
+        with _staged(stage_sec, "exact"):
+            batch_df = exact_screen_batch(
+                batch_df, cutoff, exact_dir
+            ).localCheckpoint(eager=True)
     if span_dir is not None:
         # ExactSubstr stage: excise windows already in the corpus/
         # accepted window-hash table (strict-cutoff read, like the
@@ -751,16 +779,17 @@ def _screen_text_core(
         )
         if prior_wh is not None:
             hashes = hashes.unionByName(prior_wh.select("wh"))
-        batch_df = (
-            remove_duplicate_spans_incremental(
-                batch_df,
-                corpus_hashes=hashes,
-                window_tokens=span_window_tokens,
+        with _staged(stage_sec, "span"):
+            batch_df = (
+                remove_duplicate_spans_incremental(
+                    batch_df,
+                    corpus_hashes=hashes,
+                    window_tokens=span_window_tokens,
+                )
+                .filter(F.length("clean_text") > 0)
+                .select("doc_id", F.col("clean_text").alias("text"))
+                .localCheckpoint(eager=True)
             )
-            .filter(F.length("clean_text") > 0)
-            .select("doc_id", F.col("clean_text").alias("text"))
-            .localCheckpoint(eager=True)
-        )
     vs_corpus = (
         incremental_near_dup(
             batch_df,
@@ -2022,6 +2051,7 @@ def run_multimodal_ingest_pipeline(
     seed: int = 42,
     span_dir: str | None = None,
     span_window_tokens: int = 16,
+    stage_sec: dict | None = None,
 ) -> StreamingQuery:
     """Start the unified multimodal ingest screen.
 
@@ -2049,7 +2079,11 @@ def run_multimodal_ingest_pipeline(
     together.  Other options behave exactly as on
     :func:`run_dedup_ingest_pipeline` (drift HOLD dead-letters the
     whole batch with its embeddings, so a release re-screens the full
-    rows) and :func:`run_semantic_ingest_pipeline`."""
+    rows) and :func:`run_semantic_ingest_pipeline`.  ``stage_sec``
+    (optional) accumulates per-stage wall seconds across triggers —
+    :func:`screen_multimodal_micro_batch`'s keys plus ``drift`` and
+    ``quality`` — so a throughput number can be attributed to the
+    stage that spends it (VERDICT r9 next-2)."""
     spark = corpus_docs.sparkSession
     recover_compaction(spark, accepted_dir)
     if signature_dir is not None:
@@ -2119,10 +2153,11 @@ def run_multimodal_ingest_pipeline(
         batch_df = batch_df.localCheckpoint(eager=True)
         n_raw = batch_df.count()
         if baseline_profile is not None:
-            alarms = _batch_drift_alarms(
-                baseline_profile, batch_df, drift_cols,
-                drift_null_jump, drift_distinct_drop,
-            )
+            with _staged(stage_sec, "drift"):
+                alarms = _batch_drift_alarms(
+                    baseline_profile, batch_df, drift_cols,
+                    drift_null_jump, drift_distinct_drop,
+                )
             if alarms:
                 batch_df.write.mode("overwrite").parquet(
                     f"{drift_dir}/held/batch_id={batch_id}"
@@ -2139,18 +2174,21 @@ def run_multimodal_ingest_pipeline(
 
             # shrink the FULL rows by the quality verdict so the
             # downstream screens (and the held rows' embeddings)
-            # stay aligned with their text
-            batch_df = batch_df.join(
-                quality_filter(
-                    batch_df.select("doc_id", "text"),
-                    quality_model,
-                    threshold_nats=quality_threshold,
-                    n_buckets=quality_n_buckets,
-                    seed=quality_seed,
-                ).select("doc_id"),
-                "doc_id",
-                "left_semi",
-            )
+            # stay aligned with their text.  The join is lazy; when
+            # profiling, its cost lands in the micro-batch's
+            # batch_ckpt stage (the next materialization point).
+            with _staged(stage_sec, "quality"):
+                batch_df = batch_df.join(
+                    quality_filter(
+                        batch_df.select("doc_id", "text"),
+                        quality_model,
+                        threshold_nats=quality_threshold,
+                        n_buckets=quality_n_buckets,
+                        seed=quality_seed,
+                    ).select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                )
         _, a = screen_multimodal_micro_batch(
             batch_df, batch_id, corpus_docs, corpus_emb,
             accepted_dir, cells_dir,
@@ -2160,6 +2198,7 @@ def run_multimodal_ingest_pipeline(
             signature_dir=signature_dir, exact_dir=exact_dir,
             span_dir=span_dir,
             span_window_tokens=span_window_tokens,
+            stage_sec=stage_sec,
         )
         if on_batch is not None:
             on_batch(batch_id, n_raw, a)
@@ -2190,6 +2229,7 @@ def screen_multimodal_micro_batch(
     corpus_upto: int | None = None,
     span_dir: str | None = None,
     span_window_tokens: int = 16,
+    stage_sec: dict | None = None,
 ) -> tuple[int, int]:
     """One micro-batch of the unified screen (the foreachBatch body
     past the drift/quality gates, exposed for direct replay-contract
@@ -2200,6 +2240,14 @@ def screen_multimodal_micro_batch(
     cutoff from the partition id exactly as on
     :func:`screen_micro_batch` (the held-batch release path).
 
+    ``stage_sec`` (optional) accumulates per-stage wall seconds —
+    keys ``batch_ckpt`` / ``exact`` / ``span`` / ``near_dup`` /
+    ``semantic`` / ``write_accept`` / ``increments`` — measured at
+    the stages' existing eager materialization points (VERDICT r9
+    next-2: attribute the multimodal probe's cost).  The near-dup
+    plan is lazy until the survivors checkpoint, so ``near_dup``
+    carries the LSH screen's actual execution.
+
     With ``span_dir`` the text leg runs the ExactSubstr excision
     stage (see :func:`screen_micro_batch`) — and because the stage
     REWRITES text, the accepted full rows carry the textual leg's
@@ -2207,47 +2255,54 @@ def screen_multimodal_micro_batch(
     never the raw batch text."""
     spark = batch_df.sparkSession
     cutoff = batch_id if corpus_upto is None else corpus_upto
-    batch_df = batch_df.select(
-        "doc_id", "text", "embedding"
-    ).localCheckpoint(eager=True)
-    n_in = batch_df.count()
+    with _staged(stage_sec, "batch_ckpt"):
+        batch_df = batch_df.select(
+            "doc_id", "text", "embedding"
+        ).localCheckpoint(eager=True)
+        n_in = batch_df.count()
     _, text_ok = _screen_text_core(
         batch_df.select("doc_id", "text"), cutoff, corpus_docs,
         accepted_dir, threshold, shingle_n, n_bands, signature_dir,
-        exact_dir, span_dir, span_window_tokens,
+        exact_dir, span_dir, span_window_tokens, stage_sec,
     )
     # the survivors' (possibly span-cleaned) text feeds BOTH the
     # semantic-stage prune and the accepted write: materialize once
     # instead of re-running the screen plan per consumer
-    text_ok = text_ok.localCheckpoint(eager=True)
-    # semantic stage over the textual survivors' vectors only
-    vec_batch = (
-        batch_df.select("doc_id", "embedding")
-        .join(text_ok.select("doc_id"), "doc_id", "left_semi")
-        .localCheckpoint(eager=True)
-    )
-    verdicts = _screen_semantic_core(
-        vec_batch, cutoff, corpus_emb, accepted_dir, cells_dir,
-        semantic_threshold, "embedding", "doc_id", method,
-        max_cell_size,
-    )
+    with _staged(stage_sec, "near_dup"):
+        text_ok = text_ok.localCheckpoint(eager=True)
+    with _staged(stage_sec, "semantic"):
+        # semantic stage over the textual survivors' vectors only
+        vec_batch = (
+            batch_df.select("doc_id", "embedding")
+            .join(text_ok.select("doc_id"), "doc_id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        verdicts = _screen_semantic_core(
+            vec_batch, cutoff, corpus_emb, accepted_dir, cells_dir,
+            semantic_threshold, "embedding", "doc_id", method,
+            max_cell_size,
+        )
     # ONE accepted write: full rows for the kept ids — text from the
     # textual leg (cleaned when the span stage ran), embeddings from
     # the checkpointed batch
     accepted_path = f"{accepted_dir}/batch_id={batch_id}"
-    (
-        text_ok.join(verdicts.select("doc_id"), "doc_id", "left_semi")
-        .join(batch_df.select("doc_id", "embedding"), "doc_id")
-        .select("doc_id", "text", "embedding")
-        .write.mode("overwrite")
-        .parquet(accepted_path)
-    )
-    # maintenance increments describe exactly the written rows
-    _write_text_increments(
-        spark, accepted_path, batch_id, shingle_n, n_bands,
-        signature_dir, exact_dir, span_dir, span_window_tokens,
-    )
-    verdicts.write.mode("overwrite").parquet(
-        f"{cells_dir}/incr/batch_id={batch_id}"
-    )
+    with _staged(stage_sec, "write_accept"):
+        (
+            text_ok.join(
+                verdicts.select("doc_id"), "doc_id", "left_semi"
+            )
+            .join(batch_df.select("doc_id", "embedding"), "doc_id")
+            .select("doc_id", "text", "embedding")
+            .write.mode("overwrite")
+            .parquet(accepted_path)
+        )
+    with _staged(stage_sec, "increments"):
+        # maintenance increments describe exactly the written rows
+        _write_text_increments(
+            spark, accepted_path, batch_id, shingle_n, n_bands,
+            signature_dir, exact_dir, span_dir, span_window_tokens,
+        )
+        verdicts.write.mode("overwrite").parquet(
+            f"{cells_dir}/incr/batch_id={batch_id}"
+        )
     return n_in, spark.read.parquet(accepted_path).count()

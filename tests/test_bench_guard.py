@@ -134,6 +134,36 @@ def test_main_refuses_after_two_contaminated_passes(bench, monkeypatch):
     assert emitted == [] and n == 2
 
 
+def test_probe_summary_median_and_spread(bench):
+    """Rate keys become <key>_med3 + <key>_spread (median, not min:
+    a real mid-run degradation must move the number); deterministic
+    descriptors pass through; descriptors that vary across reps are
+    dropped from the artifact (they're noise, detail-file only)."""
+    reps = [
+        {"stream_ingest_docs_per_sec": 900.0, "stream_ingest_wave_docs": 4000,
+         "stream_ingest_accept_frac": 0.81, "stream_wall_sec": 9.1},
+        {"stream_ingest_docs_per_sec": 1100.0, "stream_ingest_wave_docs": 4000,
+         "stream_ingest_accept_frac": 0.81, "stream_wall_sec": 7.7},
+        {"stream_ingest_docs_per_sec": 1000.0, "stream_ingest_wave_docs": 4000,
+         "stream_ingest_accept_frac": 0.81, "stream_wall_sec": 8.3},
+    ]
+    out = bench.summarize_probe_reps(reps)
+    assert out["stream_ingest_docs_per_sec_med3"] == 1000.0
+    assert out["stream_ingest_docs_per_sec_spread"] == pytest.approx(0.2)
+    assert out["stream_ingest_wave_docs"] == 4000
+    assert out["stream_ingest_accept_frac"] == 0.81
+    assert "stream_wall_sec" not in out  # varies and isn't a rate key
+    assert "stream_ingest_docs_per_sec" not in out  # renamed to _med3
+
+
+def test_probe_summary_even_reps_and_seconds_precision(bench):
+    # median of an even rep count interpolates; *_sec keys keep 3 dp
+    reps = [{"stream_recovery_sec": 4.1}, {"stream_recovery_sec": 4.9}]
+    out = bench.summarize_probe_reps(reps)
+    assert out["stream_recovery_sec_med3"] == pytest.approx(4.5)
+    assert out["stream_recovery_sec_spread"] == pytest.approx(0.178)
+
+
 def test_main_force_emit_stamps_contaminated(bench, monkeypatch):
     code, emitted, n = _run_main_with_stub(
         bench,

@@ -344,6 +344,11 @@ def test_vocab_tokens_local_and_batched_fold_tiers_agree(spark):
     assert local == want
     with pytest.raises(ValueError, match="unknown method"):
         bpe_vocab_tokens(df, merges, method="nope")
+    # The local tier's vocabulary collect carries the SAME bounded-
+    # artifact guard as bpe_train_merges_local (auto routes >
+    # fold_batch tables here, including via bpe_encode_docs).
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_vocab_tokens(df, merges, method="local", max_vocab_rows=2)
 
 
 @given(words=_word_lists, k=st.integers(1, 4))

@@ -968,6 +968,15 @@ def test_hard_negatives_numpy_rejects_non_integer_labels(spark):
     # SQL tier handles the same frame fine
     out = hard_negatives(df, df, k=1).collect()
     assert all(r.query_label != r.neighbor_label for r in out)
+    # Narrow integral types must be ACCEPTED: df.dtypes spells them
+    # 'tinyint'/'smallint' (never 'byte'/'short'), so the guard keyed
+    # on the wrong names used to falsely reject valid columns.
+    small = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.0, 1.0], 1)],
+        "vec_id tinyint, embedding array<double>, label smallint",
+    )
+    got = hard_negatives(small, small, k=1, method="numpy").collect()
+    assert len(got) > 0
 
 
 def test_knn_graph_blocked_recall_on_clustered_corpus(spark):

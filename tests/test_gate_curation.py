@@ -40,10 +40,16 @@ FAMILIES: dict[str, set[str]] = {
     "olap-cohort": {"cohort_retention", "customer_trend", "promo_revenue_share"},
     "sessions": {"user_sessions"},
     "asof-join": {"purchase_attribution", "purchase_prior_activity"},
-    "skew": {"skewed_event_totals"},
-    "cdc-latest": {"latest_event_per_user"},
+    # r10 rotation (VERDICT r9 #4): family = operator module — the
+    # salted-agg query and the skew diagnostic both live in
+    # operators/skew.py; either pins the family in the window
+    "skew": {"skewed_event_totals", "key_skew_report"},
+    # operators/cdc.py: latest-per-key and snapshot_diff are the two
+    # faces of change-data-capture
+    "cdc": {"latest_event_per_user", "corpus_diff"},
     "scd2": {"scd2_user_state", "purchase_state_pit"},
-    "sampling": {"stratified_sample", "split_assignment"},
+    # operators/sampling.py: stratified/split/curriculum selection
+    "sampling": {"stratified_sample", "split_assignment", "curriculum_order"},
     "quantiles": {"quantity_quantiles"},
     # the zero-shuffle regexp/map text family: any member pins the
     # codegen'd per-row-chain shape (r8 rotated the PII/repetition/
@@ -64,13 +70,16 @@ FAMILIES: dict[str, set[str]] = {
     "ann-lsh-pairs": {"embedding_similar_pairs"},
     "ann-ivf": {"ivf_topk"},
     "ann-pq": {"pq_topk_rerank"},
-    "retrieval-bm25": {"bm25_topk"},
+    # same scoring tail, two access paths: the full-scan query and the
+    # materialized-index partition-pruned query (identical output)
+    "retrieval-bm25": {"bm25_topk", "bm25_topk_indexed"},
     "retrieval-rrf": {"hybrid_retrieval_rrf"},
     "graph-pagerank": {"pagerank_weights"},
     "selection-dsir": {"dsir_selected_docs"},
     "classify-nb": {"nb_quality_scores"},
     "source-warc": {"wet_roundtrip_docs"},
-    "profile-drift": {"profile_drift_alarm"},
+    # operators/profile.py: drift alarm and column profiling
+    "profiling": {"profile_drift_alarm", "table_profile"},
     "multimodal": {"multimodal_decode"},
     # r8 families rotated into the window in r9 (VERDICT r8 #4) —
     # registered here so a future rotation can't silently drop them.

@@ -173,6 +173,58 @@ def test_multimodal_replay_is_idempotent(spark, dirs):
         shutil.rmtree(exact, ignore_errors=True)
 
 
+def test_multimodal_stage_timers_populate_and_change_nothing(spark, dirs):
+    """The optional stage_sec profiling dict (VERDICT r9 next-2) must
+    (a) accumulate wall per screen stage at the existing eager points
+    and (b) leave verdicts and the lake untouched — the timers wrap
+    existing materializations, never add actions."""
+    _, acc, cells, _ = dirs
+    sig = tempfile.mkdtemp(prefix="sig_")
+    exact = tempfile.mkdtemp(prefix="exact_")
+    span = tempfile.mkdtemp(prefix="span_")
+    try:
+        docs, emb = _corpus(spark)
+        from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+            materialize_corpus_signatures,
+            materialize_corpus_window_hashes,
+            materialize_exact_screen,
+            materialize_semantic_quantizer,
+        )
+
+        materialize_corpus_signatures(docs, sig)
+        materialize_exact_screen(docs, exact, expected_items=100)
+        materialize_corpus_window_hashes(docs, span, 8)
+        materialize_semantic_quantizer(
+            emb, cells, n_cells=2, id_col="doc_id"
+        )
+        batch = spark.createDataFrame(
+            [(10, _text(0), _vec(40)), (12, _text(12), _vec(45))],
+            SCHEMA,
+        )
+        kw = dict(
+            method="numpy", signature_dir=sig, exact_dir=exact,
+            span_dir=span, span_window_tokens=8,
+        )
+        stage_sec: dict = {}
+        r1 = screen_multimodal_micro_batch(
+            batch, 0, docs, emb, acc, cells, **kw, stage_sec=stage_sec
+        )
+        # every instrumented stage recorded positive wall
+        assert set(stage_sec) == {
+            "batch_ckpt", "exact", "span", "near_dup", "semantic",
+            "write_accept", "increments",
+        }
+        assert all(v > 0 for v in stage_sec.values())
+        # profiling is observation-only: same verdicts as unprofiled
+        r2 = screen_multimodal_micro_batch(
+            batch, 0, docs, emb, acc, cells, **kw
+        )
+        assert r1 == r2
+    finally:
+        for d in (sig, exact, span):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_multimodal_release_preserves_full_row_schema(spark, dirs):
     """Releasing a held batch from a MULTIMODAL lake must go through
     the full unified screen (semantic stage included) and write FULL

@@ -267,6 +267,55 @@ def test_rebuild_over_committed_index_fails_fast(spark, tmp_path):
     assert got == want
 
 
+def test_crash_mid_overwrite_reads_as_empty_index(spark, tmp_path):
+    """The overwrite=True crash contract (documented on
+    build_inverted_index): a crash after meta/ is deleted but before
+    generation 0 commits leaves postings with NO committed meta —
+    readers must see an EMPTY index (fail fast), never a stale or
+    mixed generation, and a from-scratch rebuild recovers."""
+    import shutil
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from kafka_sparkstreaming_sbt_spark.operators.retrieval import (
+        _committed_generation,
+        append_to_index,
+        bm25_topk,
+        bm25_topk_from_index,
+        build_inverted_index,
+    )
+    from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
+
+    docs = read_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    n = docs.count()
+    old = docs.filter(F.col("doc_id") < n // 2)
+    idx = str(tmp_path / "idx")
+    build_inverted_index(old, idx, n_buckets=8)
+    append_to_index(docs.filter(F.col("doc_id") >= n // 2), idx)
+    # simulate the crash window: overwrite deletes meta/ first, then
+    # dies before the fresh generation-0 dfreq/stats commit — stale
+    # postings from BOTH generations are still on disk
+    shutil.rmtree(f"{idx}/meta")
+    assert _committed_generation(spark, idx) == -1
+    with pytest.raises(ValueError, match="no committed index"):
+        bm25_topk_from_index(spark, idx, ["customer"], k=5)
+    # recovery is a from-scratch rebuild (no overwrite needed: the
+    # crashed index has no committed generation).  The orphan
+    # higher-generation postings still on disk stay INVISIBLE —
+    # readers prune to upto <= the committed meta — so the rebuilt
+    # index answers exactly like a fresh one
+    build_inverted_index(old, idx, n_buckets=8)
+    q = ["customer", "merge", "scan"]
+    got = sorted(
+        map(tuple, bm25_topk_from_index(spark, idx, q, k=15).collect())
+    )
+    want = sorted(map(tuple, bm25_topk(old, q, k=15).collect()))
+    assert got == want
+
+
 def test_append_after_crash_with_different_batch(spark, tmp_path):
     """Crash recovery must hold even when the NEXT append carries a
     DIFFERENT batch: orphan postings from the crashed batch (written
