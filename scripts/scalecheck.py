@@ -285,6 +285,18 @@ def timed_noop(df: DataFrame) -> float:
     return time.perf_counter() - t0
 
 
+def timed_noop_min2(df: DataFrame) -> float:
+    """min-of-2 for CHEAP walls that feed near-linearity gates: a
+    single-run wall on this VM can eat a host stall an order of
+    magnitude above steady state (measured r10: the 10M-order RANGE
+    window read 21.85 s in the harness and 1.2 s standalone minutes
+    later), turning a scaling gate into a coin flip.  The expensive
+    section walls stay single-run — a stall is visible against their
+    minutes-long baselines, and doubling them would double the
+    harness."""
+    return min(timed_noop(df), timed_noop(df))
+
+
 def timed_parquet(df: DataFrame, path: str) -> float:
     t0 = time.perf_counter()
     df.write.mode("overwrite").parquet(path)
@@ -1770,7 +1782,7 @@ def run_relational_scale(
 
     since = _max_stage_id(spark)
     rev = revenue_by_nation(lineitem, orders, customer, nation, region)
-    d["revenue_wall_s"] = round(timed_noop(rev), 2)
+    d["revenue_wall_s"] = round(timed_noop_min2(rev), 2)
     # one region = 5 nations; every nation must appear at this scale
     d["revenue_rows"] = rev.count()
     audits.append(
@@ -1779,7 +1791,7 @@ def run_relational_scale(
 
     since = _max_stage_id(spark)
     roll = rolling_customer_spend(orders, days=90)
-    d["rolling_wall_s"] = round(timed_noop(roll), 2)
+    d["rolling_wall_s"] = round(timed_noop_min2(roll), 2)
     d["rolling_rows_ok"] = roll.count() == n_orders  # window: 1:1 rows
     audits.append(
         (
@@ -1790,7 +1802,7 @@ def run_relational_scale(
 
     since = _max_stage_id(spark)
     lo = large_orders(orders, customer, lineitem, min_qty=130.0)
-    d["large_orders_wall_s"] = round(timed_noop(lo), 2)
+    d["large_orders_wall_s"] = round(timed_noop_min2(lo), 2)
     n_large = lo.count()
     d["large_orders_rows"] = n_large
     # the HAVING must be selective but non-degenerate: 3 draws from
@@ -1802,7 +1814,7 @@ def run_relational_scale(
 
     since = _max_stage_id(spark)
     coh = cohort_retention(orders)
-    d["cohort_wall_s"] = round(timed_noop(coh), 2)
+    d["cohort_wall_s"] = round(timed_noop_min2(coh), 2)
     bad = coh.filter(
         (F.col("retention_rate") > 1.0) | (F.col("retention_rate") <= 0.0)
     ).count()
