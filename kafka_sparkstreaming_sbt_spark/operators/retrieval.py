@@ -349,27 +349,36 @@ def build_inverted_index(
     rebuild of generation 0.  This is an AVAILABILITY gap, never a
     correctness one: at no point can a reader observe a mix of old
     and new generations, which is exactly the silent-merge corruption
-    the fail-fast above exists to prevent."""
+    the fail-fast above exists to prevent.  To keep that true for the
+    RECOVERY rebuild itself, any uncommitted on-disk leftovers are
+    deleted wholesale before generation 0 is written (ADVICE r10 #1:
+    a recovery over a DIFFERENT corpus would otherwise leave the
+    crashed build's untouched ``upto=0`` buckets in place — the
+    dynamic partition overwrite only rewrites buckets the new corpus
+    hits — and the fresh dfreq/stats, computed from the merged
+    on-disk postings, would commit a silent mix of both corpora)."""
     spark = df.sparkSession
     g = _committed_generation(spark, index_dir)
-    if g >= 0:
-        if not overwrite:
-            raise ValueError(
-                f"index at {index_dir} already has committed generation"
-                f" {g}; a fresh generation-0 build over it would leave"
-                " stale higher-generation meta readable — pass"
-                " overwrite=True to drop the whole index first, or"
-                " use append_to_index"
-            )
-        jvm = spark._jvm
-        fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(
-            spark._jsc.hadoopConfiguration()
+    if g >= 0 and not overwrite:
+        raise ValueError(
+            f"index at {index_dir} already has committed generation"
+            f" {g}; a fresh generation-0 build over it would leave"
+            " stale higher-generation meta readable — pass"
+            " overwrite=True to drop the whole index first, or"
+            " use append_to_index"
         )
-        for sub in ("meta", "postings"):
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{sub}"),
-                True,
-            )
+    # wholesale delete of whatever is on disk: a committed index
+    # being overwritten, or orphan meta/postings from a crashed
+    # build (g == -1 but directories exist) — mirrors
+    # append_to_index's orphan cleanup
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(index_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for sub in ("meta", "postings"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{sub}")
+        if fs.exists(p):
+            fs.delete(p, True)
     post = _index_postings(df, n_buckets, 0, text_col, id_col)
     (
         post.write.mode("overwrite")

@@ -303,16 +303,19 @@ def test_crash_mid_overwrite_reads_as_empty_index(spark, tmp_path):
     with pytest.raises(ValueError, match="no committed index"):
         bm25_topk_from_index(spark, idx, ["customer"], k=5)
     # recovery is a from-scratch rebuild (no overwrite needed: the
-    # crashed index has no committed generation).  The orphan
-    # higher-generation postings still on disk stay INVISIBLE —
-    # readers prune to upto <= the committed meta — so the rebuilt
-    # index answers exactly like a fresh one
-    build_inverted_index(old, idx, n_buckets=8)
+    # crashed index has no committed generation) — over a DIFFERENT
+    # corpus (ADVICE r10 #1): the crashed build's on-disk postings
+    # cover buckets the new corpus may never rewrite, so the rebuild
+    # must delete the leftovers wholesale or its dfreq/stats would
+    # commit a silent mix of both corpora.  The rebuilt index must
+    # answer exactly like a fresh build over the new corpus alone.
+    new = docs.filter(F.col("doc_id") >= n // 2)
+    build_inverted_index(new, idx, n_buckets=8)
     q = ["customer", "merge", "scan"]
     got = sorted(
         map(tuple, bm25_topk_from_index(spark, idx, q, k=15).collect())
     )
-    want = sorted(map(tuple, bm25_topk(old, q, k=15).collect()))
+    want = sorted(map(tuple, bm25_topk(new, q, k=15).collect()))
     assert got == want
 
 
