@@ -49,14 +49,23 @@ FAMILIES: dict[str, set[str]] = {
     "cdc": {"latest_event_per_user", "corpus_diff"},
     "scd2": {"scd2_user_state", "purchase_state_pit"},
     # operators/sampling.py: stratified/split/curriculum selection
-    "sampling": {"stratified_sample", "split_assignment", "curriculum_order"},
+    # (r11 adds the group-atomic split — same module)
+    "sampling": {
+        "stratified_sample",
+        "split_assignment",
+        "curriculum_order",
+        "leakage_safe_split",
+    },
     "quantiles": {"quantity_quantiles"},
     # the zero-shuffle regexp/map text family: any member pins the
     # codegen'd per-row-chain shape (r8 rotated the PII/repetition/
     # decontamination VARIANTS to overflow to make room for the
     # r6/r7 families below — VERDICT r7 #4)
     "text-stats": {"text_token_stats", "text_quality", "text_lang_id"},
-    "text-tfidf-lm": {"tf_idf", "bigram_pmi"},
+    # operators/text.py token-statistics LM scoring: tf-idf, PMI and
+    # the unigram-LM doc score share the tokenize->count->join shape
+    # (r11 rotation)
+    "text-tfidf-lm": {"tf_idf", "bigram_pmi", "unigram_lm_score"},
     "chunk-pack": {"packed_sequences", "chunk_dedup_docs"},
     "sketch-cms": {"cms_heavy_hitters"},
     "dedup-exact": {"exact_dedup_docs"},
@@ -65,17 +74,26 @@ FAMILIES: dict[str, set[str]] = {
     "dedup-ngram-jaccard": {"ngram_jaccard_pairs"},
     "dedup-graph": {"near_dup_groups", "canonical_docs"},
     "dedup-bloom-screen": {"bloom_screened_docs"},
-    "dedup-soft-weights": {"soft_dedup_weights"},
+    # operators/graph.py group-level weight/rate diagnostics over the
+    # CC near-dup groups (r11: either face pins the family)
+    "dedup-soft-weights": {"soft_dedup_weights", "dup_rate_by_source"},
     "ann-brute-topk": {"ann_cosine_topk"},
-    "ann-lsh-pairs": {"embedding_similar_pairs"},
+    # operators/similarity.py pairwise screens: random-hyperplane LSH
+    # pairs and Voronoi-cell SemDeDup are the two access paths to the
+    # same per-cell-quadratic pair scan (r11 rotation)
+    "ann-lsh-pairs": {"embedding_similar_pairs", "semantic_dedup"},
     "ann-ivf": {"ivf_topk"},
-    "ann-pq": {"pq_topk_rerank"},
+    # operators/quantize.py: the ADC search and the encode that feeds
+    # it (r11 rotation)
+    "ann-pq": {"pq_topk_rerank", "pq_codes"},
     # same scoring tail, two access paths: the full-scan query and the
     # materialized-index partition-pruned query (identical output)
     "retrieval-bm25": {"bm25_topk", "bm25_topk_indexed"},
     "retrieval-rrf": {"hybrid_retrieval_rrf"},
     "graph-pagerank": {"pagerank_weights"},
-    "selection-dsir": {"dsir_selected_docs"},
+    # operators/dsir.py: the selection and the raw importance weights
+    # (r11 rotation)
+    "selection-dsir": {"dsir_selected_docs", "dsir_doc_weights"},
     "classify-nb": {"nb_quality_scores"},
     "source-warc": {"wet_roundtrip_docs"},
     # operators/profile.py: drift alarm and column profiling
@@ -85,7 +103,11 @@ FAMILIES: dict[str, set[str]] = {
     # registered here so a future rotation can't silently drop them.
     # The span family counts either the excision or the report query;
     # only one fits alongside every legacy family in 50 slots.
-    "span-dedup": {"duplicate_span_docs", "duplicated_span_report"},
+    "span-dedup": {
+        "duplicate_span_docs",
+        "duplicated_span_report",
+        "incremental_span_dedup",
+    },
     "text-normalize": {"normalized_docs"},
     "bpe": {"bpe_pair_stats"},
     "quality-rules": {"gopher_quality_flags"},
@@ -127,6 +149,35 @@ def test_every_overflow_query_is_still_checked():
         assert name in test_src, (
             f"rows-only query {name} has no pytest gate mentioning it"
         )
+
+
+# Rotation-ledger bound (VERDICT r10 #6): the number of SQL-oracled
+# registry entries that have NEVER held a driver CORRECTNESS row must
+# keep FALLING round over round, so gate curation converges instead of
+# cycling the same families.  Each rotation round must lower this
+# constant to its new never-gated count (r10: 24; r11 rotation: 18).
+NEVER_DRIVER_GATED_MAX = 18
+
+
+def test_never_driver_gated_count_is_bounded_and_falling():
+    """Union every committed CORRECTNESS_r*.json with the CURRENT gate
+    window (the next driver record is exactly the first 50 entries),
+    and bound how many oracle-gated queries remain outside that union.
+    A rotation that swaps families without retiring sim-only entries
+    leaves the count flat and fails here."""
+    import json
+
+    names = list(entry_mod.queries())
+    window = set(names[:GATE_WINDOW])
+    gated: set[str] = set(window)
+    for p in Path(entry_mod.__file__).parent.glob("CORRECTNESS_r*.json"):
+        gated |= set(json.loads(p.read_text()))
+    never = set(entry_mod.oracle_sql()) - gated
+    assert len(never) <= NEVER_DRIVER_GATED_MAX, (
+        f"{len(never)} oracle-gated queries have never been driver-"
+        f"gated (bound {NEVER_DRIVER_GATED_MAX}); rotate some in or "
+        f"lower the bound only with a real rotation: {sorted(never)}"
+    )
 
 
 def test_rows_only_set_is_exactly_the_tail():
