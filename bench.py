@@ -520,23 +520,29 @@ def summarize_probe_reps(reps: list[dict], rate_keys=PROBE_RATE_KEYS) -> dict:
     probes were single-run with a ±40% noise floor, so round-over-
     round deltas were unreadable — 182→162→124 docs/s could be a real
     decline or three draws from one distribution).  For every rate
-    key: ``<key>_med3`` (median across reps — robust to one outlier
-    rep, unlike min, which would hide a real mid-run degradation) and
+    key: ``<key>_med<N>`` where N = len(reps) — the suffix carries
+    the actual sample count, so a SPARK_GRAFT_PROBE_REPS override
+    can't make the artifact lie about its sample size (ADVICE r10
+    #3) — holding the median across reps (robust to one outlier rep,
+    unlike min, which would hide a real mid-run degradation) and
     ``<key>_spread`` ((max-min)/median, so the artifact itself says
     how much the number can be trusted).  Deterministic descriptors
-    (equal across reps) pass through under their own names; per-rep
-    raw samples go to bench_details.  Pure — unit-tested in
-    tests/test_bench_guard.py."""
+    (equal across every rep that reports them) pass through under
+    their own names; a key a later rep omits is summarized over the
+    reps that have it (rate) or dropped (descriptor) instead of
+    crashing the pass.  Per-rep raw samples go to bench_details.
+    Pure — unit-tested in tests/test_bench_guard.py."""
     out: dict = {}
+    suffix = f"_med{len(reps)}"
     for k in reps[0]:
-        vals = [r[k] for r in reps]
+        vals = [r[k] for r in reps if k in r]
         if k in rate_keys:
             med = _median(vals)
-            out[f"{k}_med3"] = round(med, 1 if "per_sec" in k else 3)
+            out[f"{k}{suffix}"] = round(med, 1 if "per_sec" in k else 3)
             out[f"{k}_spread"] = (
                 round((max(vals) - min(vals)) / med, 3) if med else 0.0
             )
-        elif all(v == vals[0] for v in vals):
+        elif len(vals) == len(reps) and all(v == vals[0] for v in vals):
             out[k] = vals[0]
     return out
 
@@ -551,26 +557,46 @@ def interleaved_stream_probes(spark, n_stream_rows: int, reps: int) -> tuple[dic
     cross-session comparison between runs taken under different
     load.  Returns (summary keys for the stdout artifact, detail
     extras for bench_details.json)."""
-    mm_stage_sec: dict[str, float] = {}
+    mm_stage_reps: list[dict] = []
+
+    def mm_probe() -> dict:
+        # one FRESH stage dict per rep (VERDICT r10 #4: the aggregate
+        # hid which stage made an outlier rep slow — per-rep
+        # snapshots let a 73-docs/s draw name its hot stage on sight)
+        d: dict[str, float] = {}
+        r = multimodal_ingest_probe(spark, stage_sec=d)
+        mm_stage_reps.append(d)
+        return r
+
     configs = {
         "stream": lambda: stream_throughput(spark, n_stream_rows),
         "stateful": lambda: stream_stateful_probe(spark, n_stream_rows),
         "ingest": lambda: stream_ingest_probe(spark),
         "span_ingest": lambda: stream_ingest_probe(spark, span=True),
         "semantic": lambda: semantic_ingest_probe(spark),
-        "multimodal": lambda: multimodal_ingest_probe(
-            spark, stage_sec=mm_stage_sec
-        ),
+        "multimodal": mm_probe,
     }
     samples: dict[str, list[dict]] = {k: [] for k in configs}
     for _ in range(reps):
         for k, fn in configs.items():
             samples[k].append(fn())
+            # same driver hygiene as the query loop: each probe run
+            # leaves localCheckpoint blocks + py4j plan refs behind,
+            # and without collection the later reps degrade under
+            # accumulated storage/heap pressure (measured: rep rates
+            # [125, 136, 72] dirty vs [169, 188, 209] with GC —
+            # the r10 "73 docs/s outlier rep" mechanism)
+            import gc as _gc
+
+            spark.catalog.clearCache()
+            _gc.collect()
+            spark._jvm.System.gc()
     summary: dict = {}
     for k in configs:
         summary.update(summarize_probe_reps(samples[k]))
-    base = summary.get("stream_ingest_docs_per_sec_med3")
-    spn = summary.get("span_ingest_docs_per_sec_med3")
+    med = f"_med{reps}"
+    base = summary.get(f"stream_ingest_docs_per_sec{med}")
+    spn = summary.get(f"span_ingest_docs_per_sec{med}")
     if base and spn:
         # fraction of base-ingest throughput the ExactSubstr span
         # stage costs, both medians from THIS interleaved session
@@ -588,14 +614,44 @@ def interleaved_stream_probes(spark, n_stream_rows: int, reps: int) -> tuple[dic
         for k in list(summary)
         if k in detail_only or k.endswith("_accept_frac")
     }
+    # amortization point (VERDICT r10 #5): the per-trigger fixed
+    # costs' 100 TB defense is "bigger triggers amortize them" —
+    # measure it: one multimodal wave at 4x the default size, same
+    # session, right after the default-size reps
+    amortization = None
+    if os.environ.get("SPARK_GRAFT_MM_AMORTIZE", "1") != "0":
+        big_stage: dict[str, float] = {}
+        big = multimodal_ingest_probe(
+            spark, n_batch=8_000, n_waves=1, stage_sec=big_stage
+        )
+        amortization = {
+            "wave_docs": big["multimodal_ingest_wave_docs"],
+            "docs_per_sec": big["multimodal_ingest_docs_per_sec"],
+            "default_wave_docs": samples["multimodal"][0][
+                "multimodal_ingest_wave_docs"
+            ],
+            "default_docs_per_sec_med": summary.get(
+                f"multimodal_ingest_docs_per_sec{med}"
+            ),
+            "stage_sec": {k: round(v, 3) for k, v in big_stage.items()},
+        }
+    # aggregate stage wall across reps (round-over-round continuity)
+    # plus the per-rep snapshots that make an outlier attributable
+    mm_stage_sec: dict[str, float] = {}
+    for d in mm_stage_reps:
+        for k, v in d.items():
+            mm_stage_sec[k] = round(mm_stage_sec.get(k, 0.0) + v, 3)
     detail = {
         "probe_samples": samples,
         "probe_descriptors": descriptors,
-        "multimodal_stage_sec": {
-            k: round(v, 3) for k, v in mm_stage_sec.items()
-        },
+        "multimodal_stage_sec": mm_stage_sec,
+        "multimodal_stage_sec_reps": [
+            {k: round(v, 3) for k, v in d.items()} for d in mm_stage_reps
+        ],
         "probe_reps": reps,
     }
+    if amortization is not None:
+        detail["multimodal_amortization"] = amortization
     return summary, detail
 
 
@@ -815,19 +871,19 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
     timings: dict[str, float] = {}
     query_loads: dict[str, float] = {}
     retried: list[str] = []
-    for name, fn in entry_mod.queries().items():
 
-        def one_run() -> float:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            # operators persist intermediates scoped to their own
-            # plan; drop them so every run re-executes end-to-end and
-            # queries are timed in isolation, not under the
-            # accumulated storage pressure of every prior query
-            spark.catalog.clearCache()
-            return dt
+    def one_run(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        # operators persist intermediates scoped to their own
+        # plan; drop them so every run re-executes end-to-end and
+        # queries are timed in isolation, not under the
+        # accumulated storage pressure of every prior query
+        spark.catalog.clearCache()
+        return dt
 
+    def min_with_spread_guard(fn) -> tuple[float, bool]:
         # WARM-UP, untimed: a query's first execution in a session
         # pays plan compilation, codegen, and shuffle-file creation —
         # a fixed cold-start cost, not steady-state wall.  Timing it
@@ -837,8 +893,8 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
         # which in turn tripped the contamination gate.  One warm-up
         # run keeps the spread guard measuring what it claims:
         # mid-run ambient variance.
-        one_run()
-        samples = [one_run() for _ in range(runs)]
+        one_run(fn)
+        samples = [one_run(fn) for _ in range(runs)]
         # spread guard: when even the min-of-N is suspect (all N runs
         # landed under transient ambient load, spread > 25% AND > 0.2s
         # absolute — sub-second queries trip the relative bound on
@@ -851,11 +907,15 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
             and (max(samples) - min(samples)) / min(samples) > 0.25
             and max(samples) - min(samples) > 0.2
         ):
-            samples.append(one_run())
+            samples.append(one_run(fn))
             extra += 1
-        if extra:
+        return min(samples), bool(extra)
+
+    for name, fn in entry_mod.queries().items():
+        best, was_retried = min_with_spread_guard(fn)
+        if was_retried:
             retried.append(name)
-        timings[name] = round(min(samples), 3)
+        timings[name] = round(best, 3)
         query_loads[name] = _loadavg()
         # Driver hygiene between queries: 400+ executions accumulate
         # py4j-referenced plan/collect garbage on the driver heap, and
@@ -871,6 +931,38 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
         _gc.collect()
         if len(timings) % 20 == 0:
             spark._jvm.System.gc()
+
+    # load-aware per-query retry (VERDICT r10 #3): min-of-N defends
+    # against transient stalls, not SUSTAINED ambient load — r10's
+    # bpe_merges read 1.62x with no code change at a recorded
+    # per-query loadavg of 14.98 (the probe section's residue) while
+    # the run median sat at ~2.  A query whose recorded loadavg
+    # exceeds 2x the run median (and an absolute floor of 4 — small
+    # absolute load on 32 CPUs doesn't move walls) gets one more
+    # warm+min-of-N pass now, keeping the better minimum; the worst
+    # 5 offenders only, so a uniformly-loaded run (which the
+    # contamination gate already refuses) can't double the pass.
+    med_load = _median(list(query_loads.values())) if query_loads else 0.0
+    load_flagged = sorted(
+        (n for n, l in query_loads.items() if l > max(2 * med_load, 4.0)),
+        key=lambda n: -query_loads[n],
+    )[:5]
+    load_retried: dict[str, dict] = {}
+    if load_flagged:
+        qmap = entry_mod.queries()
+        for name in load_flagged:
+            before = timings[name]
+            best, _ = min_with_spread_guard(qmap[name])
+            timings[name] = round(min(before, best), 3)
+            load_retried[name] = {
+                "loadavg_first": query_loads[name],
+                "loadavg_retry": _loadavg(),
+                "first_sec": before,
+                "retry_sec": round(best, 3),
+            }
+            query_loads[name] = min(
+                query_loads[name], load_retried[name]["loadavg_retry"]
+            )
 
     recall = ivf_kmeans_recall(spark, sf_dir)
     pq_recall = pq_rerank_recall(spark, sf_dir)
@@ -904,6 +996,7 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
         "sentinel_start_sec": sentinel_start,
         "sentinel_end_sec": _sentinel_sec(spark),
         "queries_retried_for_spread": len(retried),
+        "queries_retried_for_load": len(load_retried),
         **stream,
     }
     prev_name, prev_ratio = _common_vs_prev(timings)
@@ -918,6 +1011,10 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
     full_detail_extras = {
         "query_loadavg": query_loads,
         "retried_queries": retried,
+        "load_retry": {
+            "median_loadavg": round(med_load, 2),
+            "retried": load_retried,
+        },
         **probe_detail,
         # chain once + per-query delta: what each chain consumer adds
         # ON TOP of the shared MinHash->CC prefix it replays

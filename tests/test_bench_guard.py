@@ -157,11 +157,28 @@ def test_probe_summary_median_and_spread(bench):
 
 
 def test_probe_summary_even_reps_and_seconds_precision(bench):
-    # median of an even rep count interpolates; *_sec keys keep 3 dp
+    # median of an even rep count interpolates; *_sec keys keep 3 dp;
+    # the suffix carries the ACTUAL rep count (ADVICE r10 #3: a
+    # reps=5 override must not emit keys claiming 3 samples)
     reps = [{"stream_recovery_sec": 4.1}, {"stream_recovery_sec": 4.9}]
     out = bench.summarize_probe_reps(reps)
-    assert out["stream_recovery_sec_med3"] == pytest.approx(4.5)
+    assert out["stream_recovery_sec_med2"] == pytest.approx(4.5)
     assert out["stream_recovery_sec_spread"] == pytest.approx(0.178)
+
+
+def test_probe_summary_tolerates_missing_keys(bench):
+    """A key a later rep omits (a probe that conditionally reports a
+    diagnostic) must not crash the whole bench (ADVICE r10 #3): rate
+    keys summarize over the reps that have them; descriptors missing
+    from any rep are dropped."""
+    reps = [
+        {"stream_ingest_docs_per_sec": 900.0, "stream_ingest_wave_docs": 4000},
+        {"stream_ingest_docs_per_sec": 1000.0},
+        {"stream_ingest_docs_per_sec": 1100.0},
+    ]
+    out = bench.summarize_probe_reps(reps)
+    assert out["stream_ingest_docs_per_sec_med3"] == 1000.0
+    assert "stream_ingest_wave_docs" not in out
 
 
 def test_main_force_emit_stamps_contaminated(bench, monkeypatch):
