@@ -89,6 +89,22 @@ def _wait_for_idle(max_load: float, timeout_sec: float) -> float:
     return load
 
 
+def _driver_hygiene(spark) -> None:
+    """Drop cached intermediates and collect BOTH heaps.  Each probe
+    run leaves localCheckpoint blocks + py4j plan refs behind, and
+    without collection later work in the same session degrades under
+    accumulated storage/heap pressure (measured: probe rep rates
+    [125, 136, 72] dirty vs [169, 188, 209] with GC — the r10
+    "73 docs/s outlier rep" mechanism; an uncollected heap after the
+    last probe also inflated the closing sentinel to 1.888x on an
+    idle box, r11)."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    spark._jvm.System.gc()
+
+
 def stream_throughput(spark, n_rows: int, n_files: int = 16) -> dict:
     """Streaming micro-bench (VERDICT r2 #4): rows/sec and per-batch
     latency through the FULL reference topology — JSON decode ->
@@ -580,17 +596,7 @@ def interleaved_stream_probes(spark, n_stream_rows: int, reps: int) -> tuple[dic
     for _ in range(reps):
         for k, fn in configs.items():
             samples[k].append(fn())
-            # same driver hygiene as the query loop: each probe run
-            # leaves localCheckpoint blocks + py4j plan refs behind,
-            # and without collection the later reps degrade under
-            # accumulated storage/heap pressure (measured: rep rates
-            # [125, 136, 72] dirty vs [169, 188, 209] with GC —
-            # the r10 "73 docs/s outlier rep" mechanism)
-            import gc as _gc
-
-            spark.catalog.clearCache()
-            _gc.collect()
-            spark._jvm.System.gc()
+            _driver_hygiene(spark)
     summary: dict = {}
     for k in configs:
         summary.update(summarize_probe_reps(samples[k]))
@@ -635,6 +641,12 @@ def interleaved_stream_probes(spark, n_stream_rows: int, reps: int) -> tuple[dic
             ),
             "stage_sec": {k: round(v, 3) for k, v in big_stage.items()},
         }
+        # the big wave dirties the JVM like any other probe run, and
+        # it is the LAST work before the pass's closing sentinel — an
+        # uncollected heap here inflated sentinel_end to 1.888x a
+        # clean start and tripped the contamination gate on an idle
+        # box (r11), so it gets the same hygiene as every rep
+        _driver_hygiene(spark)
     # aggregate stage wall across reps (round-over-round continuity)
     # plus the per-rep snapshots that make an outlier attributable
     mm_stage_sec: dict[str, float] = {}
@@ -833,9 +845,14 @@ def _common_vs_prev(timings: dict[str, float]):
 #: contamination gate (VERDICT r7 #1 — two rounds running the
 #: committed artifact was a run the host degraded mid-flight, visible
 #: in its own sentinel pair: r7 read 0.49 s -> 2.50 s).  A run whose
-#: fixed pure-CPU sentinel slowed by more than this ratio, or that
-#: needed more than this many spread retries, is measuring the host,
-#: not the engine — it must not become the round's record.
+#: fixed pure-CPU sentinel slowed by more than this ratio, or with
+#: more than this many UNRESOLVED spread retries (even the fastest N
+#: samples disagree after the extra runs — a retry whose best-N
+#: cluster agrees was a transient blip the guard absorbed, not host
+#: noise; r11 moved the gate from the raw to the unresolved count
+#: after a sentinel-clean pass was refused at 16/127 resolved
+#: retries), is measuring the host, not the engine — it must not
+#: become the round's record.
 MAX_SENTINEL_RATIO = 1.3
 MAX_SPREAD_RETRIES = 15
 
@@ -843,7 +860,7 @@ MAX_SPREAD_RETRIES = 15
 def contamination_verdict(
     sentinel_start_sec: float,
     sentinel_end_sec: float,
-    retried_for_spread: int,
+    unresolved_retries: int,
     max_ratio: float = MAX_SENTINEL_RATIO,
     max_retries: int = MAX_SPREAD_RETRIES,
 ) -> tuple[bool, float]:
@@ -854,7 +871,25 @@ def contamination_verdict(
         if sentinel_start_sec > 0
         else float("inf")
     )
-    return (ratio > max_ratio or retried_for_spread > max_retries), ratio
+    return (ratio > max_ratio or unresolved_retries > max_retries), ratio
+
+
+def spread_unresolved(samples: list[float], runs: int) -> bool:
+    """True when even the fastest ``runs`` of ``samples`` disagree
+    beyond the spread bound (25% relative AND 0.2 s absolute) — the
+    extra runs a spread retry bought did NOT land an agreeing
+    cluster, so the recorded minimum is genuinely untrustworthy.  A
+    retry where the best-N cluster agrees was a transient blip the
+    guard absorbed; counting those into the contamination gate
+    refused a sentinel-clean pass (r11, 16/127 resolved retries vs an
+    absolute bound predating a third of the registry).  Pure —
+    unit-tested in tests/test_bench_guard.py."""
+    best = sorted(samples)[:runs]
+    return (
+        best[0] > 0
+        and (best[-1] - best[0]) / best[0] > 0.25
+        and best[-1] - best[0] > 0.2
+    )
 
 
 def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
@@ -871,6 +906,7 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
     timings: dict[str, float] = {}
     query_loads: dict[str, float] = {}
     retried: list[str] = []
+    unresolved_queries: list[str] = []
 
     def one_run(fn) -> float:
         t0 = time.perf_counter()
@@ -909,12 +945,18 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
         ):
             samples.append(one_run(fn))
             extra += 1
-        return min(samples), bool(extra)
+        # only an UNRESOLVED retry feeds the contamination gate (see
+        # spread_unresolved); the raw retry count stays in the
+        # artifact as context
+        unresolved = bool(extra) and spread_unresolved(samples, runs)
+        return min(samples), bool(extra), unresolved
 
     for name, fn in entry_mod.queries().items():
-        best, was_retried = min_with_spread_guard(fn)
+        best, was_retried, was_unresolved = min_with_spread_guard(fn)
         if was_retried:
             retried.append(name)
+        if was_unresolved:
+            unresolved_queries.append(name)
         timings[name] = round(best, 3)
         query_loads[name] = _loadavg()
         # Driver hygiene between queries: 400+ executions accumulate
@@ -952,7 +994,7 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
         qmap = entry_mod.queries()
         for name in load_flagged:
             before = timings[name]
-            best, _ = min_with_spread_guard(qmap[name])
+            best, _, _ = min_with_spread_guard(qmap[name])
             timings[name] = round(min(before, best), 3)
             load_retried[name] = {
                 "loadavg_first": query_loads[name],
@@ -996,6 +1038,7 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
         "sentinel_start_sec": sentinel_start,
         "sentinel_end_sec": _sentinel_sec(spark),
         "queries_retried_for_spread": len(retried),
+        "queries_retry_unresolved": len(unresolved_queries),
         "queries_retried_for_load": len(load_retried),
         **stream,
     }
@@ -1011,6 +1054,7 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
     full_detail_extras = {
         "query_loadavg": query_loads,
         "retried_queries": retried,
+        "unresolved_retry_queries": unresolved_queries,
         "load_retry": {
             "median_loadavg": round(med_load, 2),
             "retried": load_retried,
@@ -1115,8 +1159,8 @@ def main() -> None:
         if attempt:
             print(
                 f"bench: pass {attempt} contaminated "
-                f"(sentinel_ratio={ratio}, retries="
-                f"{full.get('queries_retried_for_spread')}) — "
+                f"(sentinel_ratio={ratio}, unresolved retries="
+                f"{full.get('queries_retry_unresolved')}) — "
                 "waiting for idle and re-running",
                 file=sys.stderr,
                 flush=True,
@@ -1126,7 +1170,7 @@ def main() -> None:
         contaminated, ratio = contamination_verdict(
             full["sentinel_start_sec"],
             full["sentinel_end_sec"],
-            full["queries_retried_for_spread"],
+            full["queries_retry_unresolved"],
         )
         full["sentinel_ratio"] = ratio
         if not contaminated:
@@ -1136,10 +1180,10 @@ def main() -> None:
     elif contaminated:
         print(
             f"bench: REFUSING to emit — {attempts} passes contaminated "
-            f"(last sentinel_ratio={ratio}, retries="
-            f"{full.get('queries_retried_for_spread')}); the host is "
+            f"(last sentinel_ratio={ratio}, unresolved retries="
+            f"{full.get('queries_retry_unresolved')}); the host is "
             "too loaded to measure on (gate: sentinel_ratio <= "
-            f"{MAX_SENTINEL_RATIO}, retries <= {MAX_SPREAD_RETRIES})",
+            f"{MAX_SENTINEL_RATIO}, unresolved <= {MAX_SPREAD_RETRIES})",
             file=sys.stderr,
             flush=True,
         )

@@ -83,6 +83,9 @@ def _run_main_with_stub(bench, monkeypatch, passes, force_emit=False):
                 "sentinel_start_sec": s0,
                 "sentinel_end_sec": s1,
                 "queries_retried_for_spread": retries,
+                # the gate reads the UNRESOLVED count (r11); the stub
+                # treats every canned retry as unresolved
+                "queries_retry_unresolved": retries,
             },
             {},
         )
@@ -179,6 +182,25 @@ def test_probe_summary_tolerates_missing_keys(bench):
     out = bench.summarize_probe_reps(reps)
     assert out["stream_ingest_docs_per_sec_med3"] == 1000.0
     assert "stream_ingest_wave_docs" not in out
+
+
+def test_spread_unresolved_blip_absorbed(bench):
+    """One slow outlier among otherwise-agreeing samples: the retry
+    RESOLVED (the fastest N cluster agrees), so it must not count
+    toward the contamination gate."""
+    # runs=3, one blip at 2.1s, retry landed 1.02 — best 3 agree
+    assert not bench.spread_unresolved([1.0, 2.1, 1.05, 1.02], 3)
+
+
+def test_spread_unresolved_still_noisy(bench):
+    # even the fastest 3 of 4 disagree >25% and >0.2s
+    assert bench.spread_unresolved([1.0, 1.9, 1.6, 2.2], 3)
+
+
+def test_spread_unresolved_subsecond_floor(bench):
+    # sub-second scheduling noise: relative spread is high but the
+    # 0.2s absolute floor keeps it out of the gate
+    assert not bench.spread_unresolved([0.3, 0.45, 0.42, 0.31], 3)
 
 
 def test_main_force_emit_stamps_contaminated(bench, monkeypatch):
