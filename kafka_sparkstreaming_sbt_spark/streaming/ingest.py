@@ -859,37 +859,72 @@ def _write_text_increments(
     frame holding the (doc_id, text) of exactly the rows at
     ``accepted_path`` — a caller that just wrote the partition from a
     checkpointed frame passes it so maintenance never touches the
-    parquet.  Without it the partition is read ONCE and checkpointed;
-    either way every build below consumes the same in-memory rows
-    instead of each re-reading and re-deriving from disk (at
-    micro-batch sizes the per-job fixed cost of those independent
-    rebuilds dominated the ingest wall — 55-60% measured, VERDICT
-    r10 #1).
+    parquet.  Without it the partition is read from disk — ONCE, and
+    checkpointed only when more than one build will consume it (at
+    micro-batch sizes the per-job fixed cost of independent rebuilds
+    dominated the multimodal ingest wall — 55-60% measured, VERDICT
+    r10 #1 — but for a SINGLE consumer the checkpoint is pure added
+    wall: the signature-only text probe measured ~30% slower with an
+    unconditional materialize, r11).
 
-    The signature, exact-hash and window-hash builds consume the same
-    projection, so their plans are UNIONED and materialized in one
-    Spark job; the per-path writes then just filter the materialized
-    union (the 32-hex-char md5 and window hashes share the ``wh``
-    slot; only the bloom bitmap build stays separate — it is an RDD
-    tree-reduce, not a DataFrame plan)."""
+    When two or more of the signature, exact-hash and window-hash
+    builds are active, their plans are UNIONED and materialized in
+    one Spark job; the per-path writes then just filter the
+    materialized union (the 32-hex-char md5 and window hashes share
+    the ``wh`` slot; only the bloom bitmap build stays separate — it
+    is an RDD tree-reduce, not a DataFrame plan).  A single active
+    build keeps the direct one-job derive-and-write shape."""
     from kafka_sparkstreaming_sbt_spark.operators.dedup_fuzzy import (
         banded_signature_table,
     )
 
-    if signature_dir is None and exact_dir is None and span_dir is None:
+    n_fused = sum(
+        d is not None for d in (signature_dir, span_dir, exact_dir)
+    )
+    if n_fused == 0:
         return
+    # the bloom tree-reduce is a second consumer of the exact rows
+    n_consumers = n_fused + (1 if exact_dir is not None else 0)
     if accepted_rows is not None:
         rows = accepted_rows.select("doc_id", "text")
     else:
-        # one shared materialization: the batch is micro by contract
-        # — the shingle/minhash/window stages' per-partition overhead
-        # dominates at 32 partitions for a few thousand rows, hence 4
+        # the batch is micro by contract — the shingle/minhash/window
+        # stages' per-partition overhead dominates at 32 partitions
+        # for a few thousand rows, hence 4
         rows = (
             spark.read.parquet(accepted_path)
             .select("doc_id", "text")
             .coalesce(4)
-            .localCheckpoint(eager=True)
         )
+        if n_consumers > 1:
+            rows = rows.localCheckpoint(eager=True)
+    if n_fused == 1:
+        # one consumer of one derivation: the fused-union machinery
+        # (rows checkpoint + union checkpoint + filter-write) would
+        # turn one Spark job into three
+        if signature_dir is not None:
+            banded_signature_table(
+                rows, shingle_n=shingle_n, n_bands=n_bands,
+                compute_partitions=4,
+            ).write.mode("overwrite").parquet(
+                f"{signature_dir}/incr/batch_id={batch_id}"
+            )
+        elif span_dir is not None:
+            from kafka_sparkstreaming_sbt_spark.operators.chunking import (
+                window_hash_table,
+            )
+
+            window_hash_table(
+                rows, window_tokens=span_window_tokens
+            ).write.mode("overwrite").parquet(
+                f"{span_dir}/incr/batch_id={batch_id}"
+            )
+        else:
+            rows.select(F.md5("text").alias("h")).write.mode(
+                "overwrite"
+            ).parquet(f"{exact_dir}/hashes/incr/batch_id={batch_id}")
+            _write_exact_incr(spark, exact_dir, batch_id, rows)
+        return
     id_type = rows.schema["doc_id"].dataType.simpleString()
     branches = []
     if signature_dir is not None:
