@@ -2320,9 +2320,15 @@ def _documents_fingerprint(sf_dir: str) -> str:
     triples, so a regenerated table at the same path yields a NEW
     scratch key instead of silently answering from a stale index.
     Local-filesystem helper (the scratch cache it keys lives in the
-    local tempdir); a missing or non-local table yields a constant
-    sentinel tag instead of an unhandled OSError — the subsequent
-    read_table raises the actionable error."""
+    local tempdir); a MISSING table yields a constant sentinel tag
+    instead of an unhandled error — the subsequent read_table raises
+    the actionable message, and no index can commit for a table that
+    cannot be read.  Any other OSError propagates: collapsing, say,
+    a permission failure into the sentinel while the JVM reader still
+    sees the file would silently serve a stale index across
+    regenerations — the exact staleness this fingerprint exists to
+    prevent (and the constant tag would also prune every valid
+    sibling)."""
     import hashlib
     import os
 
@@ -2344,7 +2350,7 @@ def _documents_fingerprint(sf_dir: str) -> str:
         else:
             st = os.stat(root)
             parts.append((".", st.st_size, st.st_mtime_ns))
-    except OSError:
+    except FileNotFoundError:
         return "nodata"
     return hashlib.md5(repr(sorted(parts)).encode()).hexdigest()[:16]
 

@@ -536,25 +536,32 @@ def summarize_probe_reps(reps: list[dict], rate_keys=PROBE_RATE_KEYS) -> dict:
     probes were single-run with a ±40% noise floor, so round-over-
     round deltas were unreadable — 182→162→124 docs/s could be a real
     decline or three draws from one distribution).  For every rate
-    key: ``<key>_med<N>`` where N = len(reps) — the suffix carries
-    the actual sample count, so a SPARK_GRAFT_PROBE_REPS override
-    can't make the artifact lie about its sample size (ADVICE r10
-    #3) — holding the median across reps (robust to one outlier rep,
-    unlike min, which would hide a real mid-run degradation) and
-    ``<key>_spread`` ((max-min)/median, so the artifact itself says
-    how much the number can be trusted).  Deterministic descriptors
-    (equal across every rep that reports them) pass through under
-    their own names; a key a later rep omits is summarized over the
-    reps that have it (rate) or dropped (descriptor) instead of
-    crashing the pass.  Per-rep raw samples go to bench_details.
+    key: ``<key>_med<N>`` where N is the number of reps that actually
+    reported the key — the suffix carries the true sample count, so
+    neither a SPARK_GRAFT_PROBE_REPS override nor a conditionally-
+    reported diagnostic can make the artifact lie about its sample
+    size (ADVICE r10 #3; a key only 1 of 3 reps emits says ``_med1``,
+    not ``_med3`` with a perfect spread) — holding the median across
+    those reps (robust to one outlier rep, unlike min, which would
+    hide a real mid-run degradation) and ``<key>_spread``
+    ((max-min)/median, so the artifact itself says how much the
+    number can be trusted).  Deterministic descriptors (equal across
+    every rep) pass through under their own names; a descriptor any
+    rep omits is dropped rather than crashing the pass.  Keys are
+    unioned across ALL reps, so a diagnostic absent from rep 0 still
+    reaches the summary.  Per-rep raw samples go to bench_details.
     Pure — unit-tested in tests/test_bench_guard.py."""
     out: dict = {}
-    suffix = f"_med{len(reps)}"
-    for k in reps[0]:
+    keys = list(
+        dict.fromkeys(k for r in reps for k in r)
+    )  # union, first-seen order
+    for k in keys:
         vals = [r[k] for r in reps if k in r]
         if k in rate_keys:
             med = _median(vals)
-            out[f"{k}{suffix}"] = round(med, 1 if "per_sec" in k else 3)
+            out[f"{k}_med{len(vals)}"] = round(
+                med, 1 if "per_sec" in k else 3
+            )
             out[f"{k}_spread"] = (
                 round((max(vals) - min(vals)) / med, 3) if med else 0.0
             )
@@ -919,7 +926,7 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
         spark.catalog.clearCache()
         return dt
 
-    def min_with_spread_guard(fn) -> tuple[float, bool]:
+    def min_with_spread_guard(fn) -> tuple[float, bool, bool]:
         # WARM-UP, untimed: a query's first execution in a session
         # pays plan compilation, codegen, and shuffle-file creation —
         # a fixed cold-start cost, not steady-state wall.  Timing it
@@ -994,17 +1001,30 @@ def _measure_once(spark, sf_dir: str, sf: str, load_start: float):
         qmap = entry_mod.queries()
         for name in load_flagged:
             before = timings[name]
-            best, _, _ = min_with_spread_guard(qmap[name])
+            best, was_retried, was_unresolved = min_with_spread_guard(
+                qmap[name]
+            )
+            # the retry pass's own noise feeds the same gate inputs
+            # as the main loop — silently dropping its flags would
+            # let retry minima taken under unresolved noise replace
+            # recorded timings with no trace in the gate
+            if was_retried and name not in retried:
+                retried.append(name)
+            if was_unresolved and name not in unresolved_queries:
+                unresolved_queries.append(name)
+            retry_load = _loadavg()
             timings[name] = round(min(before, best), 3)
             load_retried[name] = {
                 "loadavg_first": query_loads[name],
-                "loadavg_retry": _loadavg(),
+                "loadavg_retry": retry_load,
                 "first_sec": before,
                 "retry_sec": round(best, 3),
             }
-            query_loads[name] = min(
-                query_loads[name], load_retried[name]["loadavg_retry"]
-            )
+            # query_loadavg must pair the recorded wall with the load
+            # it was measured under — update it only when the retry's
+            # timing is the one kept
+            if best < before:
+                query_loads[name] = retry_load
 
     recall = ivf_kmeans_recall(spark, sf_dir)
     pq_recall = pq_rerank_recall(spark, sf_dir)

@@ -2161,7 +2161,7 @@ def main() -> int:
                     # bound scales off the baseline run's ACTUAL merge
                     # count, not a literal 1000 (ADVICE r10 #4: a
                     # short-trained baseline would silently skew it)
-                    f"{round(bpe_depth['n_merges'] / bpe_results[0]['local_n_merges'] * bpe_results[0]['local_wall_s'], 1)}s), "
+                    f"{round(bpe_depth['n_merges'] / max(bpe_results[0]['local_n_merges'], 1) * bpe_results[0]['local_wall_s'], 1)}s), "
                     "1000-prefix exact, argmax monotone",
                     bpe_depth["n_merges"]
                     == bpe_depth["n_merges_requested"]
@@ -2169,7 +2169,7 @@ def main() -> int:
                     and bpe_depth["monotone"] == 1
                     and bpe_depth["wall_s"]
                     <= bpe_depth["n_merges"]
-                    / bpe_results[0]["local_n_merges"]
+                    / max(bpe_results[0]["local_n_merges"], 1)
                     * bpe_results[0]["local_wall_s"],
                 ),
                 (

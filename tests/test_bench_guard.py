@@ -184,6 +184,26 @@ def test_probe_summary_tolerates_missing_keys(bench):
     assert "stream_ingest_wave_docs" not in out
 
 
+def test_probe_summary_suffix_counts_actual_samples(bench):
+    """A rate key only SOME reps report carries the true sample count
+    in its suffix (a 1-of-3 diagnostic must say _med1, never _med3
+    with a perfect spread), and a key absent from rep 0 still reaches
+    the summary (keys are unioned across reps)."""
+    reps = [
+        {"stream_ingest_docs_per_sec": 900.0},
+        {
+            "stream_ingest_docs_per_sec": 1000.0,
+            "stream_recovery_sec": 4.5,  # rate key, rep 1 only
+        },
+        {"stream_ingest_docs_per_sec": 1100.0},
+    ]
+    out = bench.summarize_probe_reps(reps)
+    assert out["stream_ingest_docs_per_sec_med3"] == 1000.0
+    assert out["stream_recovery_sec_med1"] == pytest.approx(4.5)
+    assert out["stream_recovery_sec_spread"] == 0.0
+    assert "stream_recovery_sec_med3" not in out
+
+
 def test_spread_unresolved_blip_absorbed(bench):
     """One slow outlier among otherwise-agreeing samples: the retry
     RESOLVED (the fastest N cluster agrees), so it must not count
