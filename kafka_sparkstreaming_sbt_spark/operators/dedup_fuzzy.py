@@ -19,8 +19,15 @@ pipeline, e.g. Broder 1997 / MMDS ch.3):
 4. verify: exact Jaccard over the distinct shingle sets, keep pairs
    >= threshold.
 
-No Python UDFs anywhere — shingles/minhash are ``transform``/
-``array_min`` expressions, so stages 1-2 are whole-stage codegen'd.
+No Python UDFs anywhere.  Since r11 the hot path is FLAT: shingles
+explode as per-position rows (:func:`shingle_rows`) and the per-band
+minima aggregate over the multiset (:func:`banded_bucket_keys`) — the
+array-building ``transform``/``array_distinct`` expressions are
+interpreted, not codegen'd, and measured ~2x the whole signature
+stage; the min-hash is invariant under duplicate shingles, so set
+semantics are only materialized for candidate docs in the verify.
+``with_shingles``/``minhash_signatures`` remain as the array-shaped
+reference implementations (tests pin the two shapes equal).
 """
 
 from __future__ import annotations
@@ -54,6 +61,144 @@ def with_shingles(
         )
     )
     return df.filter(F.size(toks) >= n).withColumn("shingles", shingles)
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flat NON-DISTINCT ``(id, sh)`` word n-gram rows — the codegen
+    shape of :func:`with_shingles` (r11): Spark's higher-order array
+    functions (``transform``/``array_distinct``) are interpreted, so
+    building the per-doc shingle ARRAY cost ~2x the whole signature
+    stage at sf0.1; exploding the start positions and building each
+    shingle string as a flat projection whole-stage-compiles.
+
+    No per-doc dedup here, ON PURPOSE: the min-hash signature is
+    invariant under duplicates (min over a multiset == min over its
+    set), so the signature path needs no ``array_distinct`` (an
+    interpreted per-row hash set) and no distinct shuffle; consumers
+    that need SET semantics (the exact-Jaccard verify) apply
+    ``.distinct()`` AFTER pruning to candidate docs, so the dedup
+    shuffle carries only candidates, never the corpus.
+
+    Same short-doc guard as :func:`with_shingles`: the ``sequence``
+    expression is conditioned, not just filtered, because the
+    optimizer may evaluate an inlined projection alongside the
+    predicate."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    n_sh = F.size("_toks") - (n - 1)
+    seq = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.expr("CAST(array() AS array<int>)")
+    )
+    return base.select(
+        id_col, F.explode(seq).alias("_i"), "_toks"
+    ).select(
+        id_col,
+        F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_i"), n)).alias(
+            "sh"
+        ),
+    )
+
+
+def banded_bucket_keys(
+    flat: DataFrame, n_bands: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, bs)`` banded minhash bucket keys from flat
+    :func:`shingle_rows` — one partial->final min-aggregate per band
+    over the multiset, then each band's 32-bit min hashed with its
+    band id into the 64-bit join key.  Bit-identical keys to
+    ``minhash_signatures`` + ``xxhash64(band, sig)`` (same md5
+    family, same substring slices, same xxhash64 input types), with
+    the whole stage codegen'd and the shuffle carrying one row per
+    doc per partition after map-side combine."""
+    n_md5 = (n_bands + 3) // 4
+    hashed = flat.select(
+        id_col,
+        *[
+            F.md5(
+                F.col("sh")
+                if i == 0
+                else F.concat(F.lit(f"{i}|"), F.col("sh"))
+            ).alias(f"_h{i}")
+            for i in range(n_md5)
+        ],
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.substring(F.col(f"_h{b // 4}"), (b % 4) * 8 + 1, 8)
+            ).alias(f"_m{b}")
+            for b in range(n_bands)
+        ]
+    )
+    return mins.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(F.lit(b), F.col(f"_m{b}"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    )
+
+
+def _count_jaccard_verify(
+    cand: DataFrame,
+    flat_a: DataFrame,
+    flat_b: DataFrame,
+    a_col: str,
+    b_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verify over candidate pairs WITHOUT per-doc
+    shingle arrays (r11): with both sides' flat shingle rows DISTINCT
+    per doc, ``|A∩B|`` is one equi-join on (pair, shingle) + count and
+    ``|A∪B| = |A| + |B| - |A∩B|`` exactly — the same integers the
+    ``array_intersect``/``array_union`` expressions produced, so the
+    division yields a bit-identical double.  The interpreted per-pair
+    array set-ops (and the arrays themselves) disappear from the
+    plan.
+
+    ``cand`` must be materialized by the caller (it is consumed by
+    the size join and the intersect join).  ``flat_a`` / ``flat_b``
+    are DISTINCT ``({a_col}|{b_col}, sh)`` rows covering at least the
+    candidate docs.  Zero-intersection pairs survive as jaccard 0.0
+    via the left join, exactly like the array formulation."""
+    sz_a = flat_a.groupBy(a_col).agg(F.count(F.lit(1)).alias("_sa"))
+    sz_b = flat_b.groupBy(b_col).agg(F.count(F.lit(1)).alias("_sb"))
+    # provably-lossless size prefilter (see minhash_near_dup_pairs)
+    pre = (
+        cand.join(sz_a, a_col)
+        .join(sz_b, b_col)
+        .filter(
+            (F.col("_sa") >= threshold * F.col("_sb"))
+            & (F.col("_sb") >= threshold * F.col("_sa"))
+        )
+    )
+    inter = (
+        pre.select(a_col, b_col)
+        .join(flat_a, a_col)
+        .join(flat_b, [b_col, "sh"])
+        .groupBy(a_col, b_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    c = F.coalesce("_c", F.lit(0))
+    verified = pre.join(inter, [a_col, b_col], "left").select(
+        a_col,
+        b_col,
+        (c / (F.col("_sa") + F.col("_sb") - c)).alias("_j"),
+    )
+    # filter on the UNROUNDED jaccard (rounding is display-only —
+    # same contract as the array formulation it replaces)
+    return verified.filter(F.col("_j") >= threshold).select(
+        a_col, b_col, F.round("_j", 6).alias("jaccard")
+    )
 
 
 def minhash_signatures(
@@ -116,8 +261,15 @@ def minhash_signatures(
 
 
 def jaccard(a: F.Column, b: F.Column) -> F.Column:
-    """Exact Jaccard similarity of two distinct-element arrays."""
-    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+    """Exact Jaccard similarity of two distinct-element arrays.
+
+    ``|A∪B| = |A| + |B| - |A∩B|`` exactly (both inputs are distinct
+    by contract), so only the intersection array is materialized —
+    ``array_union`` built a second throwaway array per pair for a
+    size the three cheap ``size()`` calls already determine (r11).
+    Same integers, bit-identical quotient."""
+    i = F.size(F.array_intersect(a, b))
+    return i / (F.size(a) + F.size(b) - i)
 
 
 def cap_hot_buckets(
@@ -191,34 +343,26 @@ def minhash_near_dup_pairs(
     set it on boilerplate-heavy corpora where one shared template
     would otherwise make a single bucket quadratic.
 
-    ``persist_shingles=False`` skips the executor cache of the shingle
-    table: the cache entry belongs to a lazily-returned DataFrame and
-    can never be safely unpersisted here, so a LONG-LIVED session
-    calling this repeatedly (the streaming ingest screen: once per
-    micro-batch) must opt out or leak one dead cache entry per call —
-    at the cost of re-shingling the input once per consuming branch,
-    bounded when the caller's input is small/checkpointed (ADVICE r3,
-    the same reasoning as incremental_near_dup's deliberate
-    recompute)."""
+    ``persist_shingles`` is retained for API compatibility and is now
+    a no-op (r11): the flat-shingle pipeline never materializes a
+    corpus-wide shingle table — the signature pass streams the
+    multiset rows straight into the per-band min-aggregate, and the
+    verify re-shingles only CANDIDATE docs (semi-join prune below the
+    explode), so there is nothing corpus-sized left to cache and no
+    cache entry to leak (the ADVICE r3 concern this flag existed
+    for)."""
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
+    del persist_shingles  # no corpus-wide intermediate left to cache
     # shingling/hashing is compute-bound: spread the byte-small doc
     # table across all cores before the heavy per-row work
-    docs = with_shingles(
-        parallelize_for_compute(df), text_col, shingle_n
-    ).select("doc_id", "shingles")
-    # the shingle table feeds three branches (signatures + both sides
-    # of the verify join); materialize it once instead of re-shingling
-    # per branch.  At lake scale this would be a persisted/bucketed
-    # intermediate table rather than an executor cache.
-    if persist_shingles:
-        docs = docs.persist()
+    docs = parallelize_for_compute(df)
     # join on a 64-bit hash of (band, sig) instead of the 32-char md5
     # string: a collision only ADDS a candidate pair (the exact-Jaccard
     # verify rejects it), never drops a true one — identical results,
     # 8-byte shuffle keys
-    sigs = minhash_signatures(docs, n_bands).select(
-        "doc_id", F.xxhash64("band", "sig").alias("bs")
+    sigs = banded_bucket_keys(
+        shingle_rows(docs, text_col, shingle_n), n_bands
     )
     sigs = cap_hot_buckets(sigs, "bs", max_bucket_size)
     cand = (
@@ -234,43 +378,34 @@ def minhash_near_dup_pairs(
         )
         .distinct()
     )
-    a = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    b = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
+    # the candidate pair set feeds the candidate-doc prune AND the
+    # verify joins; left lazy each consumer would re-execute the whole
+    # signature pipeline.  It is id pairs only — materialize once
+    # (localCheckpoint blocks die with the RDD, no cache-entry leak;
+    # the incremental_near_dup precedent).
+    cand = cand.localCheckpoint(eager=True)
+    # DISTINCT shingles of CANDIDATE docs only: the semi-join sits
+    # BELOW the explode (only candidate docs are re-tokenized), so
+    # the set-dedup shuffle carries candidates, never the corpus —
+    # at 100 TB the corpus-wide shingle stream is shuffled exactly
+    # zero times in this whole operator.
+    cand_ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    cflat = shingle_rows(
+        docs.join(cand_ids, "doc_id", "left_semi"), text_col, shingle_n
+    ).distinct()
     # candidate volume is DATA-DEPENDENT (boilerplate-heavy corpora
     # explode LSH buckets), so no forced broadcast here: AQE picks the
-    # join strategy from the candidate set's actual runtime size —
-    # broadcast when it is tiny (the common case), shuffle join when an
-    # adversarial corpus makes it large (a forced broadcast would OOM
-    # the driver exactly when near-dup density spikes).  Same policy as
+    # join strategy from actual runtime sizes — same policy as
     # simhash_near_dup_pairs.
-    verified = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        # provably-lossless size prefilter: J(A,B) >= t forces
-        # t <= |A|/|B| <= 1/t, and size() is O(1) on the joined
-        # arrays — mismatched-size candidates (28% measured at sf0.1)
-        # skip the O(|set|) intersection entirely.  Results are
-        # identical, so the oracle needs no mirror.
-        .filter(
-            (F.size("sh_a") >= threshold * F.size("sh_b"))
-            & (F.size("sh_b") >= threshold * F.size("sh_a"))
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            jaccard(F.col("sh_a"), F.col("sh_b")).alias("_j"),
-        )
-    )
-    # filter on the UNROUNDED jaccard: this keeps the size prefilter
-    # exactly lossless (round-up at the t boundary would otherwise
-    # admit pairs the prefilter could have dropped) and matches the
-    # oracle's unrounded comparison; rounding is display-only
-    return verified.filter(F.col("_j") >= threshold).select(
-        "doc_a", "doc_b", F.round("_j", 6).alias("jaccard")
+    return _count_jaccard_verify(
+        cand,
+        cflat.withColumnRenamed("doc_id", "doc_a"),
+        cflat.withColumnRenamed("doc_id", "doc_b"),
+        "doc_a",
+        "doc_b",
+        threshold,
     )
 
 
@@ -301,11 +436,10 @@ def banded_signature_table(
         if compute_partitions is not None
         else parallelize_for_compute(docs)
     )
-    sh = with_shingles(spread, text_col, shingle_n).select(
-        "doc_id", "shingles"
-    )
-    return minhash_signatures(sh, n_bands).select(
-        "doc_id", F.xxhash64("band", "sig").alias("bs")
+    # flat multiset shingles -> per-band mins (r11): identical keys,
+    # no interpreted per-row array build (see shingle_rows)
+    return banded_bucket_keys(
+        shingle_rows(spread, text_col, shingle_n), n_bands
     )
 
 
@@ -343,23 +477,12 @@ def incremental_near_dup(
     """
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
-    def _prep(df: DataFrame) -> DataFrame:
-        return with_shingles(
-            parallelize_for_compute(df), text_col, shingle_n
-        ).select("doc_id", "shingles")
-
-    # `new` is consumed twice (signatures + verify), but it is the
-    # SMALL side by contract (|new| << corpus) — re-shingling it costs
-    # one extra scan of the daily batch, while a persist() here can
-    # never be safely unpersisted from a lazily-returned DataFrame and
-    # leaks the cache entry in long-lived sessions (ADVICE r3; same
-    # reasoning that removed topk.py's persist).  Deliberate recompute.
-    new = _prep(new_docs)
-    corpus = _prep(corpus_docs)
-
     def _sigs(docs: DataFrame) -> DataFrame:
-        s = minhash_signatures(docs, n_bands).select(
-            "doc_id", F.xxhash64("band", "sig").alias("bs")
+        s = banded_bucket_keys(
+            shingle_rows(
+                parallelize_for_compute(docs), text_col, shingle_n
+            ),
+            n_bands,
         )
         return cap_hot_buckets(s, "bs", max_bucket_size)
 
@@ -372,10 +495,10 @@ def incremental_near_dup(
             max_bucket_size,
         )
         if corpus_signatures is not None
-        else _sigs(corpus)
+        else _sigs(corpus_docs)
     )
     cand = (
-        _sigs(new)
+        _sigs(new_docs)
         .alias("x")
         .join(
             corpus_sigs.alias("y"),
@@ -388,46 +511,41 @@ def incremental_near_dup(
         )
         .distinct()
     )
-    # the candidate pair set feeds BOTH the verify join and the corpus
-    # semi-prune below; left lazy, each consumer re-executes the whole
-    # signature build (shingle+minhash of corpus AND batch — measured
-    # ~40% of query wall).  It is id pairs only, so materialize it
-    # once; localCheckpoint is eager and its blocks die with the RDD,
-    # so no cache-entry leak (the ADVICE r3 persist() concern).
+    # the candidate pair set feeds BOTH the verify join and the
+    # candidate-doc prunes below; left lazy, each consumer re-executes
+    # the whole signature build (shingle+minhash of corpus AND batch —
+    # measured ~40% of query wall).  It is id pairs only, so
+    # materialize it once; localCheckpoint is eager and its blocks die
+    # with the RDD, so no cache-entry leak (the ADVICE r3 persist()
+    # concern).
     cand = cand.localCheckpoint(eager=True)
-    # verify: only candidate corpus docs are re-shingled (semi prune)
-    corpus_cand = corpus.join(
-        cand.select(F.col("dup_of").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_semi",
-    )
-    verified = (
-        cand.join(
-            new.select(
-                F.col("doc_id").alias("new_doc_id"),
-                F.col("shingles").alias("sh_a"),
-            ),
-            "new_doc_id",
-        )
-        .join(
-            corpus_cand.select(
-                F.col("doc_id").alias("dup_of"),
-                F.col("shingles").alias("sh_b"),
-            ),
-            "dup_of",
-        )
-        .filter(
-            (F.size("sh_a") >= threshold * F.size("sh_b"))
-            & (F.size("sh_b") >= threshold * F.size("sh_a"))
-        )
-        .select(
-            "new_doc_id",
-            "dup_of",
-            jaccard(F.col("sh_a"), F.col("sh_b")).alias("_j"),
-        )
-    )
-    return verified.filter(F.col("_j") >= threshold).select(
-        "new_doc_id", "dup_of", F.round("_j", 6).alias("jaccard")
+    # verify: only CANDIDATE docs (both sides) are re-shingled — the
+    # semi-join sits below the explode, and the set-dedup the exact
+    # Jaccard needs runs over candidates only (r11: the multiset
+    # signature pass needs no dedup at all; see shingle_rows).  The
+    # batch side is re-shingled once more than before — it is the
+    # SMALL side by contract, and the corpus-side economics are
+    # unchanged (never re-shingled beyond candidates).
+    new_cand = shingle_rows(
+        parallelize_for_compute(new_docs).join(
+            cand.select(F.col("new_doc_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        ),
+        text_col,
+        shingle_n,
+    ).distinct().withColumnRenamed("doc_id", "new_doc_id")
+    corpus_cand = shingle_rows(
+        parallelize_for_compute(corpus_docs).join(
+            cand.select(F.col("dup_of").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        ),
+        text_col,
+        shingle_n,
+    ).distinct().withColumnRenamed("doc_id", "dup_of")
+    return _count_jaccard_verify(
+        cand, new_cand, corpus_cand, "new_doc_id", "dup_of", threshold
     )
 
 
@@ -457,6 +575,14 @@ def ngram_jaccard_pairs(
     """
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
+    # The shingle ARRAYS stay load-bearing here, unlike the minhash
+    # path (r11): this operator's candidate set is orders of
+    # magnitude larger (~300 K pairs at sf0.1 vs ~600), so a
+    # count-join verify would explode to a Σ|A| (pair, shingle) row
+    # intermediate and shuffle it — measured ~1 s SLOWER than the
+    # per-pair array intersect, which reads the two persisted arrays
+    # with no shuffle.  One array build, persisted, feeds the
+    # inverted postings and both verify sides.
     docs = with_shingles(parallelize_for_compute(df), text_col, n).select(
         "doc_id", "shingles"
     )
