@@ -75,11 +75,21 @@ def connected_components(
     # generic loop compute exactly min(node, min(neighbors)) — so fuse
     # that round into the init as ONE aggregation over the edge list,
     # saving a full join+agg+join+checkpoint cycle per call
+    # LAZY checkpoint (r11): the convergence count below is the first
+    # action over each round's table, so it doubles as the
+    # materializer — one Spark job per round instead of two (the
+    # eager-checkpoint job + a separate count job), and the init
+    # aggregation rides inside round 1's job instead of its own.
+    # Lineage is still truncated at every checkpoint node, so plan
+    # depth stays flat; `sym` above stays EAGER because it appears at
+    # two leaves of round 1's plan (directly and inside the init
+    # aggregation) and its lineage is the expensive pair pipeline —
+    # un-materialized it would execute twice in that job.
     labels = (
         sym.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
         .select(F.col("src").alias("node"), "label")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_iter):
@@ -105,7 +115,7 @@ def connected_components(
                 ).alias("_changed"),
             )
         )
-        stepped = stepped.localCheckpoint(eager=True)
+        stepped = stepped.localCheckpoint(eager=False)
         changed = stepped.filter(F.col("_changed")).count()
         labels = stepped.drop("_changed")
         if changed == 0:
