@@ -796,16 +796,23 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8 trained BPE merges over the documents corpus (rows-only:
-    iterative argmax+fold; reference-equality + property gates in
-    tests/test_bpe.py)."""
+    """8 trained BPE merges over the documents corpus (rows-only).
+
+    r11: routed to the production trainer ``bpe_train_merges_local``
+    — ONE distributed word_vocab shuffle + a bounded vocabulary
+    collect + the incremental-update merge loop, instead of the
+    distributed loop's 2 Spark jobs per merge round (16 jobs of pure
+    fixed cost at this depth).  The merge table is bit-equal to the
+    distributed trainer by the pinned equivalence contract
+    (tests/test_bpe.py reference-equality + property gates;
+    SCALECHECK exact-prefix gates at 500 K docs / 16 K merges)."""
     _utc(spark)
     from kafka_sparkstreaming_sbt_spark.operators.bpe import (
-        bpe_train_merges,
+        bpe_train_merges_local,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    return bpe_train_merges(docs, n_merges=8)
+    return bpe_train_merges_local(docs, n_merges=8)
 
 
 def q_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,7 +1098,12 @@ def q_dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     raw, target = _dsir_frames(spark, sf_dir)
-    rf = hashed_ngram_counts(raw, n_buckets=512)
+    # the raw featurization feeds the ratio denominator AND the
+    # per-doc weight sum — materialize once (r11, the dsir_select
+    # policy; blocks die with the RDD)
+    rf = hashed_ngram_counts(raw, n_buckets=512).localCheckpoint(
+        eager=True
+    )
     tf = hashed_ngram_counts(target, n_buckets=512)
     return dsir_log_weights(rf, bucket_log_ratio(tf, rf, 512))
 
@@ -1107,12 +1119,29 @@ def q_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb_train,
     )
 
+    from kafka_sparkstreaming_sbt_spark.operators.dsir import (
+        hashed_ngram_counts,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
     labeled = docs.withColumn(
         "label", (F.col("lang") == "en").cast("int")
     )
-    model = nb_train(labeled, "label", n_buckets=512)
-    return nb_score(docs, model, n_buckets=512)
+    # featurize the corpus ONCE for both training and scoring (r11):
+    # the explode+count featurization is the dominant cost of each
+    # stage and is identical in both — eager checkpoint so the two
+    # consumers can never independently re-run it
+    feats = hashed_ngram_counts(
+        labeled.withColumn("_y", F.col("label").cast("int")),
+        n_buckets=512,
+        carry_cols=("_y",),
+    ).localCheckpoint(eager=True)
+    model = nb_train(
+        labeled, "label", n_buckets=512, features=feats
+    )
+    return nb_score(
+        docs, model, n_buckets=512, features=feats.drop("_y")
+    )
 
 
 def q_dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

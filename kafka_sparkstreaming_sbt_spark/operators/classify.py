@@ -50,6 +50,7 @@ def nb_train(
     n_buckets: int = 1024,
     alpha: float = 1.0,
     seed: int = 7,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Train the NB quality model: ``(bucket, w_micro)`` where
     ``w_micro = round((ln p(b|pos) - ln p(b|neg)) * 1e6)`` with
@@ -60,20 +61,31 @@ def nb_train(
     or 0 — the scored log-odds are positive-class-is-larger.
 
     The complete ``spark.range`` bucket spine keeps unseen buckets in
-    the model: absence of evidence IS evidence under smoothing."""
+    the model: absence of evidence IS evidence under smoothing.
+
+    ``features`` (optional, r11): a precomputed
+    ``hashed_ngram_counts(df.withColumn('_y', label), carry_cols=
+    ('_y',))`` frame.  A pipeline that trains AND scores the same
+    corpus featurizes it once and passes the frame to both (the
+    scorer takes the same frame minus ``_y``) — the corpus explode is
+    the dominant cost of both stages and is identical in each."""
     # the label rides through the featurizer's explode/grouping (it is
     # functionally dependent on the doc id) — no id-keyed join back to
     # the corpus — and BOTH class count columns come out of ONE
     # conditional aggregation: a pivot/filter-per-class formulation
     # re-executed the explode subtree once per branch (measured 17.6 s
     # at 50K docs for what is one scan's worth of work)
-    labeled = hashed_ngram_counts(
-        df.withColumn("_y", F.col(label_col).cast("int")),
-        text_col,
-        id_col,
-        n_buckets,
-        seed,
-        carry_cols=("_y",),
+    labeled = (
+        features
+        if features is not None
+        else hashed_ngram_counts(
+            df.withColumn("_y", F.col(label_col).cast("int")),
+            text_col,
+            id_col,
+            n_buckets,
+            seed,
+            carry_cols=("_y",),
+        )
     )
     per_b = labeled.groupBy("bucket").agg(
         F.sum(
@@ -137,6 +149,7 @@ def nb_score(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     seed: int = 7,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents under a :func:`nb_train` model:
     ``(id, score_micro, log_odds, predicted)`` with
@@ -146,8 +159,15 @@ def nb_score(
     has only ever seen int/str/float/timestamp columns).
 
     ``n_buckets``/``seed`` must match training — the model's feature
-    space is positional."""
-    feats = hashed_ngram_counts(df, text_col, id_col, n_buckets, seed)
+    space is positional.  ``features`` (optional, r11): a precomputed
+    ``hashed_ngram_counts`` frame for exactly ``df``'s rows, so a
+    train-and-score pipeline featurizes the corpus once (see
+    :func:`nb_train`)."""
+    feats = (
+        features
+        if features is not None
+        else hashed_ngram_counts(df, text_col, id_col, n_buckets, seed)
+    )
     w = model.filter(F.col("bucket") != PRIOR_BUCKET)
     prior = model.filter(F.col("bucket") == PRIOR_BUCKET).select(
         F.col("w_micro").alias("_prior")
