@@ -132,10 +132,17 @@ def bucket_log_ratio(
     )
 
     def totals(feats: DataFrame, name: str) -> DataFrame:
+        # the per-bucket table is ≤ B rows BY CONSTRUCTION (the
+        # feature-hashing bound) but its lineage is the corpus
+        # explode; it feeds both the spine join and the grand total
+        # below, so materialize it once (r11 — the same bounded-
+        # artifact contract as nb_train's model checkpoint; eager so
+        # two consumers in one plan can never race it into computing
+        # the explode twice)
         per_b = feats.groupBy("bucket").agg(
             F.sum("cnt").alias(f"c_{name}")
         )
-        return per_b
+        return per_b.localCheckpoint(eager=True)
 
     t = totals(target_feats, "t")
     r = totals(raw_feats, "r")
@@ -150,11 +157,13 @@ def bucket_log_ratio(
     )
     # coalesce: an empty side must degrade to the pure-smoothing
     # uniform (sum over zero rows is NULL, which would null every
-    # ratio and silently select arbitrary documents)
-    nt = target_feats.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_t")
-    )
-    nr = raw_feats.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_r"))
+    # ratio and silently select arbitrary documents).  Grand totals
+    # re-aggregate the ≤B-row checkpointed tables, NOT the corpus —
+    # before r11 each total re-executed the full explode+count
+    # featurization a second time per side (the lesson nb_train's
+    # totals already encoded).
+    nt = t.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
+    nr = r.agg(F.coalesce(F.sum("c_r"), F.lit(0)).alias("n_r"))
     a, b = float(alpha), float(n_buckets)
     lp_t = F.ln((F.col("c_t") + a) / (F.col("n_t") + a * b))
     lp_r = F.ln((F.col("c_r") + a) / (F.col("n_r") + a * b))
@@ -230,9 +239,13 @@ def dsir_select(
     TakeOrderedAndProject (per-partition prune), never a full sort."""
     if n_keep < 1:
         raise ValueError(f"n_keep must be >= 1, got {n_keep}")
+    # the raw featurization feeds the ratio's per-bucket counts AND
+    # the per-doc weight sum — materialize it once (r11; eager, so the
+    # two consumers can never independently re-run the explode).  The
+    # blocks die with the RDD, no cache-entry leak.
     raw_feats = hashed_ngram_counts(
         raw, text_col, id_col, n_buckets, seed
-    )
+    ).localCheckpoint(eager=True)
     target_feats = hashed_ngram_counts(
         target, text_col, id_col, n_buckets, seed
     )
