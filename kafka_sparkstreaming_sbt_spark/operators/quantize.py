@@ -502,18 +502,31 @@ def pq_codebooks(
             f"dim {dim} not divisible by n_subspaces {n_subspaces}"
         )
     sub_dim = dim // n_subspaces
-    # md5 rank over a SLIM (id, hash) projection — the global
-    # row_number's single-partition sort moves 48-byte rows, never the
-    # code arrays; selected ids join back for their codes (one
-    # id-keyed shuffle of K / sample_n rows)
+    # md5 rank over a SLIM (id, hash) projection; only the first
+    # n_codes (deterministic) / sample_per_subspace (kmeans) ranks
+    # are ever consumed, so cut to the top-k FIRST with
+    # ``orderBy().limit()`` (TakeOrderedAndProject: per-partition
+    # bounded heap, k-row merge) and rank only the survivors.  The
+    # previous shape ran the row_number window UNPARTITIONED over
+    # every corpus row — one sort task holding the whole corpus at
+    # scale (r11; Spark itself warns "No Partition Defined for
+    # Window").  The window below still has no partition key, but
+    # its input is ≤ k rows BY CONSTRUCTION (the limit), which is
+    # the same bounded single-task contract as the codebook collect
+    # itself.  Rank values for the selected rows are identical under
+    # the total order (_h, id).  Selected ids join back for their
+    # codes (one id-keyed shuffle of K / sample_n rows).
+    from kafka_sparkstreaming_sbt_spark.operators.topk import topk_cut
+
     h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed)))
-    ranked = (
-        codes.select(id_col, h.alias("_h"))
-        .withColumn(
-            "_rk", F.row_number().over(Window.orderBy("_h", id_col))
-        )
-        .drop("_h")
+    top = topk_cut(
+        codes.select(id_col, h.alias("_h")),
+        [("_h", "asc"), (id_col, "asc")],
+        n_codes if method == "deterministic" else sample_per_subspace,
     )
+    ranked = top.withColumn(
+        "_rk", F.row_number().over(Window.orderBy("_h", id_col))
+    ).drop("_h")
     if method == "deterministic":
         picked = (
             ranked.filter(F.col("_rk") <= n_codes)
