@@ -206,9 +206,12 @@ def simhash_near_dup_pairs(
 
     assert max_hamming < n_bands, "banding completeness needs hamming < bands"
     band_w = N_BITS // n_bands
-    fp = simhash_fingerprints(
-        parallelize_for_compute(df), text_col, id_col
-    ).withColumnRenamed(id_col, "doc_id")
+    # simhash_fingerprints rebalances its input itself — wrapping the
+    # argument in parallelize_for_compute too cost a second
+    # back-to-back full repartition shuffle of the corpus (r11)
+    fp = simhash_fingerprints(df, text_col, id_col).withColumnRenamed(
+        id_col, "doc_id"
+    )
     # the fingerprint table feeds the band explode AND both verify
     # sides; 65 bytes/doc, so persisting it is cheap at any scale
     fp = fp.persist()
