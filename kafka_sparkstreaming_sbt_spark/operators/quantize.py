@@ -1058,9 +1058,12 @@ def ivf_pq_topk(
     )
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
+    # kmeans_centroids already returns a (lazily) checkpointed frame;
+    # re-checkpointing it eagerly here was one more tiny serial job
+    # (r11) — the n_probe count / first assign collect materializes it
     cent = kmeans_centroids(
         corpus, n_cells, seed=seed, vec_col=vec_col, id_col=id_col
-    ).localCheckpoint(eager=True)
+    )
     if n_probe is None:
         # the centroid table is metadata-sized by construction — a
         # count on the checkpointed frame is a no-scan job

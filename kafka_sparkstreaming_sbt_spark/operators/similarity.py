@@ -1400,9 +1400,7 @@ def kmeans_centroids(
     ``"sql"`` only when replaying the exact zip_with arithmetic is
     the point.
     """
-    from kafka_sparkstreaming_sbt_spark.operators.topk import (
-        global_topk_with_rank,
-    )
+    from kafka_sparkstreaming_sbt_spark.operators.topk import topk_cut
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
     if n_cells is None:
@@ -1419,15 +1417,29 @@ def kmeans_centroids(
         F.col(vec_col),
         F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
     )
-    seeds = global_topk_with_rank(
+    # top-n_cells cut (TakeOrderedAndProject, bounded heaps), ranked
+    # by a JVM window whose input is ≤ n_cells rows BY CONSTRUCTION —
+    # same rows and ranks as global_topk_with_rank, minus its Python
+    # rank stage (one fewer Arrow roundtrip per quantizer fit, r11)
+    seeds = topk_cut(
         hashed, [("_h", "asc"), (id_col, "asc")], n_cells
+    ).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy("_h", id_col)),
     )
+    # LAZY checkpoints throughout the Lloyd loop (r11): every round
+    # BEGINS with a driver-side collect of the previous round's
+    # centroids (_centroid_arrays), so that collect doubles as the
+    # materializer — one Spark job per round instead of an eager
+    # checkpoint job PLUS the collect; lineage still truncates per
+    # round, and the caller's first centroid collect materializes the
+    # final round the same way.
     cent = seeds.select(
         (F.col("rank") - 1).cast("long").alias("cell_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
             "c_vec"
         ),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     body = parallelize_for_compute(corpus).select(
         F.col(id_col), F.col(vec_col)
     )
@@ -1438,7 +1450,7 @@ def kmeans_centroids(
             # posexplode shuffle (see _kmeans_round_numpy)
             cent = _kmeans_round_numpy(
                 body, cent, vec_col, id_col
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             continue
         # scalar argmax (HashAggregate partial on skinny scored rows)
         # + join-back of the N skinny assignment rows.  Measured

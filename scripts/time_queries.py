@@ -39,6 +39,13 @@ def main() -> None:
             spark.catalog.clearCache()
             if i:
                 best = min(best, dt)
+        # bench.py's driver hygiene: py4j refs from large bounded
+        # collects (the PQ family) degrade later queries ~3x once the
+        # old gen fills — measured, see bench.py:_measure_once
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
         total += best
         print(f"{name:36s} {best:7.3f}s", flush=True)
     print(f"{'TOTAL':36s} {total:7.3f}s")
