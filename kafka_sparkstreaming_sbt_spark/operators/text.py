@@ -475,30 +475,39 @@ def benchmark_overlap(
     scanned once and only (doc_id, hit) pairs reach the count
     shuffle."""
     def shingles(frame: DataFrame):
+        # flat MULTISET n-gram rows (r11): the per-row array build
+        # (`transform` + `array_distinct`, both interpreted) was the
+        # dominant corpus-side expression; the per-doc dedup the
+        # overlap count needs moves to a distinct AFTER the benchmark
+        # join below, where only matching grams remain
         toks = F.split(F.col(text_col), " ")
-        n_sh = F.size(toks) - (n - 1)
+        base = frame.select(
+            "doc_id", toks.alias("_toks")
+        ).filter(F.size("_toks") >= n)
+        n_sh = F.size("_toks") - (n - 1)
         seq = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
             F.expr("CAST(array() AS array<int>)")
         )
-        return (
-            frame.filter(F.size(toks) >= n)
-            .select(
-                "doc_id",
-                F.explode(
-                    F.array_distinct(
-                        F.transform(
-                            seq,
-                            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-                        )
-                    )
-                ).alias("gram"),
-            )
+        return base.select(
+            "doc_id", F.explode(seq).alias("_i"), "_toks"
+        ).select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("_i"), n)
+            ).alias("gram"),
         )
 
     bench_grams = benchmark.transform(shingles).select("gram").distinct()
     hits = (
         shingles(df)
         .join(bench_grams, "gram")
+        # per-doc distinct AFTER the (selective) benchmark semi-join:
+        # identical n_overlap — a doc's duplicate occurrences of one
+        # matching gram collapse here exactly as array_distinct did
+        # before the join — but the dedup shuffle carries only
+        # benchmark-matching grams, never the corpus's gram stream
+        .select("doc_id", "gram")
+        .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
