@@ -392,9 +392,14 @@ def minhash_near_dup_pairs(
     cand_ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
+    # eager: the table feeds four verify leaves (both size counts and
+    # both sides of the intersect join, via the renames below) — left
+    # lazy the candidate re-shingle subtree replays per leaf and the
+    # plan carries four copies of it (measured: the checkpoint is
+    # also slightly faster locally, 3.57 vs 3.78 s interleaved)
     cflat = shingle_rows(
         docs.join(cand_ids, "doc_id", "left_semi"), text_col, shingle_n
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     # candidate volume is DATA-DEPENDENT (boilerplate-heavy corpora
     # explode LSH buckets), so no forced broadcast here: AQE picks the
     # join strategy from actual runtime sizes — same policy as
