@@ -188,6 +188,27 @@ def quantize_embeddings(
     )
 
 
+def _quantize_rows_kernel(v: "np.ndarray", qmax: int, s: float):
+    """The per-batch arithmetic of :func:`_quantize_numpy`, extracted
+    (r12) so the driver-side ADC-lut fusion runs the SAME math on
+    collected query vectors: sequential per-dim norm accumulation
+    (bit-identical to the SQL fold), exact IEEE divide/floor/clip —
+    all per-row ops, so batch boundaries cannot change any value.
+    Returns (codes int64 (B, dim), ok bool (B,)); rows with
+    ``not ok`` (zero norm) quantize to NULL in the DataFrame tiers."""
+    acc = np.zeros(len(v), dtype=np.float64)
+    for d in range(v.shape[1]):  # sequential, like the fold
+        acc = acc + v[:, d] * v[:, d]
+    nrm = np.sqrt(acc)
+    ok = nrm > 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        unit = v / nrm[:, None]
+    codes = np.clip(
+        np.floor(unit * float(qmax) / s + 0.5), -qmax, qmax
+    ).astype(np.int64)
+    return codes, ok
+
+
 def _quantize_numpy(
     df: DataFrame, vec_col: str, id_col: str, qmax: int, s: float
 ) -> DataFrame:
@@ -210,16 +231,7 @@ def _quantize_numpy(
             if not len(pdf):
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            acc = np.zeros(len(v), dtype=np.float64)
-            for d in range(v.shape[1]):  # sequential, like the fold
-                acc = acc + v[:, d] * v[:, d]
-            nrm = np.sqrt(acc)
-            ok = nrm > 0
-            with np.errstate(invalid="ignore", divide="ignore"):
-                unit = v / nrm[:, None]
-            codes = np.clip(
-                np.floor(unit * float(qmax) / s + 0.5), -qmax, qmax
-            ).astype(np.int64)
+            codes, ok = _quantize_rows_kernel(v, qmax, s)
             inorm = (codes * codes).sum(axis=1)
             yield pd.DataFrame(
                 {
@@ -404,16 +416,35 @@ def _quantized_topk_numpy(cq: DataFrame, qq: DataFrame, k: int) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _codebook_rows(codebooks: DataFrame):
+    """The codebook table collected driver-side — M×K rows, the same
+    fits-in-memory contract its broadcast join imposes.  Memoized on
+    the DataFrame OBJECT (r12): one codebook build feeds geometry,
+    the encode broadcast and the ADC lut, each of which used to
+    re-collect as its own serial Spark job; the cache dies with the
+    DataFrame instance (fresh per query invocation — nothing persists
+    across runs)."""
+    cached = getattr(codebooks, "_kfs_codebook_rows", None)
+    if cached is not None:
+        return cached
+    rows = codebooks.collect()
+    try:
+        codebooks._kfs_codebook_rows = rows
+    except Exception:  # noqa: BLE001 — never let memoization break math
+        pass
+    return rows
+
+
 def _codebook_geometry(codebooks: DataFrame) -> tuple[int, int]:
-    """(n_subspaces, sub_dim) off the codebook table — an M×K-row
-    metadata collect (tiny by the same contract that broadcasts it)."""
-    row = codebooks.agg(
-        (F.max("subspace") + 1).alias("m"),
-        F.max(F.size("c_codes")).alias("d"),
-    ).first()
-    if row is None or row["m"] is None:
+    """(n_subspaces, sub_dim) off the codebook table — read from the
+    memoized driver-side rows (the old 1-row agg was a separate Spark
+    job per caller over the same bounded table)."""
+    rows = _codebook_rows(codebooks)
+    if not rows:
         raise ValueError("codebooks is empty")
-    return int(row["m"]), int(row["d"])
+    m = max(r["subspace"] for r in rows) + 1
+    d = max(len(r["c_codes"]) for r in rows)
+    return int(m), int(d)
 
 
 def _subspace_slices(
@@ -665,7 +696,7 @@ def _collect_codebooks(
 ) -> np.ndarray:
     """(M, K, sub_dim) int64 array off the codebook table — M×K rows,
     the same fits-in-memory contract its broadcast join imposes."""
-    rows = codebooks.collect()
+    rows = _codebook_rows(codebooks)
     n_codes = max(r["code"] for r in rows) + 1
     books = np.zeros((n_sub, n_codes, sub_dim), dtype=np.int64)
     for r in rows:
@@ -830,12 +861,20 @@ def pq_topk(
     Both tiers are bit-identical (integer math)."""
     n_sub, sub_dim = _codebook_geometry(codebooks)
     corpus_scale = _scale_value(corpus_scale)
+    if method == "numpy":
+        # the lut is consumed driver-side anyway (_collect_lut):
+        # collect the bounded query table once and build the (Q,M,K)
+        # array directly — one job instead of a quantize+broadcast-
+        # join lineage, bit-identical integers (r12)
+        lut_arrays = _adc_lut_arrays(
+            queries.select(id_col, vec_col).collect(),
+            codebooks, n_sub, sub_dim, bits, corpus_scale,
+        )
+        return _pq_topk_numpy(corpus_pq, lut_arrays, n_sub, k, id_col)
     lut = _adc_lut(
         queries, codebooks, n_sub, sub_dim, bits, vec_col, id_col,
         corpus_scale,
     )
-    if method == "numpy":
-        return _pq_topk_numpy(corpus_pq, lut, n_sub, k, id_col)
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
     exploded = parallelize_for_compute(corpus_pq).select(
@@ -851,10 +890,61 @@ def pq_topk(
     return _ranked(scored, k, "pq_dist", asc=True)
 
 
-def _collect_lut(lut: DataFrame, n_sub: int):
+def _adc_lut_arrays(
+    query_rows,
+    codebooks: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    bits: int,
+    scale: DataFrame | float,
+):
+    """Driver-side twin of :func:`_adc_lut` + :func:`_collect_lut`
+    over COLLECTED ``(id, vec)`` query rows (r12 — VERDICT r11 #3:
+    the query-side assign and the lut build were two separate Spark
+    jobs whose lineages each re-scanned the query table; both inputs
+    are bounded driver artifacts already, so build the (Q, M, K)
+    int64 table directly).  Bit-identical by construction: the
+    quantization runs :func:`_quantize_rows_kernel` (the same
+    arithmetic the Arrow tier runs per batch) and the squared-L2
+    entries are exact integer math either way.  Returns
+    ``(sorted query-id vector, (Q, M, K) int64 table)`` or None when
+    no query survives the zero-norm filter."""
+    if not query_rows:
+        return None
+    ids = np.array([r[0] for r in query_rows], dtype=np.int64)
+    v = np.array([r[1] for r in query_rows], dtype=np.float64)
+    codes, ok = _quantize_rows_kernel(v, _qmax(bits), _scale_value(scale))
+    ids, codes = ids[ok], codes[ok]
+    if not len(ids):
+        return None
+    if codes.shape[1] != n_sub * sub_dim:
+        raise ValueError(
+            f"pq: vector dim must be n_subspaces*sub_dim = "
+            f"{n_sub * sub_dim}, got {codes.shape[1]}"
+        )
+    order = np.argsort(ids, kind="stable")  # _collect_lut sorts qids
+    ids, codes = ids[order], codes[order]
+    sub = codes.reshape(len(ids), n_sub, sub_dim)
+    brows = _codebook_rows(codebooks)
+    if not brows:
+        return None
+    n_codes = max(r["code"] for r in brows) + 1
+    table = np.zeros((len(ids), n_sub, n_codes), dtype=np.int64)
+    for r in brows:
+        c = np.asarray(r["c_codes"], dtype=np.int64)
+        d = sub[:, r["subspace"], :] - c[None, :]
+        table[:, r["subspace"], r["code"]] = (d * d).sum(axis=1)
+    return ids, table
+
+
+def _collect_lut(lut, n_sub: int):
     """ADC lut rows → (sorted query-id vector, (Q, M, K) int64 array);
     Q×M×K×8 bytes driver-side — the same fits-in-memory contract the
-    lut's broadcast join imposes.  None when there are no queries."""
+    lut's broadcast join imposes.  None when there are no queries.
+    A tuple (already-built arrays from :func:`_adc_lut_arrays`)
+    passes straight through."""
+    if lut is None or isinstance(lut, tuple):
+        return lut
     lrows = lut.collect()
     if not lrows:
         return None
@@ -1051,8 +1141,8 @@ def ivf_pq_topk(
     brute-force tier (k-means is not SQL-replicable; same contract
     as ``ivf_kmeans_topk``)."""
     from kafka_sparkstreaming_sbt_spark.operators.similarity import (
-        _assign_topn_numpy,
-        _metadata_row_count,
+        _centroid_arrays,
+        _topn_cells_kernel,
         ivf_assign,
         kmeans_centroids,
     )
@@ -1065,17 +1155,46 @@ def ivf_pq_topk(
         corpus, n_cells, seed=seed, vec_col=vec_col, id_col=id_col
     )
     if n_probe is None:
-        # the centroid table is metadata-sized by construction — a
-        # count on the checkpointed frame is a no-scan job
-        n = _metadata_row_count(cent) or cent.count()
+        # size off the memoized driver-side centroid arrays: the ONE
+        # collect both materializes the final Lloyd round and seeds
+        # the cache the corpus assign and query probes reuse (r12 —
+        # previously a count job PLUS two separate collects)
+        n = len(_centroid_arrays(cent)[0])
         n_probe = max(1, -(-2 * n // 3))  # ceil(2n/3), the IVF default
     assigned = ivf_assign(
         parallelize_for_compute(corpus), cent, vec_col, id_col,
         method="numpy",
     )
-    probes = _assign_topn_numpy(
-        queries, cent, vec_col, id_col, n_probe
-    ).select(F.col(id_col).alias("query_id"), "cell_id")
+    # FUSED query side (r12 — VERDICT r11 #3): the probe ranking and
+    # the ADC lut both consume the same bounded query table (the lut
+    # was already collected driver-side; the probe table is Q×n_probe
+    # rows).  ONE collect of (id, vec) feeds both: probes through the
+    # exact _assign_topn_numpy kernel (_topn_cells_kernel — identical
+    # per-row math), the lut through _adc_lut_arrays — instead of two
+    # separate Spark lineages that each re-scanned the query table.
+    qrows = queries.select(id_col, vec_col).collect()
+    ids_c, mat_c, cn_c = _centroid_arrays(cent)  # memoized collect
+    probe_pairs = []
+    if qrows and len(ids_c):
+        qv = np.array([r[1] for r in qrows], dtype=np.float64)
+        ki = _topn_cells_kernel(
+            qv, ids_c, mat_c, cn_c, min(n_probe, len(ids_c))
+        )
+        probe_pairs = [
+            (r[0], int(c)) for r, row in zip(qrows, ki) for c in row
+        ]
+    qid_type = next(
+        f.dataType for f in queries.schema.fields if f.name == id_col
+    )
+    probes = corpus.sparkSession.createDataFrame(
+        probe_pairs,
+        T.StructType(
+            [
+                T.StructField("query_id", qid_type),
+                T.StructField("cell_id", T.LongType()),
+            ]
+        ),
+    )
     # one scale collect feeds codebooks, encode, and the LUT — without
     # the explicit pass-through each stage would re-run the scale agg
     scale = _scale_value(quantization_scale(corpus, vec_col))
@@ -1087,9 +1206,7 @@ def ivf_pq_topk(
     encoded = pq_encode(
         corpus, books, bits, vec_col, id_col, scale, method="numpy"
     )
-    lut = _adc_lut(
-        queries, books, n_sub, sub_dim, bits, vec_col, id_col, scale
-    )
+    lut = _adc_lut_arrays(qrows, books, n_sub, sub_dim, bits, scale)
     # candidates: (query, id) pairs sharing a probed cell — the IVF
     # prune; then bulk-indexed ADC over only those rows
     cand = probes.join(assigned, "cell_id").select(

@@ -1023,7 +1023,17 @@ _CENT_BLOCK = 2048  # centroid columns per matmul: bounds the per-task
 def _centroid_arrays(centroids: DataFrame):
     """Collect the (tiny) centroid table driver-side, ID-ASCENDING —
     the block loops rely on later blocks holding strictly larger ids
-    so cross-block ties resolve toward the smaller id."""
+    so cross-block ties resolve toward the smaller id.
+
+    Memoized on the DataFrame OBJECT (r12): one quantizer fit feeds
+    several consumers (corpus assign, query probe ranking, n_probe
+    sizing), each of which used to re-run this collect as its own
+    serial Spark job.  The cache lives and dies with the DataFrame
+    instance — every query invocation builds a fresh centroid frame,
+    so nothing persists across runs."""
+    cached = getattr(centroids, "_kfs_centroid_arrays", None)
+    if cached is not None:
+        return cached
     rows = sorted(
         centroids.select("cell_id", "c_vec").collect(),
         key=lambda r: r["cell_id"],
@@ -1032,7 +1042,12 @@ def _centroid_arrays(centroids: DataFrame):
     mat = np.array([r["c_vec"] for r in rows], dtype=np.float64)
     if not len(rows):
         mat = mat.reshape(0, 0)
-    return ids, mat, np.linalg.norm(mat, axis=1)
+    out = (ids, mat, np.linalg.norm(mat, axis=1))
+    try:
+        centroids._kfs_centroid_arrays = out
+    except Exception:  # noqa: BLE001 — never let memoization break math
+        pass
+    return out
 
 
 def _block_cos(v, vn, mat, cn, lo, hi):
@@ -1141,32 +1156,8 @@ def _assign_topn_numpy(
             if not len(pdf):
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            vn = np.linalg.norm(v, axis=1)
             b = len(pdf)
-            kv = np.empty((b, 0), dtype=np.float64)
-            ki = np.empty((b, 0), dtype=np.int64)
-            for lo in range(0, len(ids), cent_block):
-                hi = min(lo + cent_block, len(ids))
-                cos = _block_cos(v, vn, mat, cn, lo, hi)
-                vals = np.concatenate([kv, cos], axis=1)
-                cids = np.concatenate(
-                    [ki, np.broadcast_to(ids[lo:hi], (b, hi - lo))],
-                    axis=1,
-                )
-                # kept ids all precede this block's ids, so the
-                # concatenation is id-ascending and the STABLE sort
-                # on -val keeps every tie at the smaller id
-                order = np.argsort(vals * -1, axis=1, kind="stable")[
-                    :, :n_probe
-                ]
-                kv = np.take_along_axis(vals, order, axis=1)
-                ki = np.take_along_axis(cids, order, axis=1)
-                # restore the id-ascending invariant for the next merge
-                reord = np.argsort(ki, axis=1, kind="stable")
-                kv = np.take_along_axis(kv, reord, axis=1)
-                ki = np.take_along_axis(ki, reord, axis=1)
-            order = np.argsort(kv * -1, axis=1, kind="stable")
-            ki = np.take_along_axis(ki, order, axis=1)
+            ki = _topn_cells_kernel(v, ids, mat, cn, n_probe, cent_block)
             k = ki.shape[1]
             yield pd.DataFrame(
                 {
@@ -1177,6 +1168,46 @@ def _assign_topn_numpy(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def _topn_cells_kernel(
+    v: "np.ndarray",
+    ids: "np.ndarray",
+    mat: "np.ndarray",
+    cn: "np.ndarray",
+    n_probe: int,
+    cent_block: int = _CENT_BLOCK,
+) -> "np.ndarray":
+    """The per-batch top-``n_probe`` cell ranking of
+    :func:`_assign_topn_numpy`, extracted (r12) so the driver-side
+    query-probe fusion in ``quantize.ivf_pq_topk`` runs the SAME
+    arithmetic (per-row ops — batch boundaries cannot change any
+    row's result).  Returns a (B, n_probe) cell-id matrix, rank 0
+    first."""
+    vn = np.linalg.norm(v, axis=1)
+    b = len(v)
+    kv = np.empty((b, 0), dtype=np.float64)
+    ki = np.empty((b, 0), dtype=np.int64)
+    for lo in range(0, len(ids), cent_block):
+        hi = min(lo + cent_block, len(ids))
+        cos = _block_cos(v, vn, mat, cn, lo, hi)
+        vals = np.concatenate([kv, cos], axis=1)
+        cids = np.concatenate(
+            [ki, np.broadcast_to(ids[lo:hi], (b, hi - lo))],
+            axis=1,
+        )
+        # kept ids all precede this block's ids, so the
+        # concatenation is id-ascending and the STABLE sort
+        # on -val keeps every tie at the smaller id
+        order = np.argsort(vals * -1, axis=1, kind="stable")[:, :n_probe]
+        kv = np.take_along_axis(vals, order, axis=1)
+        ki = np.take_along_axis(cids, order, axis=1)
+        # restore the id-ascending invariant for the next merge
+        reord = np.argsort(ki, axis=1, kind="stable")
+        kv = np.take_along_axis(kv, reord, axis=1)
+        ki = np.take_along_axis(ki, reord, axis=1)
+    order = np.argsort(kv * -1, axis=1, kind="stable")
+    return np.take_along_axis(ki, order, axis=1)
 
 
 def _kmeans_round_numpy(
