@@ -828,12 +828,21 @@ def incremental_semantic_dedup(
             parallelize_for_compute(corpus), centroids, vec_col, id_col,
             method=method,
         ).localCheckpoint(eager=True)
+    # prune the ASSIGNMENT table to the batch's occupied cells FIRST,
+    # then attach vectors (r12, guide §3.2): the old order joined two
+    # corpus-sized tables (vectors ⋈ assignments) before the cell
+    # semi-join could drop anything, so every trigger/run paid a
+    # full corpus-vs-corpus equi-join; the pruned assignment is
+    # batch-cell-bounded, AQE broadcasts it, and the corpus vector
+    # table is never shuffled.  Row-identical: cell_id is functionally
+    # dependent on the assignment row, so filter-then-join ==
+    # join-then-filter.
+    c_in_cells = c_assign.join(
+        b_assign.select("cell_id").distinct(), "cell_id", "left_semi"
+    )
     ct = (
         corpus.select(id_col, vec_col)
-        .join(c_assign, id_col)
-        .join(
-            b_assign.select("cell_id").distinct(), "cell_id", "left_semi"
-        )
+        .join(c_in_cells, id_col)
         .withColumn("_senior", F.lit(True))
     )
     pairable = cap_hot_buckets(

