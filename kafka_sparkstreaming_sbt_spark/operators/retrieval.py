@@ -77,7 +77,13 @@ def bm25_scores(
     qarr = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
 
     # one scan: per-row doc length + postings restricted to query
-    # terms before anything shuffles
+    # terms before anything shuffles.  The slim (id, dl, hits) frame
+    # feeds TWO consumers (the corpus stats and the postings) — left
+    # as a plan reference each would re-run the full tokenize scan
+    # (two Generate-over-text subtrees in the executed plan, r12);
+    # the lazy checkpoint materializes it once at the first action
+    # and both sides read the ~20 B/row slim blocks instead of
+    # re-splitting the text.
     toks = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col),
@@ -85,7 +91,7 @@ def bm25_scores(
         F.filter(toks, lambda t: F.array_contains(qarr, t)).alias(
             "hits"
         ),
-    )
+    ).localCheckpoint(eager=False)
     # corpus stats: N docs + total token count, one scalar row kept
     # lazy (broadcast cross join) — never a driver-side action here
     stats = base.select(
@@ -591,16 +597,34 @@ def bm25_topk_many(
         )
         .distinct()
     )
-    all_terms = qt.select("token").distinct()
+    # the term union is bounded by total query vocabulary (the same
+    # contract that broadcast it); collecting it to a literal lets
+    # the postings prune run INSIDE the one tokenize scan — the old
+    # shape tokenized the corpus twice (explode side + a separate
+    # full-text stats scan, r12) and shipped every token into the
+    # broadcast join instead of filtering per row
+    term_list = sorted(
+        {r["token"] for r in qt.select("token").distinct().collect()}
+    )
+    qarr = (
+        F.array(*[F.lit(t) for t in term_list])
+        if term_list
+        else F.expr("CAST(array() AS array<string>)")
+    )
     toks = F.split(F.col(text_col), " ")
-    base = df.select(
+    slim = df.select(
         F.col(id_col),
         F.size(toks).alias("dl"),
-        F.explode(toks).alias("token"),
-    ).join(F.broadcast(all_terms), "token")
-    stats = df.select(
+        F.filter(toks, lambda t: F.array_contains(qarr, t)).alias(
+            "hits"
+        ),
+    ).localCheckpoint(eager=False)
+    base = slim.filter(F.size("hits") > 0).select(
+        id_col, "dl", F.explode("hits").alias("token")
+    )
+    stats = slim.select(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(toks)).alias("total_dl"),
+        F.sum("dl").alias("total_dl"),
     )
     tf = base.groupBy(id_col, "dl", "token").agg(
         F.count(F.lit(1)).alias("tf")
