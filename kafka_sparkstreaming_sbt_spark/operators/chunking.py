@@ -106,9 +106,11 @@ def drop_duplicate_chunks(
     # the election for >=2^24 chunks or negative ids, and overflows
     # ANSI arithmetic near 2^39 ids)
     ordk = F.struct(F.col(id_col), F.col("chunk_index"))
+    # materialize-once (r12): keyed feeds the first-occurrence agg
+    # AND the flag join — each used to re-run the chunk explode
     keyed = chunks.select(
         id_col, "chunk_index", "chunk_text", ordk.alias("_ord")
-    )
+    ).localCheckpoint(eager=False)
     firsts = keyed.groupBy("chunk_text").agg(
         F.min("_ord").alias("_first_ord")
     )
@@ -168,9 +170,14 @@ def remove_common_chunks(
     doc-keyed agg as :func:`drop_duplicate_chunks`."""
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    chunks = chunk_documents(
-        df, chunk_tokens, chunk_tokens, text_col, id_col
-    ).select(id_col, "chunk_index", "chunk_text")
+    # materialize-once (r12): the chunk stream feeds the doc-freq agg
+    # AND the flag join — each used to re-run the tokenize + chunk
+    # explode
+    chunks = (
+        chunk_documents(df, chunk_tokens, chunk_tokens, text_col, id_col)
+        .select(id_col, "chunk_index", "chunk_text")
+        .localCheckpoint(eager=False)
+    )
     doc_freq = (
         chunks.select(id_col, "chunk_text")
         .distinct()
@@ -255,8 +262,16 @@ def remove_duplicate_spans(
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     w = window_tokens
-    base = _tokenized(df, text_col, id_col)
-    wins = _window_marks(base, w, id_col)
+    # materialize ONCE (r12, guide §1.2): the tokenized frame feeds
+    # the window explode AND the excision join-back, and the window
+    # stream feeds the dup aggregation AND the hit join — left as
+    # plan references the executed plan re-ran the full tokenize +
+    # md5-per-window explode once per consumer (two Generate subtrees
+    # in the r11 plan).  Lazy checkpoints: the first action
+    # materializes each frame once and every consumer reads the
+    # stored blocks.
+    base = _tokenized(df, text_col, id_col).localCheckpoint(eager=False)
+    wins = _window_marks(base, w, id_col).localCheckpoint(eager=False)
     dup = (
         wins.select(id_col, "_h")
         .distinct()
@@ -433,8 +448,16 @@ def remove_duplicate_spans_incremental(
         raise ValueError(
             f"min_docs_within must be >= 2, got {min_docs_within}"
         )
-    base = _tokenized(new_docs, text_col, id_col)
-    wins = _window_marks(base, window_tokens, id_col)
+    # same materialize-once shape as remove_duplicate_spans (r12):
+    # wins feeds THREE consumers here (within-batch dup agg, corpus
+    # membership probe, hit join) — each used to replay the tokenize
+    # + md5 explode
+    base = _tokenized(new_docs, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    wins = _window_marks(base, window_tokens, id_col).localCheckpoint(
+        eager=False
+    )
     within = (
         wins.select(id_col, "_h")
         .distinct()
@@ -484,8 +507,13 @@ def duplicated_span_report(
     shuffle."""
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
-    base = _tokenized(df, text_col, id_col)
-    wins = _window_marks(base, window_tokens, id_col)
+    # materialize-once (r12): wins feeds the counting agg AND the
+    # winner text recovery; base feeds the explode AND the final
+    # token-slice join
+    base = _tokenized(df, text_col, id_col).localCheckpoint(eager=False)
+    wins = _window_marks(base, window_tokens, id_col).localCheckpoint(
+        eager=False
+    )
     per_doc = wins.groupBy("_h", id_col).agg(
         F.count(F.lit(1)).alias("_c")
     )
