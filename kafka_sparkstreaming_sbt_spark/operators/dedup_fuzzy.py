@@ -110,11 +110,12 @@ def banded_bucket_keys(
     """``(id, bs)`` banded minhash bucket keys from flat
     :func:`shingle_rows` — one partial->final min-aggregate per band
     over the multiset, then each band's 32-bit min hashed with its
-    band id into the 64-bit join key.  Bit-identical keys to
-    ``minhash_signatures`` + ``xxhash64(band, sig)`` (same md5
-    family, same substring slices, same xxhash64 input types), with
-    the whole stage codegen'd and the shuffle carrying one row per
-    doc per partition after map-side combine."""
+    band id into the 64-bit join key.  The per-band minima are the
+    SAME md5-substring values ``minhash_signatures`` computes (parsed
+    to longs — same winner per band, see inline note), so two docs
+    share a bucket exactly when they share a band minimum, with the
+    whole stage codegen'd, hash-aggregated (no sort), and the shuffle
+    carrying one row per doc per partition after map-side combine."""
     n_md5 = (n_bands + 3) // 4
     hashed = flat.select(
         id_col,
@@ -127,10 +128,27 @@ def banded_bucket_keys(
             for i in range(n_md5)
         ],
     )
+    # minima as LONGS, not hex substrings (r12): min over a string
+    # buffer forces SortAggregate — Spark sorted the whole corpus
+    # shingle stream by doc before the partial agg, twice per
+    # signature pass — while a fixed-width long buffer hash-
+    # aggregates with map-side combine and no sort.  The 8-hex-char
+    # slices are fixed-length same-alphabet strings, so their
+    # lexicographic min IS the numeric min of the parsed value: the
+    # same shingle wins every band.  The xxhash64 bucket key hashes
+    # the long instead of the string — different key VALUES, same
+    # key EQUALITY structure on (band, min), and a cross-value
+    # collision (2^-64, already the accepted risk of hashing the
+    # join key at all) only ever ADDS a candidate for the exact
+    # verify to price.
     mins = hashed.groupBy(id_col).agg(
         *[
             F.min(
-                F.substring(F.col(f"_h{b // 4}"), (b % 4) * 8 + 1, 8)
+                F.conv(
+                    F.substring(F.col(f"_h{b // 4}"), (b % 4) * 8 + 1, 8),
+                    16,
+                    10,
+                ).cast("long")
             ).alias(f"_m{b}")
             for b in range(n_bands)
         ]
@@ -365,6 +383,12 @@ def minhash_near_dup_pairs(
         shingle_rows(docs, text_col, shingle_n), n_bands
     )
     sigs = cap_hot_buckets(sigs, "bs", max_bucket_size)
+    # materialize the (doc, bs) key table ONCE before the self-join
+    # (r12): the join's two sides are separate plan leaves — the
+    # broadcast side does NOT reuse the probe side's exchange — so
+    # the whole shingle+md5+min signature pipeline executed twice;
+    # the table is 8 slim rows per doc, the checkpoint is nearly free
+    sigs = sigs.localCheckpoint(eager=True)
     cand = (
         sigs.alias("x")
         .join(
@@ -615,16 +639,25 @@ def ngram_jaccard_pairs(
     )
     # candidate join on the shingle's 64-bit hash: collisions only add
     # candidates (exact verify filters them), so results are identical
-    # and the quadratic join shuffles 8-byte keys
+    # and the quadratic join shuffles 8-byte keys.  n_sh rides along
+    # so the LOSSLESS length filter (J >= t requires t·|B| <= |A|,
+    # exactly the verify's own prefilter) prunes candidate pairs IN
+    # the join, before the distinct and the two array joins (r12).
+    # NOT checkpointed: materializing the prefix table before the
+    # self-join was MEASURED 2.4x slower (10.8 vs 4.6 s back-to-back
+    # at sf0.1) — the twin window pipelines overlap across cores,
+    # while the checkpoint serializes them behind one store pass.
     prefix = ranked.filter(F.col("rn") <= prefix_len).select(
-        "doc_id", F.xxhash64("sh").alias("shh")
+        "doc_id", F.xxhash64("sh").alias("shh"), "n_sh"
     )
     cand = (
         prefix.alias("x")
         .join(
             prefix.alias("y"),
             (F.col("x.shh") == F.col("y.shh"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.col("x.n_sh") >= threshold * F.col("y.n_sh"))
+            & (F.col("y.n_sh") >= threshold * F.col("x.n_sh")),
         )
         .select(
             F.col("x.doc_id").alias("doc_a"),
