@@ -738,46 +738,7 @@ def _pq_encode_numpy(
             if not len(pdf):
                 continue
             v = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            if v.shape[1] != n_sub * sub_dim:
-                raise ValueError(
-                    f"pq: vector dim must be n_subspaces*sub_dim = "
-                    f"{n_sub * sub_dim}, got {v.shape[1]}"
-                )
-            sub = v.reshape(len(v), n_sub, sub_dim)
-            # every |x-c| component is bounded by the batch's realized
-            # magnitudes — pick the cheapest float wide enough to keep
-            # the integer arithmetic exact
-            m_abs = max(int(np.abs(sub).max()), int(np.abs(books).max()))
-            bound = sub_dim * (2 * m_abs) ** 2
-            dt = (
-                np.float32
-                if bound < (1 << 24)
-                else np.float64
-                if bound < (1 << 53)
-                else None
-            )
-            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2
-            if dt is None:  # int64 fallback: exact but no BLAS
-                cross = np.einsum("bmd,mkd->bmk", sub, books)
-                dist = (
-                    (sub * sub).sum(axis=2)[:, :, None]
-                    - 2 * cross
-                    + bnorm[None, :, :]
-                )
-            else:
-                subf = sub.astype(dt)
-                booksf = books.astype(dt)
-                cross = np.empty((len(v), n_sub, books.shape[1]), dt)
-                for m in range(n_sub):  # sgemm/dgemm per subspace
-                    np.matmul(
-                        subf[:, m, :], booksf[m].T, out=cross[:, m, :]
-                    )
-                dist = (
-                    (subf * subf).sum(axis=2)[:, :, None]
-                    - 2 * cross
-                    + bnorm[None, :, :].astype(dt)
-                )
-            best = np.argmin(dist, axis=2).astype(np.int32)  # (B, M)
+            best = _pq_encode_kernel(v, books, bnorm, n_sub, sub_dim)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -790,6 +751,120 @@ def _pq_encode_numpy(
     return parallelize_for_compute(codes).select(id_col, "codes").mapInPandas(
         encode, schema
     )
+
+
+def _pq_encode_kernel(
+    v: "np.ndarray",
+    books: "np.ndarray",
+    bnorm: "np.ndarray",
+    n_sub: int,
+    sub_dim: int,
+) -> "np.ndarray":
+    """The per-batch argmin of :func:`_pq_encode_numpy`, extracted
+    (r12) so the fused assign+encode corpus pass in :func:`ivf_pq_topk`
+    runs the SAME arithmetic.  Per-row results are batch-independent:
+    the float-width pick is per batch, but every candidate dtype
+    represents the bounded integer distances exactly, so the argmin is
+    identical whichever width a batch lands on.  ``v`` is the (B, dim)
+    int64 scalar-code matrix; returns (B, M) int32 codebook codes."""
+    if v.shape[1] != n_sub * sub_dim:
+        raise ValueError(
+            f"pq: vector dim must be n_subspaces*sub_dim = "
+            f"{n_sub * sub_dim}, got {v.shape[1]}"
+        )
+    sub = v.reshape(len(v), n_sub, sub_dim)
+    # every |x-c| component is bounded by the batch's realized
+    # magnitudes — pick the cheapest float wide enough to keep
+    # the integer arithmetic exact
+    m_abs = max(int(np.abs(sub).max()), int(np.abs(books).max()))
+    bound = sub_dim * (2 * m_abs) ** 2
+    dt = (
+        np.float32
+        if bound < (1 << 24)
+        else np.float64
+        if bound < (1 << 53)
+        else None
+    )
+    # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2
+    if dt is None:  # int64 fallback: exact but no BLAS
+        cross = np.einsum("bmd,mkd->bmk", sub, books)
+        dist = (
+            (sub * sub).sum(axis=2)[:, :, None]
+            - 2 * cross
+            + bnorm[None, :, :]
+        )
+    else:
+        subf = sub.astype(dt)
+        booksf = books.astype(dt)
+        cross = np.empty((len(v), n_sub, books.shape[1]), dt)
+        for m in range(n_sub):  # sgemm/dgemm per subspace
+            np.matmul(subf[:, m, :], booksf[m].T, out=cross[:, m, :])
+        dist = (
+            (subf * subf).sum(axis=2)[:, :, None]
+            - 2 * cross
+            + bnorm[None, :, :].astype(dt)
+        )
+    return np.argmin(dist, axis=2).astype(np.int32)  # (B, M)
+
+
+def _assign_encode_numpy(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    bits: int,
+    scale: DataFrame | float,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """One corpus pass emitting ``(id, cell_id, pq_codes)`` — the
+    fusion of :func:`similarity._assign_numpy` (nearest-cell argmax)
+    and :func:`pq_encode`'s numpy tier (quantize + per-subspace
+    argmin), sharing their exact per-batch kernels.  Zero-norm rows
+    get NULL ``pq_codes`` (they have no quantization), matching the
+    standalone encode's NotNull filter."""
+    from kafka_sparkstreaming_sbt_spark.operators.similarity import (
+        _argmax_cell_kernel,
+        _centroid_arrays,
+    )
+
+    ids_c, mat_c, cn_c = _centroid_arrays(centroids)
+    books = _collect_codebooks(codebooks, n_sub, sub_dim)
+    bnorm = (books * books).sum(axis=2)
+    qmax = _qmax(bits)
+    s = _scale_value(scale)
+    schema = T.StructType(
+        [
+            _id_field_of(corpus, id_col),
+            T.StructField("cell_id", T.LongType()),
+            T.StructField("pq_codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cell = _argmax_cell_kernel(v, ids_c, mat_c, cn_c)
+            codes, ok = _quantize_rows_kernel(v, qmax, s)
+            pq = [None] * len(pdf)
+            if ok.any():
+                best = _pq_encode_kernel(
+                    codes[ok], books, bnorm, n_sub, sub_dim
+                )
+                for slot, row in zip(np.nonzero(ok)[0], best):
+                    pq[slot] = row.tolist()
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell_id": cell,
+                    "pq_codes": pq,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(run, schema)
 
 
 def _id_field_of(df: DataFrame, id_col: str) -> T.StructField:
@@ -1143,7 +1218,6 @@ def ivf_pq_topk(
     from kafka_sparkstreaming_sbt_spark.operators.similarity import (
         _centroid_arrays,
         _topn_cells_kernel,
-        ivf_assign,
         kmeans_centroids,
     )
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
@@ -1161,10 +1235,6 @@ def ivf_pq_topk(
         # previously a count job PLUS two separate collects)
         n = len(_centroid_arrays(cent)[0])
         n_probe = max(1, -(-2 * n // 3))  # ceil(2n/3), the IVF default
-    assigned = ivf_assign(
-        parallelize_for_compute(corpus), cent, vec_col, id_col,
-        method="numpy",
-    )
     # FUSED query side (r12 — VERDICT r11 #3): the probe ranking and
     # the ADC lut both consume the same bounded query table (the lut
     # was already collected driver-side; the probe table is Q×n_probe
@@ -1203,19 +1273,33 @@ def ivf_pq_topk(
         method="kmeans", seed=seed, scale=scale,
     ).localCheckpoint(eager=False)
     n_sub, sub_dim = _codebook_geometry(books)
-    encoded = pq_encode(
-        corpus, books, bits, vec_col, id_col, scale, method="numpy"
-    )
     lut = _adc_lut_arrays(qrows, books, n_sub, sub_dim, bits, scale)
-    # candidates: (query, id) pairs sharing a probed cell — the IVF
-    # prune; then bulk-indexed ADC over only those rows
-    cand = probes.join(assigned, "cell_id").select(
-        "query_id", F.col(id_col).alias("neighbor_id")
+    # FUSED corpus side (r12, guide §8): assign + PQ-encode in ONE
+    # mapInPandas pass emitting (id, cell_id, pq_codes) — the old
+    # shape scanned the corpus twice (assign pass, encode pass) and
+    # then equi-joined the candidate pairs back onto the encoded
+    # table, a corpus-sized exchange; now the codes ride with the
+    # assignment and the only join is against the tiny broadcast
+    # probe table.  Kernels are the exact per-batch functions the
+    # standalone passes run, so every row's (cell, codes) is
+    # identical; zero-norm rows carry NULL codes and are filtered
+    # exactly where the old inner join on the encoded table dropped
+    # them.
+    assigned_enc = _assign_encode_numpy(
+        parallelize_for_compute(corpus), cent, books, n_sub, sub_dim,
+        bits, scale, vec_col, id_col,
     )
-    cand_codes = cand.filter(
-        F.col("query_id") != F.col("neighbor_id")
-    ).join(
-        encoded.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+    cand_codes = (
+        probes.join(
+            assigned_enc.filter(F.col("pq_codes").isNotNull()),
+            "cell_id",
+        )
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "pq_codes",
+        )
     )
     scored = _pq_score_candidates_numpy(cand_codes, lut, n_sub)
     return _ranked(scored, k, "pq_dist", asc=True)

@@ -1075,6 +1075,7 @@ def _assign_numpy(
     vec_col: str,
     id_col: str,
     cent_block: int = _CENT_BLOCK,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """Arrow/BLAS assignment: one ``mapInPandas`` pass where every
     batch is scored against the centroid matrix in ``cent_block``-wide
@@ -1093,38 +1094,64 @@ def _assign_numpy(
     why oracle-hashed queries keep ``method="sql"`` and the numpy
     path serves the recall-gated / throughput surfaces."""
     ids, mat, cn = _centroid_arrays(centroids)
-    schema = T.StructType(
-        [_id_field(corpus, id_col), T.StructField("cell_id", T.LongType())]
-    )
+    fields = [_id_field(corpus, id_col)]
+    if carry_vec:
+        # carry the vector THROUGH the assign pass (r12, guide §8:
+        # attach decisions to payloads without a join) — the scan-side
+        # consumer used to join the (id, cell) output back onto the
+        # corpus vectors, i.e. two corpus-sized exchanges for rows
+        # this pass already held in memory
+        fields.append(
+            next(f for f in corpus.schema.fields if f.name == vec_col)
+        )
+    fields.append(T.StructField("cell_id", T.LongType()))
+    schema = T.StructType(fields)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            vn = np.linalg.norm(v, axis=1)
-            b = len(pdf)
-            best = np.full(b, -np.inf)
-            best_id = np.full(b, np.iinfo(np.int64).max, dtype=np.int64)
-            for lo in range(0, len(ids), cent_block):
-                hi = min(lo + cent_block, len(ids))
-                cos = _block_cos(v, vn, mat, cn, lo, hi)
-                blk_best = cos.max(axis=1)
-                blk_id = np.where(
-                    cos == blk_best[:, None],
-                    ids[lo:hi][None, :],
-                    np.iinfo(np.int64).max,
-                ).min(axis=1)
-                # later blocks hold larger ids, so a strict > keeps
-                # the earlier (smaller-id) winner on cross-block ties
-                take = blk_best > best
-                best = np.where(take, blk_best, best)
-                best_id = np.where(take, blk_id, best_id)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "cell_id": best_id}
-            )
+            best_id = _argmax_cell_kernel(v, ids, mat, cn, cent_block)
+            out = {id_col: pdf[id_col].to_numpy()}
+            if carry_vec:
+                out[vec_col] = pdf[vec_col]
+            out["cell_id"] = best_id
+            yield pd.DataFrame(out)
 
     return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def _argmax_cell_kernel(
+    v: "np.ndarray",
+    ids: "np.ndarray",
+    mat: "np.ndarray",
+    cn: "np.ndarray",
+    cent_block: int = _CENT_BLOCK,
+) -> "np.ndarray":
+    """The per-batch nearest-cell argmax of :func:`_assign_numpy`,
+    extracted (r12) so the fused assign+encode corpus pass in
+    ``quantize.ivf_pq_topk`` runs the SAME arithmetic (per-row ops —
+    batch boundaries cannot change any row's result)."""
+    vn = np.linalg.norm(v, axis=1)
+    b = len(v)
+    best = np.full(b, -np.inf)
+    best_id = np.full(b, np.iinfo(np.int64).max, dtype=np.int64)
+    for lo in range(0, len(ids), cent_block):
+        hi = min(lo + cent_block, len(ids))
+        cos = _block_cos(v, vn, mat, cn, lo, hi)
+        blk_best = cos.max(axis=1)
+        blk_id = np.where(
+            cos == blk_best[:, None],
+            ids[lo:hi][None, :],
+            np.iinfo(np.int64).max,
+        ).min(axis=1)
+        # later blocks hold larger ids, so a strict > keeps
+        # the earlier (smaller-id) winner on cross-block ties
+        take = blk_best > best
+        best = np.where(take, blk_best, best)
+        best_id = np.where(take, blk_id, best_id)
+    return best_id
 
 
 def _assign_topn_numpy(
@@ -1755,18 +1782,15 @@ def _ivf_search_numpy(
     qside = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).join(qprobes, "query_id")
-    assigned = ivf_assign(
-        parallelize_for_compute(corpus),
-        centroids,
-        vec_col,
-        id_col,
-        method="numpy",
-    )
-    cside = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
-    ).join(
-        assigned.select(F.col(id_col).alias("neighbor_id"), "cell_id"),
-        "neighbor_id",
+    # vector carried through the assign pass (r12) — see _ivf_search:
+    # the join-back onto corpus vectors was two corpus-sized exchanges
+    cside = _assign_numpy(
+        parallelize_for_compute(corpus), centroids, vec_col, id_col,
+        carry_vec=True,
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        "cell_id",
     )
     schema = T.StructType(
         [
@@ -1847,11 +1871,22 @@ def _ivf_search(
         )
     from kafka_sparkstreaming_sbt_spark.plans import parallelize_for_compute
 
-    assigned = ivf_assign(
-        parallelize_for_compute(corpus), centroids, vec_col, id_col,
-        method=assign_method,
-    )
-    c = corpus.join(assigned, id_col).select(
+    if assign_method == "numpy":
+        # the BLAS assign pass carries the vector through (r12): the
+        # old shape joined the (id, cell) output back onto the corpus
+        # vectors — a corpus-vs-corpus equi-join, two full exchanges,
+        # for rows the assign pass already held.  Row-identical.
+        assigned_v = _assign_numpy(
+            parallelize_for_compute(corpus), centroids, vec_col, id_col,
+            carry_vec=True,
+        )
+    else:
+        assigned = ivf_assign(
+            parallelize_for_compute(corpus), centroids, vec_col, id_col,
+            method=assign_method,
+        )
+        assigned_v = corpus.join(assigned, id_col)
+    c = assigned_v.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec2"),
         _norm(F.col(vec_col)).alias("c_norm"),
