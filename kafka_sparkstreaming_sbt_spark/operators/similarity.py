@@ -1370,13 +1370,30 @@ def ivf_assign(
         / (F.col("v_norm") * F.col("cent_norm")),
         6,
     )
+    # argmax via a PACKED LONG ordering key, not a struct (r12): a
+    # struct-keyed max_by buffer is immutable, which forces
+    # SortAggregate — Spark sorted the whole N x C scored stream by id
+    # before the partial agg.  The 6-dp cosine is exactly 1e-6-grained,
+    # so micros = round(cos * 1e6) is a lossless integer image of the
+    # rounded double (|k| <= 1e6 round-trips exactly through the
+    # double), with NaN above +Inf above finite above -Inf — Spark's
+    # double ordering, matching the struct key's semantics; the low
+    # 42 bits subtract cell_id so ties break to the SMALLER cell.
+    # Precondition (holds for every quantizer here: cell ids are dense
+    # ranks): 0 <= cell_id < 2^42.  Long-keyed max_by hash-aggregates
+    # with map-side combine — the sort of the scored stream is gone.
+    micros = (
+        F.when(F.isnan(cos), F.lit(2_000_002).cast("long"))
+        .when(cos == F.lit(float("inf")), F.lit(2_000_001).cast("long"))
+        .when(
+            cos == F.lit(float("-inf")), F.lit(-2_000_001).cast("long")
+        )
+        .otherwise(F.round(cos * F.lit(1_000_000.0)).cast("long"))
+    )
+    packed = micros * F.lit(1 << 42).cast("long") - F.col("cell_id")
     return (
         scored.groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.col("cell_id"), F.struct(cos, (-F.col("cell_id")).alias("t"))
-            ).alias("cell_id")
-        )
+        .agg(F.max_by(F.col("cell_id"), packed).alias("cell_id"))
     )
 
 
