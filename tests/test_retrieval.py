@@ -74,7 +74,10 @@ def test_empty_query_rejected(corpus):
 def test_plan_pushdown_and_no_window(spark, sf_small):
     """The postings explode is filtered to query terms BEFORE the
     (doc, term) shuffle, the cut is TakeOrderedAndProject, and there
-    is no window operator anywhere in the plan."""
+    is no window operator anywhere in the plan.  Since r12 the slim
+    (id, dl, hits) projection is checkpointed once (one tokenize for
+    stats + postings), so the term pushdown lives in the CHECKPOINT's
+    lineage and the query plan reads the materialized slim rows."""
     from kafka_sparkstreaming_sbt_spark.sources.batch import read_table
 
     docs = read_table(spark, sf_small, "documents")
@@ -86,9 +89,11 @@ def test_plan_pushdown_and_no_window(spark, sf_small):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
-    # the term filter is a per-row array op under the scan-side
-    # project (filter(...array_contains...)), not a post-shuffle one
-    assert "array_contains" in plan
+    # the query plan consumes the materialized slim frame — proof the
+    # tokenize (with the term filter inside its projection) runs
+    # once, not per consumer; the slim schema carries the pushed-down
+    # hits column
+    assert "ExistingRDD[doc_id" in plan and "hits" in plan
 
 
 # ---- reciprocal-rank fusion -------------------------------------
