@@ -26,7 +26,7 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     subset = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r11")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="dump_plans")
     qs = entry_mod.queries()
