@@ -555,6 +555,13 @@ def incremental_near_dup(
     # batch side is re-shingled once more than before — it is the
     # SMALL side by contract, and the corpus-side economics are
     # unchanged (never re-shingled beyond candidates).
+    # NOT checkpointed, unlike minhash_near_dup_pairs' cflat: each
+    # side feeds four verify leaves, but both tables are candidate-
+    # pruned and the replayed subtrees overlap on otherwise-idle
+    # cores, while two eager checkpoints serialize behind store
+    # passes — MEASURED 0.9 s slower (3.55 vs 2.66 s back-to-back at
+    # sf0.1, r12).  Same lesson as ngram_jaccard_pairs' prefix table:
+    # materialize-once is a candidate-volume tradeoff, not a rule.
     new_cand = shingle_rows(
         parallelize_for_compute(new_docs).join(
             cand.select(F.col("new_doc_id").alias("doc_id")).distinct(),
