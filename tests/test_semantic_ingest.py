@@ -303,3 +303,33 @@ def test_assignment_quality_values(spark):
     assert assignment_quality(ortho, cents) == pytest.approx(0.0)
     empty = aligned.filter("vec_id < 0")
     assert math.isnan(assignment_quality(empty, cents))
+
+
+def test_quantizer_tables_cache_hits_and_invalidates(spark, dirs):
+    """The per-generation quantizer-table cache (r12): repeated calls
+    within one generation return the SAME DataFrame objects (so the
+    driver-side centroid memo also hits); a committed rebuild bumps
+    the _UPTO marker and the next call serves the NEW generation's
+    rows, never the stale cache."""
+    from kafka_sparkstreaming_sbt_spark.streaming.ingest import (
+        _quantizer_tables,
+        rebuild_semantic_quantizer,
+    )
+
+    _, acc, cells, _ = dirs
+    corpus = _e1_corpus(spark)
+    materialize_semantic_quantizer(
+        corpus, cells, centroids=_axis_centroids(spark)
+    )
+    c1, b1 = _quantizer_tables(spark, cells)
+    c2, b2 = _quantizer_tables(spark, cells)
+    assert c1 is c2 and b1 is b2  # generation cache hit
+    ids_gen0 = {r.vec_id for r in b1.collect()}
+
+    # accept a batch, then rebuild over corpus + accepted (gen 1)
+    screen_semantic_micro_batch(_z_fan(spark), 0, corpus, acc, cells)
+    rebuild_semantic_quantizer(corpus, acc, cells, upto_batch=1)
+    c3, b3 = _quantizer_tables(spark, cells)
+    assert b3 is not b1  # generation bump missed the cache
+    ids_gen1 = {r.vec_id for r in b3.collect()}
+    assert ids_gen1 > ids_gen0  # new generation covers the batch rows
